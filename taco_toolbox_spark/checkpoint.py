@@ -1,0 +1,139 @@
+"""Checkpoint-resumable validation runs.
+
+north_star: "runs are resumable from a checkpoint manifest recording
+per-Iceberg-partition lineage (snapshot id, file list, sketch state) and
+metrics, so a killed run re-validates only unfinished partitions."
+
+Reference analog: the two-phase write (plan offsets → write → patch header,
+/root/reference/tacotoolbox/_writers/zip_writer.py:292-311) and the
+per-partition `taco:sources` records kept for query routing
+(_tacollection.py:469-512).
+
+The manifest is a JSON document per run:
+  { run_id, input_path, snapshot_id, created_at,
+    partitions: { part: { status, files, n_rows, n_violations,
+                          verdicts: {check_id: n_violations},
+                          metrics: {...}, sketch: {...} } } }
+
+Granularity is the engine's partition column (= Iceberg partition in
+production; `part=` directories for parquet here). On resume, finished
+partitions are skipped by *partition-pruned* filtering — Catalyst turns the
+anti-filter into partition pruning at the scan, so finished data is never
+read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckpointManifest:
+    path: str
+    doc: dict
+
+    @classmethod
+    def load_or_create(
+        cls, path: str, run_id: str, input_path: str, snapshot_id: str | None = None
+    ) -> "CheckpointManifest":
+        if os.path.exists(path):
+            with open(path) as f:
+                doc = json.load(f)
+            if doc.get("input_path") != input_path:
+                raise ValueError(
+                    f"manifest {path} was created for input "
+                    f"{doc.get('input_path')}, not {input_path}"
+                )
+        else:
+            doc = {
+                "run_id": run_id,
+                "input_path": input_path,
+                "snapshot_id": snapshot_id,
+                "created_at": time.time(),
+                "partitions": {},
+            }
+        return cls(path=path, doc=doc)
+
+    # -- queries ----------------------------------------------------------
+    def finished_partitions(self) -> list[str]:
+        return [
+            p
+            for p, rec in self.doc["partitions"].items()
+            if rec.get("status") == "done"
+        ]
+
+    def pending_filter(self, df: DataFrame, partition_col: str = "part") -> DataFrame:
+        """Prune finished partitions from the scan. A NOT IN over partition
+        values becomes partition pruning (no data files of finished
+        partitions are read)."""
+        done = self.finished_partitions()
+        if not done:
+            return df
+        return df.filter(~F.col(partition_col).isin(done))
+
+    # -- updates ----------------------------------------------------------
+    def record_partition(
+        self,
+        part: str,
+        verdicts: dict[str, int],
+        n_rows: int | None = None,
+        metrics: dict | None = None,
+        files: list[str] | None = None,
+        sketch: dict | None = None,
+    ) -> None:
+        self.doc["partitions"][part] = {
+            "status": "done",
+            "finished_at": time.time(),
+            "n_rows": n_rows,
+            "n_violations": int(sum(verdicts.values())),
+            "verdicts": verdicts,
+            "metrics": metrics or {},
+            "files": files or [],
+            "sketch": sketch or {},
+        }
+
+    def save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.doc, f, indent=1, default=str)
+        os.replace(tmp, self.path)  # atomic commit, like the header patch
+
+
+def run_resumable(
+    df: DataFrame,
+    checks,
+    manifest: CheckpointManifest,
+    cfg=None,
+    baseline: DataFrame | None = None,
+):
+    """Validate only partitions the manifest doesn't mark done; record
+    per-partition verdicts into the manifest and commit it atomically.
+    Returns the ValidationResult for the pending subset (verdicts/violations
+    DataFrames), or None if everything was already done."""
+    from .engine import EngineConfig, run_validation
+
+    cfg = cfg or EngineConfig()
+    pending = manifest.pending_filter(df, cfg.partition_col)
+    if pending.select(cfg.partition_col).limit(1).count() == 0:
+        return None
+    result = run_validation(pending, checks, cfg, baseline=baseline)
+    verdict_rows = result.verdicts.collect()
+    by_part: dict[str, dict[str, int]] = {}
+    for r in verdict_rows:
+        by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
+    counts = {
+        r["part"]: r["n"]
+        for r in pending.groupBy(F.col(cfg.partition_col).alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for part, verdicts in by_part.items():
+        manifest.record_partition(part, verdicts, n_rows=counts.get(part))
+    manifest.save()
+    return result

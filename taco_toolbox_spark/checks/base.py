@@ -1,0 +1,233 @@
+"""Declarative constraint checks.
+
+The reference implements each validation as an imperative routine raising a
+typed exception with offending values (e.g. duplicate-id detection,
+/root/reference/tacotoolbox/tortilla/datamodel.py:235-254; vocabulary
+Literals, sample/datamodel.py:34; ordering rules, sample/extensions/
+stac.py:94-98; PIT structural isomorphism, taco/datamodel.py:294-390).
+
+Here every check is a small declarative spec; the engine (engine.py)
+compiles the whole battery into a minimal number of Spark passes:
+
+  * all RowChecks    -> ONE projection over the scan (no shuffle)
+  * all MonotoneChecks -> ONE window pass (single shuffle on the group key)
+  * Uniqueness/Contiguity/GroupAgg -> ONE aggregation pass (same key)
+  * DriftCheck       -> two-phase mergeable sketch (salted partial merge)
+  * TextEqualityCheck -> one join + vectorized pandas UDF
+
+so adding a check never adds a scan. Violations are *rows*, not exceptions:
+(part, check_id, conv_id, turn_idx, detail) — the set-oriented equivalent
+of the reference's error reports.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import CONV_ID_PATTERN, ROLE_VOCAB, TOOL_VOCAB
+
+
+@dataclass
+class Check:
+    check_id: str
+    description: str = ""
+
+
+@dataclass
+class RowCheck(Check):
+    """Single-row predicate that must hold (NULL-safe: a NULL predicate is
+    a FAIL unless ``null_ok``). Compiled into the shared row pass."""
+
+    predicate: Column | None = None
+    detail: Column | None = None
+    null_ok: bool = False
+
+    def holds(self) -> Column:
+        p = self.predicate
+        if self.null_ok:
+            return F.coalesce(p, F.lit(True))
+        return F.coalesce(p, F.lit(False))
+
+    def detail_col(self) -> Column:
+        return self.detail if self.detail is not None else F.lit(self.check_id)
+
+
+@dataclass
+class MonotoneCheck(Check):
+    """Value must be monotone (non-decreasing, or strictly increasing) within
+    the group ordered by the engine's order column — the window realization
+    of the reference's order-by-construction guarantees (stac.py:94-98,
+    zip_writer.py:216-220)."""
+
+    value_col: str = ""
+    strict: bool = False
+
+
+@dataclass
+class UniquenessCheck(Check):
+    """Key must be unique (reference duplicate-id check,
+    tortilla/datamodel.py:235-254). Keys default to the engine key."""
+
+    keys: Sequence[str] | None = None
+
+
+@dataclass
+class ContiguityCheck(Check):
+    """Per group, the index column must be exactly 0..n-1 (PIT-analog
+    structural invariant, taco/datamodel.py:294-390)."""
+
+    idx_col: str = ""
+
+
+@dataclass
+class GroupAggCheck(Check):
+    """Generic per-group aggregate invariant: ``aggs`` are computed per
+    group, ``predicate`` (over the agg row) must hold."""
+
+    aggs: Sequence[Column] = field(default_factory=list)
+    predicate: Column | None = None
+    detail: Column | None = None
+
+
+@dataclass
+class DriftCheck(Check):
+    """Per-partition distribution of ``value_expr`` must stay within
+    ``threshold`` relative distance of the baseline quantiles (reference
+    analog: histogram percentiles geotiff_stats.py:251-264 + partial→final
+    extent merge _tacollection.py:343-466)."""
+
+    value_expr: str = ""  # SQL expression over the input row
+    probes: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9)
+    threshold: float = 0.25
+    baseline_quantiles: Sequence[float] | None = None  # resolved by engine if None
+
+
+@dataclass
+class TextEqualityCheck(Check):
+    """Per-turn text equality against a clean reference copy under stable
+    (conv_id, turn_idx) ordering (BASELINE input_hint), via a vectorized
+    pandas UDF. ``reference`` must contain the key columns + ``text_col``."""
+
+    reference: DataFrame | None = None
+    text_col: str = "text"
+
+
+# ---------------------------------------------------------------------------
+# constructors for the common row checks
+# ---------------------------------------------------------------------------
+
+
+def vocab_check(
+    check_id: str, col: str, vocab: Sequence[str], nullable: bool = False
+) -> RowCheck:
+    """Closed-vocabulary membership (reference Literal/enum checks)."""
+    return RowCheck(
+        check_id=check_id,
+        description=f"{col} in {list(vocab)}",
+        predicate=F.col(col).isin(list(vocab)),
+        detail=F.format_string(f"%s not in {list(vocab)}", F.col(col)),
+        null_ok=nullable,
+    )
+
+
+def format_check(check_id: str, col: str, pattern: str) -> RowCheck:
+    """Regex format check (reference id-format rules,
+    sample/datamodel.py:245-275)."""
+    return RowCheck(
+        check_id=check_id,
+        description=f"{col} rlike {pattern}",
+        predicate=F.col(col).rlike(pattern),
+        detail=F.format_string(f"%s !~ {pattern}", F.col(col)),
+    )
+
+
+def not_null_check(check_id: str, col: str) -> RowCheck:
+    return RowCheck(
+        check_id=check_id,
+        description=f"{col} is not null",
+        predicate=F.col(col).isNotNull(),
+        detail=F.lit(f"{col} is null"),
+    )
+
+
+def range_check(
+    check_id: str, col: str, lo=None, hi=None, null_ok: bool = True
+) -> RowCheck:
+    """Bounds/sanity check (reference lon/lat bounds, stac.py:58-68)."""
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return RowCheck(
+        check_id=check_id,
+        description=f"{col} in [{lo}, {hi}]",
+        predicate=pred,
+        detail=F.format_string(f"{col}=%s out of [{lo},{hi}]", F.col(col)),
+        null_ok=null_ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the default transcript battery (BASELINE.json north_star)
+# ---------------------------------------------------------------------------
+
+
+def transcript_checks(
+    reference: DataFrame | None = None,
+    drift_baseline: Sequence[float] | None = None,
+) -> list[Check]:
+    """The constraint battery for the transcript table, one per reference
+    validator family (SURVEY.md §2.9):
+
+      V1 uniqueness, V5 vocab/referential, F3/V10 id format, V9/W4 monotone
+      ordering, V6 contiguity (PIT analog), V10 ranges/nulls, drift,
+      per-turn text equality (input_hint).
+    """
+    checks: list[Check] = [
+        UniquenessCheck(
+            check_id="unique_turn",
+            description="(conv_id, turn_idx) unique",
+        ),
+        format_check("conv_id_format", "conv_id", CONV_ID_PATTERN),
+        vocab_check("role_vocab", "role", ROLE_VOCAB),
+        vocab_check("tool_vocab", "tool", TOOL_VOCAB, nullable=True),
+        RowCheck(
+            check_id="tool_iff_role",
+            description="tool set iff role='tool'",
+            predicate=(F.col("role") == "tool") == F.col("tool").isNotNull(),
+            detail=F.format_string("role=%s tool=%s", F.col("role"), F.col("tool")),
+        ),
+        not_null_check("text_not_null", "text"),
+        range_check("turn_idx_nonneg", "turn_idx", lo=0, null_ok=False),
+        not_null_check("ts_not_null", "ts"),
+        MonotoneCheck(
+            check_id="ts_monotone",
+            description="ts non-decreasing per conversation by turn_idx",
+            value_col="ts",
+        ),
+        ContiguityCheck(
+            check_id="turn_contiguous",
+            description="turn_idx is exactly 0..n-1 per conversation",
+            idx_col="turn_idx",
+        ),
+        DriftCheck(
+            check_id="text_len_drift",
+            description="text length distribution vs baseline quantiles",
+            value_expr="length(text)",
+            baseline_quantiles=list(drift_baseline) if drift_baseline else None,
+        ),
+    ]
+    if reference is not None:
+        checks.append(
+            TextEqualityCheck(
+                check_id="text_equality",
+                description="per-turn text equals clean reference",
+                reference=reference,
+            )
+        )
+    return checks

@@ -1,0 +1,217 @@
+"""Mergeable quantile sketch + distribution-drift check.
+
+The reference approximates percentiles with a 100-bucket histogram per band
+(/root/reference/tacotoolbox/sample/extensions/geotiff_stats.py:251-264) and
+merges per-partition summaries into global ones (min-of-mins / max-of-maxes,
+_tacollection.py:343-466). At 10^12 rows we need a *mergeable, bounded-size*
+sketch, so drift vs a stored baseline can be computed with a two-phase
+(treeAggregate-style) merge and the sketch state can live in the checkpoint
+manifest.
+
+Implementation: a simplified t-digest — equal-weight centroid compression.
+  phase 1: salted partial sketches  groupBy(part, salt).applyInPandas(compress)
+  phase 2: final merge              groupBy(part).applyInPandas(merge)
+The salt bounds the rows any single task must hold; centroids are ≤
+``n_centroids`` per sketch regardless of input size. All numpy-vectorized
+(no per-row Python, per BASELINE input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SKETCH_SCHEMA = (
+    "part string, means array<double>, weights array<double>, "
+    "n long, vmin double, vmax double"
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy core (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+def compress_values(values: np.ndarray, n_centroids: int = 128):
+    """Compress raw values into ≤ n_centroids (mean, weight) pairs by
+    equal-weight bucketing of the sorted values."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    n = v.size
+    if n == 0:
+        return np.array([]), np.array([]), 0, np.nan, np.nan
+    v.sort()
+    k = min(n_centroids, n)
+    edges = np.linspace(0, n, k + 1).astype(np.int64)
+    counts = np.diff(edges)
+    keep = counts > 0
+    sums = np.add.reduceat(v, edges[:-1][keep])
+    means = sums / counts[keep]
+    return means, counts[keep].astype(np.float64), int(n), float(v[0]), float(v[-1])
+
+
+def merge_centroids(
+    means_list, weights_list, n_centroids: int = 128
+):
+    """Merge several centroid sets into one of ≤ n_centroids by weighted
+    re-bucketing along the sorted means."""
+    means = np.concatenate([np.asarray(m, dtype=np.float64) for m in means_list])
+    weights = np.concatenate([np.asarray(w, dtype=np.float64) for w in weights_list])
+    if means.size == 0:
+        return np.array([]), np.array([])
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    k = min(n_centroids, means.size)
+    cum = np.cumsum(weights)
+    # bucket boundary for each centroid: which output bin its cum-weight ends in
+    bins = np.minimum((cum - weights / 2) / total * k, k - 1e-9).astype(np.int64)
+    out_means = np.zeros(k)
+    out_weights = np.zeros(k)
+    np.add.at(out_weights, bins, weights)
+    np.add.at(out_means, bins, means * weights)
+    keep = out_weights > 0
+    return out_means[keep] / out_weights[keep], out_weights[keep]
+
+
+def quantiles_from_centroids(
+    means: np.ndarray, weights: np.ndarray, probes: Sequence[float]
+) -> np.ndarray:
+    """Estimate quantiles by linear interpolation over the centroid CDF."""
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if means.size == 0:
+        return np.full(len(probes), np.nan)
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    cum = np.cumsum(weights) - weights / 2.0
+    cdf = cum / weights.sum()
+    return np.interp(np.asarray(probes, dtype=np.float64), cdf, means)
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def sketch_by_partition(
+    df: DataFrame,
+    value_expr: str,
+    partition_col: str = "part",
+    n_centroids: int = 128,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase per-partition sketch: salted partial compress → final merge.
+    Output: one row per partition with centroid arrays + n/min/max."""
+    vals = df.select(
+        # partition columns read back from partitioned storage may be
+        # date/int-typed — the sketch key is always a string
+        F.col(partition_col).cast("string").alias("part"),
+        F.expr(value_expr).cast("double").alias("v"),
+        F.pmod(F.xxhash64(F.expr(value_expr), F.monotonically_increasing_id()),
+               F.lit(salt_buckets)).alias("salt"),
+    )
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        means, weights, n, vmin, vmax = compress_values(
+            pdf["v"].to_numpy(), n_centroids
+        )
+        return pd.DataFrame(
+            {
+                "part": [pdf["part"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "means": [means.tolist()],
+                "weights": [weights.tolist()],
+                "n": [n],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    partial = vals.groupBy("part", "salt").applyInPandas(
+        compress, "part string, salt long, means array<double>, "
+        "weights array<double>, n long, vmin double, vmax double",
+    ).drop("salt")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means, weights = merge_centroids(
+            list(pdf["means"]), list(pdf["weights"]), n_centroids
+        )
+        return pd.DataFrame(
+            {
+                "part": [pdf["part"].iloc[0]],
+                "means": [means.tolist()],
+                "weights": [weights.tolist()],
+                "n": [int(pdf["n"].sum())],
+                "vmin": [float(np.nanmin(pdf["vmin"])) if len(pdf) else np.nan],
+                "vmax": [float(np.nanmax(pdf["vmax"])) if len(pdf) else np.nan],
+            }
+        )
+
+    return partial.groupBy("part").applyInPandas(merge, SKETCH_SCHEMA)
+
+
+def global_quantiles(
+    df: DataFrame, value_expr: str, probes: Sequence[float], n_centroids: int = 128
+) -> list[float]:
+    """Whole-table baseline quantiles via the same sketch (single final
+    merge group; partials bound memory)."""
+    sk = sketch_by_partition(
+        df.withColumn("_gq_part", F.lit("_all")),
+        value_expr,
+        partition_col="_gq_part",
+        n_centroids=n_centroids,
+    ).collect()
+    if not sk:
+        return [float("nan")] * len(probes)
+    row = sk[0]
+    return quantiles_from_centroids(
+        np.array(row["means"]), np.array(row["weights"]), probes
+    ).tolist()
+
+
+def drift_violations(
+    sketches: DataFrame,
+    baseline_quantiles: Sequence[float],
+    probes: Sequence[float],
+    threshold: float,
+    check_id: str,
+) -> DataFrame:
+    """Per-partition drift verdict rows: max relative quantile distance vs
+    the baseline; one violation row per drifted partition."""
+    base = np.asarray(baseline_quantiles, dtype=np.float64)
+    probes_t = tuple(probes)
+
+    def judge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():  # ≤ 1 row per partition: not a hot loop
+            q = quantiles_from_centroids(
+                np.array(r["means"]), np.array(r["weights"]), probes_t
+            )
+            denom = np.maximum(np.abs(base), 1e-12)
+            dist = float(np.nanmax(np.abs(q - base) / denom)) if q.size else np.nan
+            if np.isnan(dist) or dist > threshold:
+                out.append(
+                    (
+                        r["part"],
+                        f"max_rel_quantile_dist={dist:.4f} > {threshold} "
+                        f"(quantiles={np.round(q, 2).tolist()} "
+                        f"baseline={np.round(base, 2).tolist()})",
+                    )
+                )
+        return pd.DataFrame(out, columns=["part", "detail"])
+
+    judged = sketches.groupBy("part").applyInPandas(
+        judge, "part string, detail string"
+    )
+    return judged.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.col("detail"),
+    )

@@ -1,0 +1,64 @@
+"""Per-turn text equality against a clean reference copy.
+
+BASELINE input_hint: "per-row invariant vs the reference: per-turn text
+equality under stable (conv_id, turn_idx) ordering", computed through a
+vectorized pandas/Arrow UDF (no per-row Python). Reference analog: the
+extension row-count/consistency contract (tortilla/datamodel.py:342-374).
+
+Plan shape: equi-join on the key (Catalyst picks sort-merge or broadcast;
+AQE splits skewed keys), then one Arrow-batched comparison. The join is the
+only shuffle; the UDF is a pure map.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.BooleanType())
+def texts_equal(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized NULL-safe equality: NULL == NULL is True, NULL vs value
+    is False (matches a <=> comparison; kept as a pandas UDF per the
+    input_hint's vectorized-UDF requirement and as the extension point for
+    normalization — e.g. unicode NFC — without leaving Arrow batches)."""
+    na_a, na_b = a.isna(), b.isna()
+    return (na_a & na_b) | (~na_a & ~na_b & (a == b))
+
+
+def text_equality_violations(
+    df: DataFrame,
+    reference: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    partition_col: str = "part",
+    check_id: str = "text_equality",
+) -> DataFrame:
+    """Violation rows for turns whose text differs from the reference copy
+    (or that have no reference row at all)."""
+    keys = list(key_cols)
+    ref = reference.select(
+        *keys, F.col(text_col).alias("_ref_text"), F.lit(True).alias("_ref_present")
+    )
+    joined = df.select(partition_col, *keys, text_col).join(ref, keys, "left")
+    eq = texts_equal(F.col(text_col), F.col("_ref_text"))
+    bad = joined.filter(
+        F.col("_ref_present").isNull() | ~F.coalesce(eq, F.lit(False))
+    )
+    return bad.select(
+        F.col(partition_col).alias("part"),
+        F.lit(check_id).alias("check_id"),
+        F.col(keys[0]).cast("string").alias("conv_id"),
+        F.col(keys[1]).cast("int").alias("turn_idx"),
+        F.when(F.col("_ref_present").isNull(), F.lit("no reference row"))
+        .otherwise(
+            F.format_string(
+                "text mismatch: got=%s want=%s",
+                F.substring(F.coalesce(F.col(text_col), F.lit("<null>")), 1, 60),
+                F.substring(F.coalesce(F.col("_ref_text"), F.lit("<null>")), 1, 60),
+            )
+        )
+        .alias("detail"),
+    )

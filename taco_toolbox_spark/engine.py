@@ -1,0 +1,313 @@
+"""Validation engine: compiles a declarative check battery into a minimal
+set of Spark passes and emits (verdict matrix, violation rows, stats).
+
+Pass plan (the scale story — adding checks never adds scans):
+
+  row pass      all RowChecks in ONE shuffle-free projection: per row an
+                array of failed-check structs, array_compact + explode.
+                Filters/column pruning push to the parquet/Iceberg scan.
+  window pass   all MonotoneChecks over ONE window (single shuffle on the
+                group key, all lags computed in one Window operator).
+  agg pass      Uniqueness on the full key (fine-grained → no hot key);
+                Contiguity + GroupAggChecks share ONE groupBy(group) agg
+                (Spark's partial aggregation = map-side combine).
+  drift pass    two-phase salted sketch merge (checks/drift.py).
+  text pass     key join + vectorized pandas UDF (checks/text_equality.py).
+
+Verdict aggregation replaces the reference's typed-exception reports
+(/root/reference/tacotoolbox/_exceptions.py:19-171): per (partition, check)
+pass/fail + violation counts, with violation rows capped for reporting under
+a canonical (conv_id, turn_idx) ordering — the set-oriented equivalent of
+the reference's "first 10 duplicates" report
+(tortilla/datamodel.py:243-254).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .checks.base import (
+    Check,
+    ContiguityCheck,
+    DriftCheck,
+    GroupAggCheck,
+    MonotoneCheck,
+    RowCheck,
+    TextEqualityCheck,
+    UniquenessCheck,
+)
+from .checks.drift import drift_violations, global_quantiles, sketch_by_partition
+from .checks.text_equality import text_equality_violations
+
+VIOLATION_COLS = ("part", "check_id", "conv_id", "turn_idx", "detail")
+
+
+@dataclass
+class EngineConfig:
+    partition_col: str = "part"
+    group_col: str = "conv_id"
+    order_col: str = "turn_idx"
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    drift_salt_buckets: int = 32
+    drift_centroids: int = 128
+    persist_violations: bool = False
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame  # (part, check_id, passed, n_violations)
+    violations: DataFrame  # (part, check_id, conv_id, turn_idx, detail)
+
+
+def _viol(cfg: EngineConfig, df: DataFrame, check_id, detail, conv=None, turn=None):
+    return df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        (F.lit(check_id) if isinstance(check_id, str) else check_id).alias("check_id"),
+        (F.col(cfg.group_col) if conv is None else conv).cast("string").alias("conv_id"),
+        (F.col(cfg.order_col) if turn is None else turn).cast("int").alias("turn_idx"),
+        detail.cast("string").alias("detail"),
+    )
+
+
+def _row_pass(df: DataFrame, checks: list[RowCheck], cfg: EngineConfig) -> DataFrame:
+    structs = [
+        F.when(
+            ~c.holds(),
+            F.struct(
+                F.lit(c.check_id).alias("check_id"), c.detail_col().alias("detail")
+            ),
+        )
+        for c in checks
+    ]
+    fails = df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.col(cfg.order_col).cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part",
+        F.explode("fails").alias("f"),
+        "conv_id",
+        "turn_idx",
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
+def _window_pass(
+    df: DataFrame, checks: list[MonotoneCheck], cfg: EngineConfig
+) -> DataFrame:
+    w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+    structs = []
+    for c in checks:
+        prev = F.lag(F.col(c.value_col)).over(w)
+        bad = prev > F.col(c.value_col) if not c.strict else prev >= F.col(c.value_col)
+        structs.append(
+            F.when(
+                F.coalesce(bad, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"{c.value_col} regression: %s -> %s",
+                        prev.cast("string"),
+                        F.col(c.value_col).cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    fails = df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.col(cfg.order_col).cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
+def _uniqueness_pass(
+    df: DataFrame, check: UniquenessCheck, cfg: EngineConfig
+) -> DataFrame:
+    keys = list(check.keys or cfg.key_cols)
+    dups = (
+        df.groupBy(cfg.partition_col, *keys)
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    return _viol(
+        cfg,
+        dups,
+        check.check_id,
+        F.format_string("duplicate key (n=%s)", F.col("count").cast("string")),
+        conv=F.col(keys[0]),
+        turn=F.col(keys[1]) if len(keys) > 1 else F.lit(None),
+    )
+
+
+def _group_agg_pass(
+    df: DataFrame,
+    contig: list[ContiguityCheck],
+    group_checks: list[GroupAggCheck],
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Contiguity + generic group-agg checks share one aggregation."""
+    aggs: list = []
+    structs: list = []
+    for c in contig:
+        n = F.count(F.lit(1)).alias(f"_{c.check_id}_n")
+        nd = F.countDistinct(F.col(c.idx_col)).alias(f"_{c.check_id}_nd")
+        mn = F.min(c.idx_col).alias(f"_{c.check_id}_mn")
+        mx = F.max(c.idx_col).alias(f"_{c.check_id}_mx")
+        aggs += [n, nd, mn, mx]
+    for c in group_checks:
+        aggs += list(c.aggs)
+    agg_df = df.groupBy(cfg.partition_col, cfg.group_col).agg(*aggs)
+    for c in contig:
+        n, nd = F.col(f"_{c.check_id}_n"), F.col(f"_{c.check_id}_nd")
+        mn, mx = F.col(f"_{c.check_id}_mn"), F.col(f"_{c.check_id}_mx")
+        ok = (mn == 0) & (mx == n - 1) & (nd == n)
+        structs.append(
+            F.when(
+                ~F.coalesce(ok, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        "idx not 0..n-1: n=%s distinct=%s min=%s max=%s",
+                        n.cast("string"),
+                        nd.cast("string"),
+                        mn.cast("string"),
+                        mx.cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    for c in group_checks:
+        structs.append(
+            F.when(
+                ~F.coalesce(c.predicate, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    (c.detail if c.detail is not None else F.lit(c.description))
+                    .cast("string")
+                    .alias("detail"),
+                ),
+            )
+        )
+    fails = agg_df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select("part", F.explode("fails").alias("f"), "conv_id").select(
+        "part",
+        "f.check_id",
+        "conv_id",
+        F.lit(None).cast("int").alias("turn_idx"),
+        "f.detail",
+    )
+
+
+def run_validation(
+    df: DataFrame,
+    checks: list[Check],
+    cfg: EngineConfig | None = None,
+    baseline: DataFrame | None = None,
+) -> ValidationResult:
+    """Run the battery; returns lazily-evaluated verdicts + violations.
+
+    ``baseline`` (clean reference table) resolves DriftCheck baselines that
+    were not given explicit quantiles.
+    """
+    cfg = cfg or EngineConfig()
+    spark = df.sparkSession
+
+    row_checks = [c for c in checks if isinstance(c, RowCheck)]
+    mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
+    uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
+    contig_checks = [c for c in checks if isinstance(c, ContiguityCheck)]
+    group_checks = [c for c in checks if isinstance(c, GroupAggCheck)]
+    drift_checks = [c for c in checks if isinstance(c, DriftCheck)]
+    text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
+
+    pieces: list[DataFrame] = []
+    if row_checks:
+        pieces.append(_row_pass(df, row_checks, cfg))
+    if mono_checks:
+        pieces.append(_window_pass(df, mono_checks, cfg))
+    for c in uniq_checks:
+        pieces.append(_uniqueness_pass(df, c, cfg))
+    if contig_checks or group_checks:
+        pieces.append(_group_agg_pass(df, contig_checks, group_checks, cfg))
+    for c in drift_checks:
+        bq = c.baseline_quantiles
+        if bq is None:
+            if baseline is None:
+                raise ValueError(
+                    f"DriftCheck {c.check_id} has no baseline quantiles and no "
+                    "baseline DataFrame was provided"
+                )
+            bq = global_quantiles(baseline, c.value_expr, c.probes, cfg.drift_centroids)
+        sk = sketch_by_partition(
+            df,
+            c.value_expr,
+            cfg.partition_col,
+            cfg.drift_centroids,
+            cfg.drift_salt_buckets,
+        )
+        pieces.append(drift_violations(sk, bq, c.probes, c.threshold, c.check_id))
+    for c in text_checks:
+        pieces.append(
+            text_equality_violations(
+                df,
+                c.reference,
+                cfg.key_cols,
+                c.text_col,
+                cfg.partition_col,
+                c.check_id,
+            )
+        )
+
+    violations = pieces[0]
+    for p in pieces[1:]:
+        violations = violations.unionAll(p)
+    if cfg.persist_violations:
+        violations = violations.persist()
+
+    parts = df.select(
+        F.col(cfg.partition_col).cast("string").alias("part")
+    ).distinct()
+    checks_df = spark.createDataFrame(
+        [(c.check_id, c.description) for c in checks],
+        "check_id string, description string",
+    )
+    counts = violations.groupBy("part", "check_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    verdicts = (
+        parts.crossJoin(F.broadcast(checks_df.select("check_id")))
+        .join(counts, ["part", "check_id"], "left")
+        .select(
+            "part",
+            "check_id",
+            F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+        )
+    )
+    return ValidationResult(verdicts=verdicts, violations=violations)
+
+
+def sample_violations(violations: DataFrame, k: int = 10) -> DataFrame:
+    """Reference-style capped report ("first 10 duplicates",
+    tortilla/datamodel.py:243-254) under the canonical (conv_id, turn_idx)
+    ordering, so truncation is deterministic under distribution."""
+    w = Window.partitionBy("part", "check_id").orderBy(
+        F.col("conv_id").asc_nulls_last(), F.col("turn_idx").asc_nulls_last(), "detail"
+    )
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,109 @@
+"""Single-pass per-partition column statistics.
+
+Generalizes the reference's per-band continuous/categorical stats
+(/root/reference/tacotoolbox/sample/extensions/geotiff_stats.py:158-268:
+min/max/mean/std/valid-percent + histogram percentiles) and its extent
+aggregations (taco/datamodel.py:520-611). ONE groupBy(partition) aggregation
+computes every column's profile — count, null fraction, min/max,
+approx-distinct (HLL, per north_star), mean/std for numerics — then the wide
+agg row is unpivoted to long format with a zero-shuffle explode.
+
+At 10^12 rows this is the cheap path: map-side partial aggregation means the
+shuffle carries one row per (partition × HLL sketch), not data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+STATS_COLUMNS = (
+    "part",
+    "column",
+    "dtype",
+    "n_rows",
+    "n_nonnull",
+    "null_frac",
+    "approx_distinct",
+    "min",
+    "max",
+    "mean",
+    "std",
+)
+
+
+def column_stats(
+    df: DataFrame,
+    partition_col: str = "part",
+    columns: list[str] | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Long-format per-(partition, column) profile in a single aggregation.
+
+    ``rsd`` is the HyperLogLog relative standard deviation for
+    approx_count_distinct.
+    """
+    fields = [
+        f
+        for f in df.schema.fields
+        if f.name != partition_col and (columns is None or f.name in columns)
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs += [
+            F.count(c).alias(f"_{f.name}_nn"),
+            F.approx_count_distinct(c, rsd).alias(f"_{f.name}_ad"),
+            F.min(c).cast("string").alias(f"_{f.name}_min"),
+            F.max(c).cast("string").alias(f"_{f.name}_max"),
+        ]
+        if isinstance(f.dataType, _NUMERIC):
+            aggs += [
+                F.avg(c).alias(f"_{f.name}_mean"),
+                F.stddev(c).alias(f"_{f.name}_std"),
+            ]
+    agg_df = df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(*aggs)
+
+    structs = []
+    for f in fields:
+        is_num = isinstance(f.dataType, _NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_{f.name}_nn").alias("n_nonnull"),
+                (
+                    (F.col("_n_rows") - F.col(f"_{f.name}_nn"))
+                    / F.greatest(F.col("_n_rows"), F.lit(1))
+                ).alias("null_frac"),
+                F.col(f"_{f.name}_ad").alias("approx_distinct"),
+                F.col(f"_{f.name}_min").alias("min"),
+                F.col(f"_{f.name}_max").alias("max"),
+                (F.col(f"_{f.name}_mean") if is_num else F.lit(None).cast("double")).alias("mean"),
+                (F.col(f"_{f.name}_std") if is_num else F.lit(None).cast("double")).alias("std"),
+            )
+        )
+    return agg_df.select("part", F.explode(F.array(*structs)).alias("s")).select(
+        "part", "s.*"
+    )
+
+
+def global_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Whole-table profile (partition = '_all')."""
+    return column_stats(
+        df.withColumn("_all_part", F.lit("_all")),
+        partition_col="_all_part",
+        columns=columns,
+    )
