@@ -1,0 +1,92 @@
+"""Hierarchy/relational navigation operators.
+
+The reference stores nested samples as flattened per-level tables linked by
+positional ids and navigates them relationally
+(/root/reference/tacotoolbox/_metadata.py:69-78 documents the SQL:
+``level1.parent_id = level0.current_id``; keys built at _metadata.py:117-127).
+Here the parent-child link is a first-class join, positions are window
+functions, and completeness is a left_anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_row_position(
+    df: DataFrame,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    out_col: str = "current_id",
+) -> DataFrame:
+    """0-based position per (optional) group — reference W1 current_id
+    (_metadata.py:117-120). Window shuffle on the partition cols only."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+
+def parent_child_join(
+    child: DataFrame,
+    parent: DataFrame,
+    child_fk: str = "parent_id",
+    parent_key: str = "current_id",
+    how: str = "inner",
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """J3 parent-child navigation. Broadcast the parent when it's a small
+    dimension (reference J1's lookup joins are all broadcast-sized)."""
+    p = F.broadcast(parent) if broadcast_parent else parent
+    return child.join(p, child[child_fk] == p[parent_key], how)
+
+
+def completeness_violations(
+    df: DataFrame, required: DataFrame, keys: list[str], sample: int = 5
+) -> DataFrame:
+    """V12 completeness: rows of ``required`` with no match in ``df``
+    (reference anti-join over offsets, zip_writer.py:447-479), first
+    ``sample`` under canonical key order."""
+    missing = required.join(df, keys, "left_anti")
+    return missing.orderBy(*[F.col(k) for k in keys]).limit(sample)
+
+
+def child_count_signature(
+    child: DataFrame,
+    group_col: str,
+    sig_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """PIT-analog structural signature (reference taco/datamodel.py:294-390):
+    per group, an order-insensitive hash of the ordered (position, cols)
+    tuples + the child count. Groups are isomorphic iff signatures equal.
+    Uses sum-of-hashes (commutative) instead of collect_list so hot groups
+    don't OOM a reducer — the order sensitivity comes from hashing the
+    order column *into* each term."""
+    term = F.xxhash64(F.col(order_col), *[F.col(c) for c in sig_cols])
+    return child.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.sum(term).alias("signature"),
+    )
+
+
+def isomorphism_violations(
+    child: DataFrame, group_col: str, sig_cols: list[str], order_col: str
+) -> DataFrame:
+    """Groups whose structural signature differs from the dominant one
+    (reference PIT: 'all folders must have identical child structure')."""
+    sigs = child_count_signature(child, group_col, sig_cols, order_col)
+    dominant = (
+        sigs.groupBy("n_children", "signature")
+        .count()
+        .orderBy(F.col("count").desc(), "signature")
+        .limit(1)
+    )
+    return sigs.join(
+        F.broadcast(dominant.select("n_children", "signature")),
+        ["n_children", "signature"],
+        "left_anti",
+    )
