@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "validation": {"turns": N, "sec": s, "turns_per_sec": r}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_ONLY           "validation" to run only the validation-throughput
+                       section (used by bench_scaling.py)
+  BENCH_TURNS          approx synthetic turns for the validation section
+                       (default 2_000_000)
+  BENCH_DATA_DIR       where the synthetic corpus parquet is cached
+                       (default /tmp/spark_graft_bench)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing",
+    "j3_rollup",
+    "j1_broadcast_enrich",
+    "v1_uniqueness",
+    "v9_monotone",
+    "v6_contiguity",
+    "stats_profile",
+    "a9_distribution",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "sim_topk",
+    "text_stats",
+]
+
+
+def _noop_write(df) -> None:
+    """Force full materialization of every output column."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_write(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+        print(f"  bench {name}: {out[name]}s", file=sys.stderr, flush=True)
+    return out
+
+
+def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
+    """North-star throughput: validated turns/sec over a pre-materialized
+    synthetic transcript corpus with ~0.1% injected violations. The corpus
+    is written once (not timed) and reused across parallelism levels so
+    scaling runs see identical input."""
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.checks import transcript_checks
+    from taco_toolbox_spark.datagen import generate_transcripts, write_corpus
+    from taco_toolbox_spark.engine import EngineConfig, run_validation
+
+    # avg turns/conv ≈ 7.5 plus hot conversations (skew) every 5000th conv
+    n_convs = max(1000, int(turns_target / 8))
+    corpus_dir = os.path.join(data_dir, f"corpus_{n_convs}")
+    marker = os.path.join(corpus_dir, "_DONE")
+    if not os.path.exists(marker):
+        corpus = generate_transcripts(
+            spark,
+            n_convs=n_convs,
+            seed=42,
+            violation_denom=8000,  # ~0.1% total across 8 kinds
+            hot_conv_every=5000,
+            hot_len=2000,
+        )
+        write_corpus(corpus, corpus_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    df = spark.read.parquet(f"{corpus_dir}/transcripts")
+    ref = spark.read.parquet(f"{corpus_dir}/transcripts_baseline")
+    n_turns = df.count()  # warm the scan; not part of the timed section
+
+    # baseline quantiles are a stored artifact in production (computed once
+    # when the baseline is registered) — compute them outside the timed run
+    from taco_toolbox_spark.checks.drift import approx_global_quantiles
+
+    baseline_q = approx_global_quantiles(
+        ref, "length(text)", (0.1, 0.25, 0.5, 0.75, 0.9)
+    )
+
+    checks = transcript_checks(reference=ref, drift_baseline=baseline_q)
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        res = run_validation(df, checks, EngineConfig(persist_violations=True))
+        n_viol = res.violations.count()
+        verd = res.verdicts.agg(
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0))
+        ).first()[0]
+        sec = time.time() - t0
+        res.violations.unpersist()
+        if best is None or sec < best:
+            best = sec
+    return {
+        "turns": n_turns,
+        "sec": round(best, 3),
+        "turns_per_sec": round(n_turns / best, 1),
+        "violations": n_viol,
+        "failed_part_checks": int(verd or 0),
+        "repeats": repeats,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    only = os.environ.get("BENCH_ONLY", "")
+    turns = int(os.environ.get("BENCH_TURNS", "1000000"))
+    data_dir = os.environ.get("BENCH_DATA_DIR", "/tmp/spark_graft_bench")
+    os.makedirs(data_dir, exist_ok=True)
+
+    from taco_toolbox_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    queries: dict[str, float] = {}
+    if only != "validation":
+        queries = bench_queries(spark, sf_dir)
+    validation = bench_validation(spark, data_dir, turns)
+    total = round(sum(queries.values()) + validation["sec"], 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_validation_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "validation": validation,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,11 @@ class DriftCheck(Check):
     probes: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9)
     threshold: float = 0.25
     baseline_quantiles: Sequence[float] | None = None  # resolved by engine if None
+    #: "approx" = JVM-side percentile_approx (Spark's own mergeable sketch,
+    #: no Python in the path — the default/fast path); "tdigest" = the
+    #: custom two-phase centroid sketch whose state is persistable into the
+    #: checkpoint manifest (checks/drift.py).
+    method: str = "approx"
 
 
 @dataclass

@@ -174,6 +174,69 @@ def global_quantiles(
     ).tolist()
 
 
+def approx_quantiles_by_partition(
+    df: DataFrame,
+    value_expr: str,
+    probes: Sequence[float],
+    partition_col: str = "part",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """JVM-side per-partition quantiles via percentile_approx — Spark's own
+    mergeable sketch (Greenwald-Khanna), fully codegen'd partial/final
+    aggregation, no Python workers. The fast path for the drift check."""
+    return df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(
+        F.percentile_approx(
+            F.expr(value_expr).cast("double"), list(probes), accuracy
+        ).alias("q")
+    )
+
+
+def approx_global_quantiles(
+    df: DataFrame, value_expr: str, probes: Sequence[float], accuracy: int = 10000
+) -> list[float]:
+    row = df.agg(
+        F.percentile_approx(
+            F.expr(value_expr).cast("double"), list(probes), accuracy
+        ).alias("q")
+    ).first()
+    return list(row["q"]) if row and row["q"] is not None else [float("nan")] * len(probes)
+
+
+def drift_violations_approx(
+    quantiles: DataFrame,
+    baseline_quantiles: Sequence[float],
+    threshold: float,
+    check_id: str,
+) -> DataFrame:
+    """Per-partition drift verdicts computed as column expressions over the
+    per-partition quantile arrays (no Python)."""
+    base = F.array(*[F.lit(float(b)) for b in baseline_quantiles])
+    dist = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            base,
+            lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12)),
+        )
+    )
+    judged = quantiles.select(
+        "part",
+        dist.alias("dist"),
+        F.transform(F.col("q"), lambda x: F.round(x, 2)).alias("q_r"),
+    ).filter(F.col("dist").isNull() | F.isnan("dist") | (F.col("dist") > threshold))
+    base_r = [round(float(b), 2) for b in baseline_quantiles]
+    return judged.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.format_string(
+            f"max_rel_quantile_dist=%s > {threshold} (quantiles=%s baseline={base_r})",
+            F.round("dist", 4).cast("string"),
+            F.col("q_r").cast("string"),
+        ).alias("detail"),
+    )
+
+
 def drift_violations(
     sketches: DataFrame,
     baseline_quantiles: Sequence[float],

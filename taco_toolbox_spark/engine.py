@@ -39,7 +39,14 @@ from .checks.base import (
     TextEqualityCheck,
     UniquenessCheck,
 )
-from .checks.drift import drift_violations, global_quantiles, sketch_by_partition
+from .checks.drift import (
+    approx_global_quantiles,
+    approx_quantiles_by_partition,
+    drift_violations,
+    drift_violations_approx,
+    global_quantiles,
+    sketch_by_partition,
+)
 from .checks.text_equality import text_equality_violations
 
 VIOLATION_COLS = ("part", "check_id", "conv_id", "turn_idx", "detail")
@@ -51,9 +58,18 @@ class EngineConfig:
     group_col: str = "conv_id"
     order_col: str = "turn_idx"
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
-    drift_salt_buckets: int = 32
+    drift_salt_buckets: int = 16
     drift_centroids: int = 128
     persist_violations: bool = False
+    #: pre-shuffle the input once by the group key and persist it, so the
+    #: window pass and every group aggregation consume ONE exchange instead
+    #: of re-shuffling per pass. Worth it whenever >1 shuffled pass runs;
+    #: at cluster scale pair with StorageLevel DISK_ONLY if memory-tight.
+    share_group_shuffle: bool = False
+    #: fold uniqueness of (group, order) into the window pass: a duplicate
+    #: key shows up as order == lag(order), so only flagged rows are
+    #: aggregated — avoids shuffling every row by the full key.
+    uniqueness_via_window: bool = True
 
 
 @dataclass
@@ -147,6 +163,28 @@ def _uniqueness_pass(
     )
 
 
+def _uniqueness_via_window(
+    df: DataFrame, check: UniquenessCheck, cfg: EngineConfig
+) -> DataFrame:
+    """Duplicate (group, order) keys detected inside the shared window sort:
+    a dup row has order == lag(order). Only the flagged rows (a ~0.1%
+    sliver) are then aggregated for per-key counts — the full-key shuffle
+    of every row is gone."""
+    w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+    flagged = (
+        df.withColumn("_prev", F.lag(cfg.order_col).over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") == F.col(cfg.order_col)))
+        .groupBy(cfg.partition_col, cfg.group_col, cfg.order_col)
+        .agg((F.count(F.lit(1)) + 1).alias("count"))
+    )
+    return _viol(
+        cfg,
+        flagged,
+        check.check_id,
+        F.format_string("duplicate key (n=%s)", F.col("count").cast("string")),
+    )
+
+
 def _group_agg_pass(
     df: DataFrame,
     contig: list[ContiguityCheck],
@@ -224,6 +262,10 @@ def run_validation(
     cfg = cfg or EngineConfig()
     spark = df.sparkSession
 
+    if cfg.share_group_shuffle:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        df = df.repartition(n, cfg.group_col).persist()
+
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
@@ -238,7 +280,11 @@ def run_validation(
     if mono_checks:
         pieces.append(_window_pass(df, mono_checks, cfg))
     for c in uniq_checks:
-        pieces.append(_uniqueness_pass(df, c, cfg))
+        keys = tuple(c.keys or cfg.key_cols)
+        if cfg.uniqueness_via_window and keys == (cfg.group_col, cfg.order_col):
+            pieces.append(_uniqueness_via_window(df, c, cfg))
+        else:
+            pieces.append(_uniqueness_pass(df, c, cfg))
     if contig_checks or group_checks:
         pieces.append(_group_agg_pass(df, contig_checks, group_checks, cfg))
     for c in drift_checks:
@@ -249,15 +295,30 @@ def run_validation(
                     f"DriftCheck {c.check_id} has no baseline quantiles and no "
                     "baseline DataFrame was provided"
                 )
-            bq = global_quantiles(baseline, c.value_expr, c.probes, cfg.drift_centroids)
-        sk = sketch_by_partition(
-            df,
-            c.value_expr,
-            cfg.partition_col,
-            cfg.drift_centroids,
-            cfg.drift_salt_buckets,
-        )
-        pieces.append(drift_violations(sk, bq, c.probes, c.threshold, c.check_id))
+            if c.method == "tdigest":
+                bq = global_quantiles(
+                    baseline, c.value_expr, c.probes, cfg.drift_centroids
+                )
+            else:
+                bq = approx_global_quantiles(baseline, c.value_expr, c.probes)
+        if c.method == "tdigest":
+            sk = sketch_by_partition(
+                df,
+                c.value_expr,
+                cfg.partition_col,
+                cfg.drift_centroids,
+                cfg.drift_salt_buckets,
+            )
+            pieces.append(
+                drift_violations(sk, bq, c.probes, c.threshold, c.check_id)
+            )
+        else:
+            q = approx_quantiles_by_partition(
+                df, c.value_expr, c.probes, cfg.partition_col
+            )
+            pieces.append(
+                drift_violations_approx(q, bq, c.threshold, c.check_id)
+            )
     for c in text_checks:
         pieces.append(
             text_equality_violations(

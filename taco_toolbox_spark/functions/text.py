@@ -32,8 +32,10 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (JVM-side)."""
-    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_PATTERN)
+    """Whitespace tokenization (JVM-side). Trim first: split() on \\s+ would
+    emit an empty leading token for text with leading whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_PATTERN)
 
 
 def token_count(col: Column | str) -> Column:
@@ -82,17 +84,16 @@ def lang_id(texts: pd.Series) -> pd.Series:
     Scores each language by stopword hits; 'und' (undetermined) when no
     stopword matches."""
     langs = list(STOPWORDS)
-    vocab = {w: i for i, lang in enumerate(langs) for w in STOPWORDS[lang]}
-    lang_of = np.array(
-        [langs.index(lang) for lang in STOPWORDS for _ in STOPWORDS[lang]]
-    )
+    lang_index_of_word = {
+        w: i for i, lang in enumerate(langs) for w in STOPWORDS[lang]
+    }
     out = []
     lowered = texts.fillna("").str.lower().str.split()
     for toks in lowered:
         scores = np.zeros(len(langs), dtype=np.int64)
-        idx = [vocab[t] for t in toks if t in vocab]
+        idx = [lang_index_of_word[t] for t in toks if t in lang_index_of_word]
         if idx:
-            np.add.at(scores, lang_of[np.array(idx)], 1)
+            np.add.at(scores, np.array(idx), 1)
             out.append(langs[int(scores.argmax())])
         else:
             out.append("und")

@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference keeps rasters outside the metadata table and only admits
+their *statistics* (/root/reference/tacotoolbox/sample/extensions/
+geotiff_stats.py:87-127) plus format validators that inspect the bytes
+(sample/validators/tacotiff.py:60-130). Here the Spark-side plumbing —
+schema, partition-friendly layout, Arrow-batched UDF signatures — is real
+and tested; the actual codec decode is STUBBED (image/audio libs are not in
+this container): `decode_image` raises NotImplementedError unless PIL is
+importable, and `fake_decode_features` provides a deterministic stand-in so
+the pipeline shape is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, mean_byte double, std_byte double, "
+    "entropy double"
+)
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic opaque binary blobs, generated JVM-side (unhex of
+    repeated xxhash64 hex) — no Python in the generation path, scales with
+    spark.range."""
+    chunks = [
+        F.lpad(F.hex(F.xxhash64(F.lit(seed), F.col("id"), F.lit(k))), 16, "0")
+        for k in range(64)
+    ]
+    blob = F.unhex(F.concat(*chunks))  # 512-byte pseudo-random payload
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        blob.alias("media"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.lit(16).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(4).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched per-blob byte statistics via mapInPandas — the real
+    feature-extraction plumbing (batch shape: pandas DataFrame of binary
+    cells -> numpy). This is the pattern a real decoder plugs into."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                if blob is None:
+                    rows.append((mid, 0, np.nan, np.nan, np.nan))
+                    continue
+                a = np.frombuffer(blob, dtype=np.uint8)
+                counts = np.bincount(a, minlength=256)
+                p = counts[counts > 0] / a.size
+                rows.append(
+                    (
+                        mid,
+                        a.size,
+                        float(a.mean()),
+                        float(a.std()),
+                        float(-(p * np.log2(p)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "mean_byte", "std_byte", "entropy"],
+            )
+
+    return df.select("media_id", "media").mapInPandas(op, FEATURES_SCHEMA)
+
+
+def decode_image(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
+    """Decode + resize images to fixed-size float arrays. STUB: requires
+    PIL, which this container does not ship — the UDF signature, schema and
+    batching are the real contract."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow (not available in this "
+            "environment); use fake_decode_features() for pipeline tests"
+        ) from e
+
+    schema = f"media_id long, pixels array<float>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image as Image
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                img = Image.open(io.BytesIO(blob)).resize((out_width, out_height))
+                out.append((mid, np.asarray(img, dtype=np.float32).ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "pixels"])
+
+    return df.select("media_id", "media").mapInPandas(op, schema)
+
+
+def fake_decode_features(
+    df: DataFrame, dim: int = 16, seed: int = 42
+) -> DataFrame:
+    """Deterministic stand-in for decode+embed: derives a fixed-size float
+    vector from the blob bytes (hash-seeded). Same schema/batching as a real
+    decoder so downstream similarity/dedup operators are testable."""
+    schema = "media_id long, embedding array<float>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                a = np.frombuffer(blob or b"\x00", dtype=np.uint8).astype(np.float64)
+                k = int(np.ceil(dim * len(a) / max(len(a), 1)))
+                chunks = np.array_split(a, dim)
+                vec = np.array([c.mean() if c.size else 0.0 for c in chunks])
+                norm = np.linalg.norm(vec) or 1.0
+                out.append((mid, (vec / norm).astype(np.float32).tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "embedding"])
+
+    return df.select("media_id", "media").mapInPandas(op, schema)
+
+
+def frame_sample(df: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Video-style frame sampling over the opaque payload: split each blob
+    into fixed-size pseudo-frames and keep every n-th — pure JVM slicing
+    (substring on binary), exploded to one row per sampled frame."""
+    n_frames = F.floor(F.length("media") / frame_bytes).cast("int")
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i % every_n == 0,
+    )
+    return (
+        df.filter(F.length("media") >= frame_bytes)
+        .select("media_id", F.explode(idxs).alias("frame_idx"), "media")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.expr(f"substring(media, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+            .alias("frame"),
+        )
+    )

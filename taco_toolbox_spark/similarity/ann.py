@@ -91,7 +91,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 12,
-    probe_hamming: int = 2,
+    probe_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact re-rank to vectors whose

@@ -1,0 +1,98 @@
+import itertools
+
+import pytest
+
+from taco_toolbox_spark.dedup.exact import drop_exact_duplicates, exact_duplicate_groups
+from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
+from taco_toolbox_spark.dedup.ngram import jaccard_pairs, shingles
+from taco_toolbox_spark.dedup.simhash import simhash, simhash_near_duplicates
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = "the quick brown fox jumps over the lazy cat near the old river bank"
+    far = "completely different text about spark distributed query processing"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "  The QUICK brown fox jumps over the lazy dog near the old river bank "),
+        (3, near),  # near dup of 0
+        (4, far),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    # normalization (lowercase, collapsed whitespace) unifies 0, 1 and 2
+    assert len(groups) == 1
+    assert list(groups[0]["ids"]) == [0, 1, 2] and groups[0]["n_dups"] == 3
+    kept = drop_exact_duplicates(docs)
+    assert kept.count() == docs.count() - 2  # drops 1 and 2 (same fp as 0)
+
+
+def test_shingles_short_doc_excluded(docs):
+    sh = shingles(docs, "text", "doc_id", 3)
+    assert sh.filter("id = 5").count() == 0
+
+
+def test_jaccard_pairs_exact(docs, spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    pdf = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for a, b in itertools.combinations(sorted(pdf), 2):
+        j = _py_jaccard(pdf[a], pdf[b])
+        if j >= 0.2:
+            assert pairs[(a, b)] == pytest.approx(j), (a, b)
+        else:
+            assert (a, b) not in pairs
+
+
+def test_minhash_recall_vs_bruteforce(spark):
+    # 20 distinct base docs, each with a near-duplicate (one word swapped:
+    # pair jaccard ~0.8); cross-pairs share almost nothing
+    rows = []
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(12)]
+        rows.append((2 * i, " ".join(words)))
+        words[5] = "CHANGED"
+        rows.append((2 * i + 1, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert brute == {(2 * i, 2 * i + 1) for i in range(20)}
+    # bands=16 x rows=2: P(collide | j=0.5) = 1-(1-0.25)^16 ≈ 0.99
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert mh <= brute  # verification guarantees precision = 1
+    assert len(mh) / len(brute) >= 0.9  # high recall
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) in pairs  # near-dup within hamming 10

@@ -1,0 +1,139 @@
+import pyspark.sql.functions as F
+import pytest
+
+from taco_toolbox_spark.operators.distribution import (
+    categorical_distribution,
+    out_of_vocab,
+    top1_group,
+)
+from taco_toolbox_spark.operators.extents import (
+    spatial_extent,
+    temporal_extent,
+    union_extents,
+)
+from taco_toolbox_spark.operators.hierarchy import (
+    add_row_position,
+    completeness_violations,
+    isomorphism_violations,
+    parent_child_join,
+)
+from taco_toolbox_spark.operators.partitioning import assign_size_bins, consolidate
+from taco_toolbox_spark.operators.prune import prune_empty_columns
+from taco_toolbox_spark.operators.topk import global_topk, topk_per_group
+
+
+def test_spatial_extent_simple(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (20.0, 5.0), (-30.0, -2.0)], "lon double, lat double"
+    )
+    r = spatial_extent(df).first()
+    assert (r["west"], r["east"], r["south"], r["north"]) == (-30.0, 20.0, -2.0, 5.0)
+
+
+def test_spatial_extent_antimeridian(spark):
+    # points hugging the dateline: ±175 — the reference keeps the larger-span
+    # longitude sign group (taco/datamodel.py:520-560)
+    df = spark.createDataFrame(
+        [(179.0, 0.0), (178.0, 1.0), (-179.5, 2.0), (170.0, 3.0)],
+        "lon double, lat double",
+    )
+    r = spatial_extent(df).first()
+    assert (r["west"], r["east"]) == (170.0, 179.0)  # east group spans 9 > west 0
+
+
+def test_temporal_extent_and_union(spark):
+    df = spark.createDataFrame(
+        [("a", "2025-01-01 00:00:00", None), ("b", None, "2025-02-01 00:00:00")],
+        "g string, t1 string, t2 string",
+    ).select("g", F.to_timestamp("t1").alias("t1"), F.to_timestamp("t2").alias("t2"))
+    per = temporal_extent(df, ["t1", "t2"], ["g"])
+    glob = union_extents(per).first()
+    assert str(glob["time_start"]) == "2025-01-01 00:00:00"
+    assert str(glob["time_end"]) == "2025-02-01 00:00:00"
+
+
+def test_row_position_and_parent_child(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "parent_id int, v int"
+    )
+    parent = spark.createDataFrame([(1, "a"), (2, "b")], "current_id int, name string")
+    pos = add_row_position(child, ["v"], ["parent_id"], "pos")
+    assert {(r["parent_id"], r["v"], r["pos"]) for r in pos.collect()} == {
+        (1, 10, 0),
+        (1, 20, 1),
+        (2, 30, 0),
+    }
+    j = parent_child_join(child, parent, broadcast_parent=True)
+    assert j.count() == 3
+
+
+def test_completeness(spark):
+    have = spark.createDataFrame([(1,), (3,)], "id int")
+    need = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id int")
+    missing = completeness_violations(have, need, ["id"], sample=5)
+    assert [r["id"] for r in missing.collect()] == [2, 4]
+
+
+def test_isomorphism(spark):
+    # conv a,b contiguous identical structure; c deviates
+    rows = [("a", 0, "x"), ("a", 1, "y"), ("b", 0, "x"), ("b", 1, "y"), ("c", 0, "x"), ("c", 1, "z")]
+    df = spark.createDataFrame(rows, "g string, pos int, t string")
+    bad = isomorphism_violations(df, "g", ["t"], "pos")
+    assert [r["g"] for r in bad.collect()] == ["c"]
+
+
+def test_size_bins(spark):
+    df = spark.createDataFrame(
+        [(i, 40) for i in range(10)], "id int, sz int"
+    )
+    out = {r["id"]: r["bin_id"] for r in assign_size_bins(df, "sz", 100, ["id"]).collect()}
+    # cumsum-before: ids 0,1,2 -> bin 0 (0,40,80); 3,4 -> bin 1 (120,160); ...
+    assert out[0] == 0 and out[2] == 0 and out[3] == 1 and out[9] == 3
+
+
+def test_consolidate_strict_and_loose(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, "y")], "id long, a string")
+    c = spark.createDataFrame([(3, 1.5)], "id long, b double")
+    out = consolidate([a, b], source_names=["p0", "p1"])
+    assert {r["source_file"] for r in out.collect()} == {"p0", "p1"}
+    with pytest.raises(ValueError, match="schema mismatch"):
+        consolidate([a, c])
+    loose = consolidate([a, c], strict_schema=False)
+    assert set(loose.columns) == {"id", "a", "b", "source_file"}
+
+
+def test_prune_empty_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "", "keep"), (2, None, "None", "also")],
+        "id int, allnull string, empty string, good string",
+    )
+    pruned, dropped = prune_empty_columns(df, protect=("id",))
+    assert sorted(dropped) == ["allnull", "empty"]
+    assert set(pruned.columns) == {"id", "good"}
+
+
+def test_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "g string, v int"
+    )
+    top = global_topk(df, [F.col("v").desc()], 2, tiebreak=["g"]).collect()
+    assert [(r["g"], r["v"]) for r in top] == [("b", 9), ("a", 3)]
+    per = topk_per_group(df, ["g"], [F.col("v").desc()], 1)
+    assert {(r["g"], r["v"]) for r in per.collect()} == {("a", 3), ("b", 9)}
+
+
+def test_distribution_and_vocab(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "c string"
+    )
+    dist = {r["c"]: (r["n"], r["prob"]) for r in categorical_distribution(df, "c").collect()}
+    assert dist["x"] == (2, pytest.approx(2 / 3))
+    oov = out_of_vocab(df, "c", ["x"])
+    assert [(r["c"], r["n"]) for r in oov.collect()] == [("y", 1)]
+    top = top1_group(
+        spark.createDataFrame([("a", 1), ("b", 5), ("a", 2)], "g string, v int"),
+        "g",
+        "v",
+    ).first()
+    assert top["g"] == "b" and top["total"] == 5

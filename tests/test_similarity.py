@@ -1,0 +1,57 @@
+import numpy as np
+import pytest
+
+from taco_toolbox_spark.similarity.ann import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    vecs[50] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)  # near-dup
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _np_topk(vecs, q, k, exclude):
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-np.round(sims, 4), kind="stable") if i not in exclude]
+    return order[:k], sims
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, vecs = vectors
+    q = vecs[0].astype(np.float64)
+    got = brute_force_topk(df.filter("vec_id <> 0"), q.tolist(), k=5).collect()
+    want_ids, sims = _np_topk(vecs.astype(np.float64), q, 5, {0})
+    assert [r["vec_id"] for r in got] == list(want_ids)
+    for r in got:
+        assert r["cos"] == pytest.approx(sims[r["vec_id"]], abs=1e-4)
+    assert got[0]["vec_id"] == 50  # the planted near-duplicate wins
+
+
+def test_lsh_topk_recall(vectors):
+    # LSH's contract: HIGH-similarity items collide w.h.p.; low-similarity
+    # "neighbors" of random gaussians (cos ~0.3) may not. The planted
+    # near-duplicate must always survive bucketing.
+    df, vecs = vectors
+    q = vecs[0].astype(np.float64).tolist()
+    brute = {r["vec_id"] for r in brute_force_topk(df.filter("vec_id <> 0"), q, 10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(df.filter("vec_id <> 0"), q, 10).collect()}
+    assert 50 in approx  # the true near-dup must survive bucketing
+    assert len(brute & approx) >= 2
+
+
+def test_embedding_near_duplicates(vectors):
+    df, _ = vectors
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_duplicates(df, threshold=0.99).collect()
+    }
+    assert (0, 50) in pairs and pairs[(0, 50)] >= 0.99
+    assert all(k == (0, 50) for k in pairs)
