@@ -271,11 +271,15 @@ def generate_transcripts(
 
 def write_corpus(corpus: TranscriptCorpus, out_dir: str) -> None:
     """Materialize the corpus partitioned by ``part`` (the verdict
-    granularity; on Iceberg this would be days(ts) partitioning)."""
-    corpus.corrupted.write.mode("overwrite").partitionBy("part").parquet(
-        f"{out_dir}/transcripts"
-    )
-    corpus.clean.write.mode("overwrite").partitionBy("part").parquet(
-        f"{out_dir}/transcripts_baseline"
-    )
+    granularity; on Iceberg this would be days(ts) partitioning).
+
+    Repartition by part first so each partition directory holds ONE file
+    instead of one per task (90 parts x 32 tasks of tiny files murders scan
+    parallelism with listing + task overhead — the small-file problem)."""
+    corpus.corrupted.repartition("part").write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(f"{out_dir}/transcripts")
+    corpus.clean.repartition("part").write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(f"{out_dir}/transcripts_baseline")
     corpus.manifest.write.mode("overwrite").parquet(f"{out_dir}/violation_manifest")

@@ -26,23 +26,28 @@ def simhash(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    # per-bit contribution: +1 if bit set else -1
+    # per-bit contribution: +1 if bit set else -1, branch-free
+    # (2*bit - 1 instead of CASE WHEN: 64 CASE branches blow up the
+    # whole-stage-codegen method size and fall back to interpreted)
     sums = tok.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"b{b}")
             for b in range(bits)
         ]
     )
-    fp = None
-    for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return sums.select("id", fp.alias("simhash"))
+    # balanced XOR reduction: a depth-64 chain makes Catalyst analysis and
+    # codegen quadratic (20s one-time cost); a log-depth tree is instant
+    terms = [
+        F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b) for b in range(bits)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseXOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return sums.select("id", terms[0].alias("simhash"))
 
 
 def hamming(a, b) -> F.Column:
@@ -57,7 +62,9 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash) ≤ max_hamming, found via
     16-bit-chunk blocking (no cross join)."""
-    sh = simhash(df, text_col, id_col)
+    # persist: both sides of the blocking self-join consume the signatures,
+    # and the 64-way aggregation is the expensive part of the plan
+    sh = simhash(df, text_col, id_col).persist()
     chunks = sh.select(
         "id",
         "simhash",
