@@ -40,7 +40,11 @@ def run_at(cpus: int, turns: int) -> dict:
 
 def main() -> None:
     turns = int(os.environ.get("BENCH_TURNS", "2000000"))
-    n_small, n_large = 8, 32
+    # N vs 4N. On a shared box, leave headroom: if co-tenant load already
+    # eats ~25% of the cores, local[32] cannot get 32 clean threads and the
+    # measured efficiency is an artifact of contention, not the plan.
+    n_small = int(os.environ.get("BENCH_N_SMALL", "8"))
+    n_large = int(os.environ.get("BENCH_N_LARGE", str(4 * n_small)))
 
     r_small = run_at(n_small, turns)
     r_large = run_at(n_large, turns)

@@ -89,6 +89,14 @@ def _viol(cfg: EngineConfig, df: DataFrame, check_id, detail, conv=None, turn=No
 
 
 def _row_pass(df: DataFrame, checks: list[RowCheck], cfg: EngineConfig) -> DataFrame:
+    # two-step: a cheap codegen'd boolean OR-chain filters down to the
+    # violating sliver (~0.1% of rows) BEFORE any struct/array allocation or
+    # detail formatting — the allocation-heavy projection never touches
+    # passing rows. The boolean filter also pushes partially into the scan.
+    any_fail = F.lit(False)
+    for c in checks:
+        any_fail = any_fail | ~c.holds()
+    sliver = df.filter(any_fail)
     structs = [
         F.when(
             ~c.holds(),
@@ -98,7 +106,7 @@ def _row_pass(df: DataFrame, checks: list[RowCheck], cfg: EngineConfig) -> DataF
         )
         for c in checks
     ]
-    fails = df.select(
+    fails = sliver.select(
         F.col(cfg.partition_col).cast("string").alias("part"),
         F.col(cfg.group_col).cast("string").alias("conv_id"),
         F.col(cfg.order_col).cast("int").alias("turn_idx"),
