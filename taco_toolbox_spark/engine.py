@@ -199,12 +199,27 @@ def _group_agg_pass(
     group_checks: list[GroupAggCheck],
     cfg: EngineConfig,
 ) -> DataFrame:
-    """Contiguity + generic group-agg checks share one aggregation."""
+    """Contiguity + generic group-agg checks share one aggregation.
+
+    Distinct counts ride the group-key window sort instead of a
+    countDistinct expand: after sorting by the idx within the group, the
+    number of rows where idx != lag(idx) (+1 for the first row) IS the
+    distinct count — and the window exchange is byte-identical to the
+    monotone/uniqueness passes' exchange, so Spark's ReusedExchange makes
+    all window-keyed passes pay for ONE shuffle of the input."""
     aggs: list = []
     structs: list = []
+    for idx_col in sorted({c.idx_col for c in contig}):
+        prev = F.lag(idx_col).over(
+            Window.partitionBy(cfg.group_col).orderBy(idx_col)
+        )
+        df = df.withColumn(
+            f"_is_new_{idx_col}",
+            (prev.isNull() | (F.col(idx_col) != prev)).cast("int"),
+        )
     for c in contig:
         n = F.count(F.lit(1)).alias(f"_{c.check_id}_n")
-        nd = F.countDistinct(F.col(c.idx_col)).alias(f"_{c.check_id}_nd")
+        nd = F.sum(f"_is_new_{c.idx_col}").alias(f"_{c.check_id}_nd")
         mn = F.min(c.idx_col).alias(f"_{c.check_id}_mn")
         mx = F.max(c.idx_col).alias(f"_{c.check_id}_mx")
         aggs += [n, nd, mn, mx]
