@@ -100,6 +100,8 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     )
 
     checks = transcript_checks(reference=ref, drift_baseline=baseline_q)
+    from taco_toolbox_spark.stats import column_stats
+
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     best = None
     for _ in range(max(1, repeats)):
@@ -109,6 +111,8 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
         verd = res.verdicts.agg(
             F.sum(F.when(~F.col("passed"), 1).otherwise(0))
         ).first()[0]
+        # the north-star suite includes the single-pass column stats profile
+        column_stats(df).write.format("noop").mode("overwrite").save()
         sec = time.time() - t0
         res.violations.unpersist()
         if best is None or sec < best:

@@ -1,0 +1,109 @@
+"""spark-submit entry point for the validation engine.
+
+    spark-submit --py-files taco_toolbox_spark.zip jobs/validate.py \
+        --input  /data/transcripts \
+        --baseline /data/transcripts_baseline \
+        --output /runs/2026-08-16 \
+        --manifest /runs/2026-08-16/manifest.json \
+        [--resume] [--partition-col part]
+
+Reads the transcript table, runs the full check battery (stats + constraints
++ drift vs baseline + per-turn text equality), writes:
+    <output>/verdicts/     (part, check_id, passed, n_violations)
+    <output>/violations/   (part, check_id, conv_id, turn_idx, detail)
+    <output>/stats/        per-partition column profile
+    <manifest>             per-partition lineage + metrics (resume point)
+
+With --resume, partitions already marked done in the manifest are pruned at
+the scan and only the remainder is validated (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--baseline", help="clean reference table for drift + text equality")
+    p.add_argument("--output", required=True)
+    p.add_argument("--manifest", help="checkpoint manifest path (default <output>/manifest.json)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--partition-col", default="part")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args(argv)
+    manifest_path = args.manifest or os.path.join(args.output, "manifest.json")
+    run_id = args.run_id or f"run_{int(time.time())}"
+
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.checkpoint import CheckpointManifest
+    from taco_toolbox_spark.checks import transcript_checks
+    from taco_toolbox_spark.engine import EngineConfig, run_validation
+    from taco_toolbox_spark.session import get_spark
+    from taco_toolbox_spark.stats import column_stats
+
+    spark = get_spark("validate")
+    df = spark.read.parquet(args.input)
+    ref = spark.read.parquet(args.baseline) if args.baseline else None
+    cfg = EngineConfig(partition_col=args.partition_col, persist_violations=True)
+
+    manifest = CheckpointManifest.load_or_create(manifest_path, run_id, args.input)
+    if args.resume:
+        df = manifest.pending_filter(df, cfg.partition_col)
+    if df.select(cfg.partition_col).limit(1).count() == 0:
+        print("nothing pending — all partitions already validated")
+        spark.stop()
+        return 0
+
+    checks = transcript_checks(reference=ref) if ref is not None else [
+        c for c in transcript_checks()
+        if c.check_id not in ("text_len_drift", "text_equality")
+    ]
+    t0 = time.time()
+    res = run_validation(df, checks, cfg, baseline=ref)
+    res.verdicts.write.mode("append").parquet(os.path.join(args.output, "verdicts"))
+    res.violations.write.mode("append").parquet(os.path.join(args.output, "violations"))
+    column_stats(df, cfg.partition_col).write.mode("append").parquet(
+        os.path.join(args.output, "stats")
+    )
+
+    verdict_rows = res.verdicts.collect()
+    by_part: dict[str, dict[str, int]] = {}
+    for r in verdict_rows:
+        by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
+    counts = {
+        r["p"]: r["n"]
+        for r in df.groupBy(F.col(cfg.partition_col).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    elapsed = time.time() - t0
+    total_rows = sum(counts.values())
+    for part, verdicts in by_part.items():
+        manifest.record_partition(
+            part,
+            verdicts,
+            n_rows=counts.get(part),
+            metrics={"run_sec": round(elapsed, 2)},
+        )
+    manifest.save()
+    n_failed = sum(1 for r in verdict_rows if not r["passed"])
+    print(
+        f"validated {total_rows:,} rows in {elapsed:.1f}s "
+        f"({total_rows / max(elapsed, 1e-9):,.0f} rows/sec); "
+        f"{n_failed} failing (partition, check) cells; "
+        f"manifest: {manifest_path}"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
