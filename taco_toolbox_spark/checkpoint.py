@@ -105,6 +105,58 @@ class CheckpointManifest:
         os.replace(tmp, self.path)  # atomic commit, like the header patch
 
 
+def record_sketch_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    value_expr: str,
+    partition_col: str = "part",
+    n_centroids: int = 128,
+) -> None:
+    """Persist per-partition t-digest centroid state into the manifest
+    (north_star: checkpoint records "sketch state"). Sketches are mergeable,
+    so a later run can (a) compare new partitions against stored baselines
+    and (b) merge stored partials into a global distribution without
+    rescanning finished partitions."""
+    from .checks.drift import sketch_by_partition
+
+    rows = sketch_by_partition(
+        df, value_expr, partition_col, n_centroids
+    ).collect()
+    for r in rows:
+        rec = manifest.doc["partitions"].setdefault(r["part"], {})
+        rec.setdefault("sketch", {})[value_expr] = {
+            "means": [round(float(m), 6) for m in r["means"]],
+            "weights": [float(w) for w in r["weights"]],
+            "n": int(r["n"]),
+            "vmin": float(r["vmin"]),
+            "vmax": float(r["vmax"]),
+        }
+
+
+def merged_quantiles_from_manifest(
+    manifest: CheckpointManifest,
+    value_expr: str,
+    probes,
+    n_centroids: int = 128,
+) -> list[float]:
+    """Merge all stored per-partition sketches into global quantiles —
+    the partial→final pattern across *runs*, no data rescan."""
+    import numpy as np
+
+    from .checks.drift import merge_centroids, quantiles_from_centroids
+
+    means_list, weights_list = [], []
+    for rec in manifest.doc["partitions"].values():
+        sk = rec.get("sketch", {}).get(value_expr)
+        if sk:
+            means_list.append(np.asarray(sk["means"]))
+            weights_list.append(np.asarray(sk["weights"]))
+    if not means_list:
+        return [float("nan")] * len(probes)
+    means, weights = merge_centroids(means_list, weights_list, n_centroids)
+    return quantiles_from_centroids(means, weights, probes).tolist()
+
+
 def run_resumable(
     df: DataFrame,
     checks,

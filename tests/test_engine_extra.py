@@ -1,0 +1,42 @@
+"""GroupAggCheck + t-digest drift method through the engine."""
+
+import pyspark.sql.functions as F
+
+from taco_toolbox_spark.checks.base import DriftCheck, GroupAggCheck
+from taco_toolbox_spark.engine import EngineConfig, run_validation
+
+
+def test_group_agg_check(corpus, corrupted_pdf):
+    # invariant: every conversation must have at most 500 turns and at
+    # least one 'system' turn at idx 0
+    check = GroupAggCheck(
+        check_id="has_system_start",
+        description="first turn is role=system",
+        aggs=[
+            F.sum(
+                ((F.col("turn_idx") == 0) & (F.col("role") == "system")).cast("int")
+            ).alias("_n_sys0")
+        ],
+        predicate=F.col("_n_sys0") >= 1,
+        detail=F.format_string("system-start turns: %s", F.col("_n_sys0")),
+    )
+    res = run_validation(corpus.corrupted, [check], EngineConfig())
+    got = {r["conv_id"] for r in res.violations.collect()}
+    g = corrupted_pdf.groupby("conv_id").apply(
+        lambda p: ((p.turn_idx == 0) & (p.role == "system")).sum() >= 1,
+        include_groups=False,
+    )
+    want = set(g[~g].index)
+    assert got == want and len(want) > 0  # bad_role at idx 0 breaks some
+
+
+def test_tdigest_drift_method(corpus):
+    check = DriftCheck(
+        check_id="len_drift_td",
+        value_expr="length(text)",
+        method="tdigest",
+        threshold=0.25,
+    )
+    res = run_validation(corpus.corrupted, [check], baseline=corpus.clean)
+    flagged = {r["part"] for r in res.violations.collect()}
+    assert flagged == set(corpus.drifted_parts)
