@@ -50,6 +50,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm the JVM/codegen/scan paths so the first timed query isn't
+    # charged for session startup
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
