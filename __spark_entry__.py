@@ -356,6 +356,44 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_w4_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumsum per user (the idiomatic
+    window realization of per-group sequence segmentation)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet — cast via timestamp (session UTC)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+
+
+def q_a7_extent_union(spark, sf_dir):
+    """A7 partial→final extent merge: per-type extents unioned globally."""
+    from taco_toolbox_spark.operators.extents import temporal_extent, union_extents
+
+    per = temporal_extent(_t(spark, sf_dir, "events"), ["ts"], ["event_type"])
+    return union_extents(per)
+
+
+def q_pivot_by_day(spark, sf_dir):
+    """Pivot via conditional aggregation: per-day counts of each event type."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy(day).agg(*aggs)
+
+
 def q_engine_verdicts(spark, sf_dir):
     """The full transcript validation battery on a deterministic synthetic
     corpus (the engine's flagship; no SQL oracle — exactness is pytest's
@@ -406,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_distribution": q_text_lang_distribution,
         "lang_id": q_lang_id,
+        "w4_sessionize": q_w4_sessionize,
+        "a7_extent_union": q_a7_extent_union,
+        "pivot_by_day": q_pivot_by_day,
         "engine_verdicts": q_engine_verdicts,
     }
 
@@ -586,5 +627,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    count(*)::DOUBLE / sum(count(*)) OVER () AS prob
             FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "w4_sessionize": """
+            SELECT event_id, user_id,
+                   sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          ) > 1800 THEN 1 ELSE 0 END AS gap
+              FROM events)
+        """,
+        "a7_extent_union": """
+            SELECT min(time_start) AS time_start, max(time_end) AS time_end
+            FROM (SELECT event_type, min(ts) AS time_start, max(ts) AS time_end
+                  FROM events GROUP BY 1)
+        """,
+        "pivot_by_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY 1
         """,
     }

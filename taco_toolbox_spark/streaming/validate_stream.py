@@ -64,6 +64,88 @@ def windowed_verdicts(
     )
 
 
+def ordering_violations_stateful(
+    stream_df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    check_id: str = "ts_monotone",
+) -> DataFrame:
+    """Per-conversation monotone-ts check on a STREAM via
+    applyInPandasWithState: state carries (max_turn, max_ts) per
+    conversation so regressions are caught across micro-batches. Within a
+    batch the comparison is vectorized (pandas shift); only the boundary
+    row compares against state — no per-row Python loop."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} string, {order_col} int, {ts_col} timestamp, "
+        "check_id string, detail string"
+    )
+    state_schema = "max_turn int, max_ts timestamp"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (conv,) = key
+        if state.exists:
+            max_turn, max_ts = state.get
+        else:
+            max_turn, max_ts = None, None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            prev_ts = pdf[ts_col].shift()
+            if max_ts is not None and len(pdf):
+                prev_ts.iloc[0] = max_ts
+            bad = prev_ts > pdf[ts_col]
+            if bad.any():
+                v = pdf[bad]
+                yield pd.DataFrame(
+                    {
+                        group_col: v[group_col],
+                        order_col: v[order_col],
+                        ts_col: v[ts_col],
+                        "check_id": check_id,
+                        "detail": "ts regression (stateful)",
+                    }
+                )
+            if len(pdf):
+                mt = int(pdf[order_col].max())
+                max_turn = mt if max_turn is None else max(max_turn, mt)
+                ts_max = pdf[ts_col].max()
+                max_ts = ts_max if max_ts is None else max(max_ts, ts_max)
+        state.update((max_turn, max_ts))
+
+    return (
+        stream_df.select(group_col, order_col, ts_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_ordering_smoke(
+    spark, parquet_dir: str, query_name: str = "stream_ordering"
+):
+    """Drive the stateful ordering check over a bounded parquet dir."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(parquet_dir)
+    )
+    out = ordering_violations_stateful(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_memory_smoke(
     spark,
     parquet_dir: str,

@@ -27,3 +27,22 @@ def test_stream_matches_batch(tmp_path, corpus, corrupted_pdf):
         assert got.get(check_id, 0) == want, check_id
     # windowed: every row fits a window; window bounds are 1h-aligned
     assert (out.window_end > out.window_start).all()
+
+
+def test_stateful_ordering_matches_batch(tmp_path, corpus, corrupted_pdf):
+    """The stateful stream check must find exactly the batch lag-window
+    regressions (each conversation lives in one part file here, so
+    micro-batch boundaries don't split conversations)."""
+    from taco_toolbox_spark.streaming.validate_stream import run_ordering_smoke
+
+    path = str(tmp_path / "ord_in")
+    corpus.corrupted.write.mode("overwrite").parquet(path)
+
+    out = run_ordering_smoke(corpus.corrupted.sparkSession, path).toPandas()
+    got = set(zip(out.conv_id, out.turn_idx))
+
+    s = corrupted_pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    prev = s.groupby("conv_id")["ts"].shift()
+    bad = s[prev > s["ts"]]
+    want = set(zip(bad.conv_id, bad.turn_idx))
+    assert got == want and len(want) > 0
