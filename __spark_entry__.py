@@ -394,6 +394,25 @@ def q_pivot_by_day(spark, sf_dir):
     return ev.groupBy(day).agg(*aggs)
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation (hot-key skew handling): must equal a
+    plain GROUP BY — the DuckDB oracle is that plain GROUP BY."""
+    from taco_toolbox_spark.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "min_ts": (F.min("ts"), F.min("min_ts")),
+            "max_ts": (F.max("ts"), F.max("max_ts")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        buckets=16,
+    )
+
+
 def q_engine_verdicts(spark, sf_dir):
     """The full transcript validation battery on a deterministic synthetic
     corpus (the engine's flagship; no SQL oracle — exactness is pytest's
@@ -447,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_sessionize": q_w4_sessionize,
         "a7_extent_union": q_a7_extent_union,
         "pivot_by_day": q_pivot_by_day,
+        "skew_salted_agg": q_skew_salted_agg,
         "engine_verdicts": q_engine_verdicts,
     }
 
@@ -652,6 +672,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
                    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY 1
+        """,
+        "skew_salted_agg": """
+            SELECT user_id, count(*) AS n, min(ts) AS min_ts,
+                   max(ts) AS max_ts, max(value) AS max_value
             FROM events GROUP BY 1
         """,
     }

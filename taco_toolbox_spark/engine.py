@@ -70,6 +70,11 @@ class EngineConfig:
     #: key shows up as order == lag(order), so only flagged rows are
     #: aggregated — avoids shuffling every row by the full key.
     uniqueness_via_window: bool = True
+    #: when set, window passes partition by (group, floor(order/chunk)) so a
+    #: pathologically hot conversation (10^7+ turns) never lands on one
+    #: task; chunk-boundary rows are reconciled with a tiny join of
+    #: per-chunk first/last values. None = plain per-group windows.
+    window_chunk_size: int | None = None
 
 
 @dataclass
@@ -150,6 +155,107 @@ def _window_pass(
     return fails.select(
         "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
     ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
+def _window_pass_chunked(
+    df: DataFrame, checks: list[MonotoneCheck], cfg: EngineConfig
+) -> DataFrame:
+    """Skew-proof monotone pass: windows over (group, order-chunk) bound
+    every task to ≤ chunk_size rows even for a single enormous
+    conversation; cross-chunk regressions are caught by joining each
+    chunk's last value with the next chunk's first value (a join over
+    n_chunks rows — negligible)."""
+    chunk = cfg.window_chunk_size
+    dfc = df.withColumn("_chunk", F.floor(F.col(cfg.order_col) / chunk))
+    w = Window.partitionBy(cfg.group_col, "_chunk").orderBy(cfg.order_col)
+
+    structs = []
+    for c in checks:
+        prev = F.lag(F.col(c.value_col)).over(w)
+        bad = prev > F.col(c.value_col) if not c.strict else prev >= F.col(c.value_col)
+        structs.append(
+            F.when(
+                F.coalesce(bad, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"{c.value_col} regression: %s -> %s",
+                        prev.cast("string"),
+                        F.col(c.value_col).cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    in_chunk = (
+        dfc.select(
+            F.col(cfg.partition_col).cast("string").alias("part"),
+            F.col(cfg.group_col).cast("string").alias("conv_id"),
+            F.col(cfg.order_col).cast("int").alias("turn_idx"),
+            F.array_compact(F.array(*structs)).alias("fails"),
+        )
+        .filter(F.size("fails") > 0)
+        .select("part", F.explode("fails").alias("f"), "conv_id", "turn_idx")
+        .select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+    )
+
+    # boundary reconciliation: per chunk, first/last value of each checked
+    # column; compare chunk c's last against chunk c+1's first
+    aggs = [
+        F.min(F.col(cfg.partition_col).cast("string")).alias("part"),
+        F.min(F.struct(cfg.order_col)).alias("_first_key"),
+    ]
+    for c in checks:
+        aggs += [
+            F.min_by(F.col(c.value_col), F.col(cfg.order_col)).alias(f"_first_{c.check_id}"),
+            F.max_by(F.col(c.value_col), F.col(cfg.order_col)).alias(f"_last_{c.check_id}"),
+        ]
+    per_chunk = dfc.groupBy(cfg.group_col, "_chunk").agg(*aggs)
+    # chunks may be sparse (a gap-shifted row sits alone in a far chunk):
+    # pair consecutive OCCUPIED chunks by rank, not by chunk id arithmetic.
+    # per_chunk is tiny (one row per occupied chunk), so this window is free.
+    rk = Window.partitionBy(cfg.group_col).orderBy("_chunk")
+    per_chunk = per_chunk.withColumn("_rk", F.row_number().over(rk))
+    nxt = per_chunk.select(
+        F.col(cfg.group_col).alias("_g"),
+        (F.col("_rk") - 1).alias("_rk"),
+        F.col("part").alias("_next_part"),
+        F.col("_first_key").alias("_next_first_key"),
+        *[F.col(f"_first_{c.check_id}").alias(f"_next_first_{c.check_id}") for c in checks],
+    )
+    joined = per_chunk.join(
+        nxt,
+        (per_chunk[cfg.group_col] == nxt["_g"]) & (per_chunk["_rk"] == nxt["_rk"]),
+        "inner",
+    )
+    bstructs = []
+    for c in checks:
+        last, nfirst = F.col(f"_last_{c.check_id}"), F.col(f"_next_first_{c.check_id}")
+        bad = last > nfirst if not c.strict else last >= nfirst
+        bstructs.append(
+            F.when(
+                F.coalesce(bad, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"{c.value_col} regression: %s -> %s",
+                        last.cast("string"),
+                        nfirst.cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    boundary = (
+        joined.select(
+            F.col("_next_part").alias("part"),
+            F.col(cfg.group_col).cast("string").alias("conv_id"),
+            F.col("_next_first_key")[cfg.order_col].cast("int").alias("turn_idx"),
+            F.array_compact(F.array(*bstructs)).alias("fails"),
+        )
+        .filter(F.size("fails") > 0)
+        .select("part", F.explode("fails").alias("f"), "conv_id", "turn_idx")
+        .select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+    )
+    return in_chunk.unionAll(boundary)
 
 
 def _uniqueness_pass(
@@ -301,10 +407,17 @@ def run_validation(
     if row_checks:
         pieces.append(_row_pass(df, row_checks, cfg))
     if mono_checks:
-        pieces.append(_window_pass(df, mono_checks, cfg))
+        if cfg.window_chunk_size:
+            pieces.append(_window_pass_chunked(df, mono_checks, cfg))
+        else:
+            pieces.append(_window_pass(df, mono_checks, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
-        if cfg.uniqueness_via_window and keys == (cfg.group_col, cfg.order_col):
+        if (
+            cfg.uniqueness_via_window
+            and not cfg.window_chunk_size  # chunked windows can't see dups across chunks
+            and keys == (cfg.group_col, cfg.order_col)
+        ):
             pieces.append(_uniqueness_via_window(df, c, cfg))
         else:
             pieces.append(_uniqueness_pass(df, c, cfg))

@@ -40,3 +40,25 @@ def test_tdigest_drift_method(corpus):
     res = run_validation(corpus.corrupted, [check], baseline=corpus.clean)
     flagged = {r["part"] for r in res.violations.collect()}
     assert flagged == set(corpus.drifted_parts)
+
+
+def test_chunked_window_equals_plain(corpus):
+    """Skew-proof chunked windows must produce exactly the plain window
+    pass's violations (chunk=4 forces many boundaries on this corpus)."""
+    from taco_toolbox_spark.checks import transcript_checks
+    from taco_toolbox_spark.checks.base import MonotoneCheck, UniquenessCheck
+
+    checks = [
+        c
+        for c in transcript_checks()
+        if isinstance(c, (MonotoneCheck, UniquenessCheck))
+    ]
+    plain = run_validation(corpus.corrupted, checks, EngineConfig())
+    chunked = run_validation(
+        corpus.corrupted, checks, EngineConfig(window_chunk_size=4)
+    )
+    key = lambda df: {
+        (r["check_id"], r["conv_id"], r["turn_idx"])
+        for r in df.violations.collect()
+    }
+    assert key(chunked) == key(plain)
