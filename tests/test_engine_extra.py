@@ -62,3 +62,27 @@ def test_chunked_window_equals_plain(corpus):
         for r in df.violations.collect()
     }
     assert key(chunked) == key(plain)
+
+
+def test_report_and_assert(corpus):
+    from taco_toolbox_spark.checks import transcript_checks
+    from taco_toolbox_spark.report import (
+        TacoValidationError,
+        assert_valid,
+        render_report,
+    )
+
+    checks = [c for c in transcript_checks() if c.check_id == "role_vocab"]
+    res = run_validation(corpus.corrupted, checks, EngineConfig())
+    rep = render_report(res, max_examples=3)
+    assert rep.startswith("validation: FAIL")
+    assert "role_vocab" in rep and "narrator" in rep
+    try:
+        assert_valid(res)
+        raise AssertionError("expected TacoValidationError")
+    except TacoValidationError:
+        pass
+
+    clean_res = run_validation(corpus.clean, checks, EngineConfig())
+    assert render_report(clean_res).startswith("validation: PASS")
+    assert_valid(clean_res)  # no raise
