@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram import jaccard_pairs, shingles
+from .ngram import pairs_from_shingles, shingles
 
 
 def minhash_signatures(
@@ -87,16 +87,22 @@ def minhash_near_duplicates(
     """LSH-candidate generation + exact-Jaccard verification on candidates
     only. Columns: id_a, id_b, jaccard (≥ threshold)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # one shingle computation feeds BOTH signature minima and jaccard
+    # verification (persisted — it's the expensive explode)
+    sh = shingles(df, text_col, id_col, n).persist()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    # verify with exact jaccard restricted to candidate pairs (semi-join
-    # prunes the shingle join to candidate ids)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select("id_b"))
         .distinct()
-        .withColumnRenamed("id", id_col)
     )
-    subset = df.join(cand_ids, id_col, "left_semi")
-    exact = jaccard_pairs(subset, text_col, id_col, n, threshold)
+    sh_subset = sh.join(cand_ids, "id", "left_semi")
+    exact = pairs_from_shingles(sh_subset, threshold)
     return exact.join(cand, ["id_a", "id_b"], "left_semi")

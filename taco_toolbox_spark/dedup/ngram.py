@@ -43,6 +43,16 @@ def jaccard_pairs(
     """Near-duplicate pairs (id_a < id_b) with exact n-gram Jaccard ≥
     threshold. Columns: id_a, id_b, jaccard."""
     sh = shingles(df, text_col, id_col, n)
+    return pairs_from_shingles(sh, threshold, max_shingle_freq)
+
+
+def pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Jaccard pairs from a prebuilt (id, shingle) frame — lets callers
+    (MinHash verification) reuse one persisted shingle computation."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
