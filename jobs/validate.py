@@ -54,8 +54,20 @@ def main(argv: list[str] | None = None) -> int:
     ref = spark.read.parquet(args.baseline) if args.baseline else None
     cfg = EngineConfig(partition_col=args.partition_col, persist_violations=True)
 
-    manifest = CheckpointManifest.load_or_create(manifest_path, run_id, args.input)
+    from taco_toolbox_spark.sources.catalog import snapshot_id as snap
+
+    current_snapshot = snap(spark, args.input)
+    manifest = CheckpointManifest.load_or_create(
+        manifest_path, run_id, args.input, snapshot_id=current_snapshot
+    )
     if args.resume:
+        pinned = manifest.doc.get("snapshot_id")
+        if pinned and pinned != current_snapshot:
+            raise SystemExit(
+                f"refusing to resume: input data version changed "
+                f"(manifest pinned {pinned}, current {current_snapshot}); "
+                "start a fresh run"
+            )
         df = manifest.pending_filter(df, cfg.partition_col)
     if df.select(cfg.partition_col).limit(1).count() == 0:
         print("nothing pending — all partitions already validated")

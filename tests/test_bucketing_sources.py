@@ -1,0 +1,51 @@
+import os
+
+import pytest
+
+from taco_toolbox_spark.operators.bucketing import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+from taco_toolbox_spark.sources.catalog import load_table, snapshot_id
+
+
+def test_bucketed_join_no_shuffle(spark, corpus, tmp_path):
+    # default warehouse dir (spark-warehouse/, gitignored): the conf is
+    # static and can't be changed on a live session
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    write_bucketed(
+        corpus.corrupted.select("conv_id", "turn_idx", "text"),
+        "t_bucketed_a",
+        ["conv_id"],
+        n_buckets=8,
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    write_bucketed(
+        corpus.clean.select("conv_id", "turn_idx", "text"),
+        "t_bucketed_b",
+        ["conv_id"],
+        n_buckets=8,
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    joined, no_shuffle = bucketed_join_is_shuffle_free(
+        spark, "t_bucketed_a", "t_bucketed_b", ["conv_id"]
+    )
+    assert no_shuffle, "bucketed join should not exchange"
+    assert joined.count() > 0
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_load_table_and_snapshot(spark, corpus, tmp_path):
+    path = str(tmp_path / "snap")
+    corpus.clean.limit(50).write.mode("overwrite").parquet(path)
+    df = load_table(spark, path)
+    assert df.count() == 50
+    s1 = snapshot_id(spark, path)
+    s2 = snapshot_id(spark, path)
+    assert s1 == s2 and len(s1) == 16
+    corpus.clean.limit(60).write.mode("overwrite").parquet(path)
+    assert snapshot_id(spark, path) != s1  # data version changed
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        load_table(spark, "iceberg:db.tbl")
