@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash",
     "sim_topk",
     "text_stats",
+    "w4_sessionize",
+    "skew_salted_agg",
 ]
 
 
