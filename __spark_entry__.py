@@ -652,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS session_id
+                                  AND CURRENT ROW)::BIGINT AS session_id
             FROM (
               SELECT event_id, user_id, ts,
                      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
@@ -667,11 +667,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_by_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
             FROM events GROUP BY 1
         """,
         "skew_salted_agg": """

@@ -47,6 +47,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if sc != oc:
         problems.append(f"columns {sc} vs {oc}")
         return problems
+    # The driver hashes raw pandas values WITHOUT dtype coercion: a DuckDB
+    # HUGEINT sum arrives as float64/object while Spark gives int64, and the
+    # exact hash fails even when every value is equal. Flag kind mismatches.
+    for c in sc:
+        ks, ko = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if ks != ko:
+            problems.append(
+                f"col {c}: dtype kind {spark_pdf[c].dtype} vs "
+                f"{oracle_pdf[c].dtype} (driver hash would fail — add casts)"
+            )
     a, b = canon(spark_pdf), canon(oracle_pdf)
     if len(a) == len(b):
         for c in a.columns:
