@@ -8,10 +8,52 @@ multi-partition consolidation with schema checks (tacocat.py:49-111).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import align_union, compare_schema
+
+_NUMERIC_KINDS = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.DateType,
+    T.TimestampType,
+)
+
+
+def _monotone_bucket(
+    df: DataFrame, first_order_col: str, n_buckets: int
+) -> Column:
+    """A deterministic, order-monotone coarse bucket over the first order
+    column: every row in bucket b sorts before every row in bucket b+1 (rows
+    with equal key values always share a bucket). Numeric/temporal columns
+    get approx-quantile boundaries (one cheap aggregate pass, deterministic
+    for a given input); strings get a fixed-length prefix. Used to turn a
+    global ordered prefix sum into per-bucket windows + a tiny offset table,
+    so no stage ever funnels the whole table through one task."""
+    dtype = df.schema[first_order_col].dataType
+    c = F.col(first_order_col)
+    if isinstance(dtype, _NUMERIC_KINDS):
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        num = c.cast("double")
+        qdf = df.select(
+            F.percentile_approx(num, probs, 10_000).alias("q")
+        ).first()
+        bounds = sorted(set(qdf["q"] or []))
+        if not bounds:
+            return F.lit(0)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket = number of boundaries strictly below this value; NULL keys
+        # (sorted first by Spark) fall into bucket 0
+        return F.size(F.filter(arr, lambda b: num > b))
+    # strings: a prefix is order-monotone (s1 < s2 => prefix(s1) <= prefix(s2))
+    return F.substring(c.cast("string"), 1, 8)
 
 
 def assign_size_bins(
@@ -20,17 +62,137 @@ def assign_size_bins(
     max_bin_size: int,
     order_cols: list[str],
     bin_col: str = "bin_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """S8: running-total bin assignment — cumulative sum of sizes in the
-    given deterministic order, bin = floor(cum_before / max). Single window
-    pass; matches the reference's greedy packing semantics for items below
-    the bin size (oversized rows get their own spillover bins by
-    construction)."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+    """S8: running-total bin assignment — exact global cumulative sum of
+    sizes in the given deterministic order, bin = floor(cum_before / max).
+
+    Semantics note (vs the reference's greedy packer,
+    tacotoolbox/create.py:454-478 `_group_samples_by_size`): floor-of-cumsum
+    lets a bin straddle the boundary, so a bin may exceed ``max_bin_size``
+    by up to one item. For the never-overflow greedy semantics use
+    :func:`greedy_pack_bins`. The upside is that this version is an exact
+    distributed prefix sum: per-bucket window cumsums (parallel across
+    ``n_buckets`` order-monotone buckets) plus a broadcast-joined offset
+    table built from a tiny per-bucket aggregate — no single-partition
+    window anywhere, so it survives a 100x scale-up. The offset table is a
+    pure aggregate of the input (no partition-id dependence), so no persist
+    or double-computation hazard exists.
+    """
+    first = order_cols[0]
+    bucket = _monotone_bucket(df, first, n_buckets).alias("_sb_bucket")
+    b = df.withColumn("_sb_bucket", bucket)
+
+    # tiny: one row per bucket; single-partition window over <= n_buckets rows
+    totals = b.groupBy("_sb_bucket").agg(F.sum(size_col).alias("_sb_tot"))
+    w_off = Window.orderBy("_sb_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn(bin_col, F.floor(cum_before / F.lit(max_bin_size)))
+    offsets = totals.select(
+        "_sb_bucket",
+        F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
+    )
+
+    w_local = (
+        Window.partitionBy("_sb_bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.col("_sb_off") + F.coalesce(
+        F.sum(size_col).over(w_local), F.lit(0)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_sb_bucket")
+        .withColumn(bin_col, F.floor(cum_before / F.lit(max_bin_size)))
+        .drop("_sb_bucket", "_sb_off")
+    )
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    max_bin_size: int | None = None,
+    max_bin_count: int | None = None,
+    group_cols: list[str] | None = None,
+    bin_col: str = "bin_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """S8/W3 greedy packing with the reference's exact semantics: walk rows
+    in order, open a new bin when adding the next item would exceed
+    ``max_bin_size`` OR the bin already holds ``max_bin_count`` items
+    (tacotoolbox/create.py:454-478; tortilla/extensions/
+    spatial_grouping.py:211-241). Bins never exceed the caps except a
+    single oversized item, which gets a bin of its own.
+
+    Greedy packing is sequential by nature (each cut depends on all prior
+    cuts), so it is distributed per group: with ``group_cols`` the walk is
+    exact within each group (the reference packs within one dataset's sample
+    list, so groups are the natural unit); without, rows are split into
+    ``n_buckets`` order-monotone buckets, packed exactly within each, and
+    bin ids are made global via a tiny per-bucket offset join. The only
+    deviation from a single sequential walk is that a bin never spans a
+    bucket boundary (<= n_buckets under-filled bins across the whole table
+    — at 100 TB, noise); caps are still never exceeded.
+    """
+    if max_bin_size is None and max_bin_count is None:
+        raise ValueError("need max_bin_size and/or max_bin_count")
+    import pandas as pd
+
+    implicit = group_cols is None
+    if implicit:
+        df = df.withColumn(
+            "_gp_bucket", _monotone_bucket(df, order_cols[0], n_buckets)
+        )
+        group_cols = ["_gp_bucket"]
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(bin_col, T.LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        sizes = pdf[size_col].to_numpy()
+        bins = []
+        cur, cur_size, cur_count = 0, 0, 0
+        for s in sizes:
+            if cur_count > 0 and (
+                (max_bin_count is not None and cur_count >= max_bin_count)
+                or (max_bin_size is not None and cur_size + s > max_bin_size)
+            ):
+                cur += 1
+                cur_size, cur_count = 0, 0
+            bins.append(cur)
+            cur_size += s
+            cur_count += 1
+        pdf[bin_col] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
+    if not implicit:
+        return packed
+
+    # make per-bucket local bin ids global: offset by the cumulative number
+    # of bins in all earlier buckets (tiny table; bucket packing is a pure
+    # deterministic function of the input, so recomputing the map stage for
+    # this aggregate cannot diverge from the main branch)
+    counts = packed.groupBy("_gp_bucket").agg(
+        (F.max(bin_col) + 1).alias("_gp_nbins")
+    )
+    w_off = Window.orderBy("_gp_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_gp_bucket",
+        F.coalesce(F.sum("_gp_nbins").over(w_off), F.lit(0)).alias("_gp_off"),
+    )
+    return (
+        packed.join(F.broadcast(offsets), "_gp_bucket")
+        .withColumn(bin_col, F.col(bin_col) + F.col("_gp_off"))
+        .drop("_gp_bucket", "_gp_off")
+    )
 
 
 def write_partitioned_by_key(

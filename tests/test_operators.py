@@ -91,6 +91,88 @@ def test_size_bins(spark):
     assert out[0] == 0 and out[2] == 0 and out[3] == 1 and out[9] == 3
 
 
+def test_size_bins_distributed_matches_sequential(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, sz int").repartition(8)
+    out = assign_size_bins(df, "sz", 1000, ["id"], n_buckets=16)
+    got = {r["id"]: r["bin_id"] for r in out.collect()}
+    cum, want = 0, {}
+    for i, s in rows:
+        want[i] = cum // 1000
+        cum += s
+    assert got == want
+
+
+def test_size_bins_plan_is_distributed(spark):
+    df = spark.createDataFrame([(i, 40) for i in range(100)], "id int, sz int")
+    plan = assign_size_bins(df, "sz", 100, ["id"])._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window must be partitioned by the coarse bucket, and
+    # the offsets must arrive via broadcast, not a data-sized shuffle
+    assert "_sb_bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _greedy_reference(rows, max_size=None, max_count=None):
+    """Pure-python mirror of tacotoolbox create.py:454-478 greedy walk."""
+    bins, cur, cur_size, cur_count = {}, 0, 0, 0
+    for rid, s in rows:
+        if cur_count > 0 and (
+            (max_count is not None and cur_count >= max_count)
+            or (max_size is not None and cur_size + s > max_size)
+        ):
+            cur, cur_size, cur_count = cur + 1, 0, 0
+        bins[rid] = cur
+        cur_size += s
+        cur_count += 1
+    return bins
+
+
+def test_greedy_pack_bins_grouped_exact(spark):
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+    import random
+
+    rng = random.Random(3)
+    rows = [(g, i, rng.randint(10, 90)) for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id int, sz int").repartition(8)
+    out = greedy_pack_bins(
+        df, "sz", ["id"], max_bin_size=150, max_bin_count=4, group_cols=["g"]
+    )
+    got = {(r["g"], r["id"]): r["bin_id"] for r in out.collect()}
+    for g in ("a", "b"):
+        want = _greedy_reference(
+            [(i, s) for gg, i, s in rows if gg == g], max_size=150, max_count=4
+        )
+        for i, b in want.items():
+            assert got[(g, i)] == b, (g, i)
+
+
+def test_greedy_pack_bins_global_never_exceeds_caps(spark):
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(10, 120)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "id long, sz long").repartition(8)
+    out = greedy_pack_bins(
+        df, "sz", ["id"], max_bin_size=300, max_bin_count=5, n_buckets=8
+    ).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r["sz"])
+    for sizes in by_bin.values():
+        assert len(sizes) <= 5
+        assert sum(sizes) <= 300 or len(sizes) == 1  # oversized item alone
+    # bin ids are contiguous from 0 and order-respecting per id
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    id_to_bin = {r["id"]: r["bin_id"] for r in out}
+    assert all(
+        id_to_bin[i] <= id_to_bin[i + 1] for i in range(len(rows) - 1)
+    )
+
+
 def test_consolidate_strict_and_loose(spark):
     a = spark.createDataFrame([(1, "x")], "id long, a string")
     b = spark.createDataFrame([(2, "y")], "id long, a string")
