@@ -319,12 +319,26 @@ def q_sim_topk(spark, sf_dir):
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall tested in pytest)."""
+    """LSH-bucketed approximate top-k. The oracle is NOT brute force (an
+    honest LSH prunes near-orthogonal 'neighbors') — it is the SAME banded
+    pipeline re-implemented in DuckDB SQL with the identical seeded plane
+    matrix, so signature computation, band collision, and re-rank are all
+    independently checked."""
     from taco_toolbox_spark.similarity.ann import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+def q_sim_near_dup(spark, sf_dir):
+    """OR-amplified LSH near-duplicate pairs over the embedding column,
+    exact-cosine verified; threshold 0.4 so sf0.01's random gaussians yield
+    a nonempty result. Oracle = pipeline replica in SQL."""
+    from taco_toolbox_spark.similarity.ann import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.4)
 
 
 def q_text_stats(spark, sf_dir):
@@ -349,7 +363,8 @@ def q_text_lang_distribution(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (vectorized pandas UDF; rows-only check)."""
+    """Language-ID heuristic: stopword-occurrence argmax, pure JVM column
+    expressions (DuckDB-oracled)."""
     from taco_toolbox_spark.functions.text import lang_id
 
     d = _t(spark, sf_dir, "documents")
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_near_dup": q_sim_near_dup,
         "text_stats": q_text_stats,
         "text_lang_distribution": q_text_lang_distribution,
         "lang_id": q_lang_id,
@@ -471,8 +487,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_pipeline_sql(bands: int = 8, rows_per_band: int = 8, seed: int = 42,
+                      dim: int = 64) -> str:
+    """Shared DuckDB CTEs replicating the banded-LSH pipeline from
+    taco_toolbox_spark.similarity.ann with the IDENTICAL seeded gaussian
+    plane matrix (embedded as literals — repr(float) round-trips exactly),
+    so the oracle independently recomputes signatures and band collisions
+    rather than assuming recall."""
+    from taco_toolbox_spark.similarity.ann import lsh_planes
+
+    P = lsh_planes(dim, bands, rows_per_band, seed)
+    rows = ",\n".join(
+        "(" + str(pid) + ", [" + ", ".join(repr(float(x)) for x in P[pid]) + "])"
+        for pid in range(bands * rows_per_band)
+    )
+    return f"""
+        planes(pid, plane) AS (VALUES {rows}),
+        dots AS (
+          SELECT e.vec_id, p.pid,
+                 list_sum(list_transform(range(1, {dim} + 1),
+                     i -> e.embedding[i]::DOUBLE * p.plane[i])) AS dot
+          FROM embeddings e, planes p
+        ),
+        sigs AS (
+          SELECT vec_id, pid // {rows_per_band} AS band,
+                 sum(CASE WHEN dot > 0
+                     THEN 1 << (pid % {rows_per_band}) ELSE 0 END)::BIGINT AS sig
+          FROM dots GROUP BY 1, 2
+        )
+    """
+
+
+def _sim_lsh_topk_oracle() -> str:
+    return f"""
+        WITH {_lsh_pipeline_sql()},
+        qsig AS (SELECT band, sig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT DISTINCT s.vec_id
+          FROM sigs s JOIN qsig q ON s.band = q.band AND s.sig = q.sig
+          WHERE s.vec_id <> 0
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(qe,
+                       x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> str:
+    return f"""
+        WITH {_lsh_pipeline_sql()},
+        kept AS (
+          SELECT band, sig FROM sigs GROUP BY 1, 2
+          HAVING count(*) <= {max_bucket}
+        ),
+        ksigs AS (SELECT s.* FROM sigs s JOIN kept USING (band, sig)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM ksigs a JOIN ksigs b
+            ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT * FROM (
+          SELECT id_a, id_b,
+                 round(list_sum(list_transform(range(1, 65),
+                         i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(ea.embedding,
+                         x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(eb.embedding,
+                         x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = id_a
+          JOIN embeddings eb ON eb.vec_id = id_b
+        ) WHERE cos >= {threshold}
+    """
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of functions.text.lang_id, built from the SAME
+    STOPWORDS constant so the two can't drift."""
+    from taco_toolbox_spark.functions.text import STOPWORDS
+
+    score = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    tie = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS
+    )
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                       '\\s+') AS toks
+          FROM documents
+        ), s AS (SELECT doc_id, {scores_sql} FROM t)
+        SELECT doc_id,
+               CASE WHEN {best} <= 0 THEN 'und' {tie} END AS lang_pred
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_oracle(),
+        "sim_lsh_topk": _sim_lsh_topk_oracle(),
+        "sim_near_dup": _sim_near_dup_oracle(),
         "v1_uniqueness": """
             SELECT user_id, event_type, count(*) AS n_dups
             FROM events GROUP BY 1, 2 HAVING count(*) > 1

@@ -1,9 +1,9 @@
 """Text-analysis column functions for large-scale training-data pipelines.
 
-All hot-path functions are JVM-side column expressions (whole-stage
-codegen'd) — no Python in the per-row path. The only pandas UDFs are the
-ones that genuinely need numpy (language ID scoring, rolling-hash
-fingerprint), and they are Arrow-batched.
+Every function here is a JVM-side column expression (whole-stage
+codegen'd) — no Python anywhere in the per-row path, including language ID
+and the rolling fingerprint (both were pandas UDFs in round 1 and are now
+pure expressions).
 
 Reference analog: the extension UDF contract
 (/root/reference/tacotoolbox/sample/datamodel.py:40-75 — schema-first scalar
@@ -12,11 +12,8 @@ extensions) and the vectorize-don't-loop discipline (_metadata.py:299-303).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 #: tiny public stopword lists for the language-ID heuristic
 STOPWORDS = {
@@ -78,42 +75,41 @@ def fingerprint(col: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
-@F.pandas_udf(T.StringType())
-def lang_id(texts: pd.Series) -> pd.Series:
-    """n-gram/stopword language-ID heuristic (vectorized pandas UDF).
-    Scores each language by stopword hits; 'und' (undetermined) when no
-    stopword matches."""
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword language-ID heuristic, entirely JVM-side: per
+    language, count stopword occurrences among lowercased whitespace tokens
+    (occurrences, not distinct — a text repeating 'the' scores higher);
+    argmax with first-language-wins tie-break in STOPWORDS order; 'und'
+    (undetermined) when nothing matches or the text is NULL.
+
+    Replaces the round-1 pandas UDF that looped per row inside the batch —
+    as column expressions the scoring stays inside whole-stage codegen and
+    is expressible as a DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(F.coalesce(c, F.lit(""))))
     langs = list(STOPWORDS)
-    lang_index_of_word = {
-        w: i for i, lang in enumerate(langs) for w in STOPWORDS[lang]
-    }
-    out = []
-    lowered = texts.fillna("").str.lower().str.split()
-    for toks in lowered:
-        scores = np.zeros(len(langs), dtype=np.int64)
-        idx = [lang_index_of_word[t] for t in toks if t in lang_index_of_word]
-        if idx:
-            np.add.at(scores, np.array(idx), 1)
-            out.append(langs[int(scores.argmax())])
-        else:
-            out.append("und")
-    return pd.Series(out)
+    def _score(words: list[str]) -> Column:
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scores = {lang: _score(STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first max wins, in STOPWORDS declaration order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return F.coalesce(expr, F.lit("und"))
 
 
-@F.pandas_udf(T.LongType())
-def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Rabin-Karp-style polynomial rolling hash over token streams
-    (vectorized per batch via numpy) — an order-sensitive fingerprint, vs
-    the order-insensitive ``fingerprint``. Deterministic, no RNG."""
-    import zlib  # crc32: deterministic across processes (builtin hash isn't)
-
-    B = np.uint64(1099511628211)  # FNV prime as the base
-    out = np.zeros(len(texts), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts.fillna("")):
-            h = np.uint64(14695981039346656037)
-            for tok in t.split():
-                th = np.uint64(zlib.crc32(tok.encode("utf-8")))
-                h = h * B + th  # wraps mod 2^64
-            out[i] = h
-    return pd.Series(out.astype(np.int64))
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive 64-bit token-stream fingerprint: xxhash64 chained
+    left-to-right over whitespace tokens (h := xxhash64(h, token)), vs the
+    order-insensitive ``fingerprint``. Pure JVM column expression — the
+    round-1 version looped per row AND per token inside a pandas UDF, the
+    exact anti-pattern this module forbids. Deterministic, no RNG."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.coalesce(c, F.lit("")))
+    return F.aggregate(
+        toks,
+        F.lit(0x9E3779B97F4A7C15 - (1 << 64)).cast("long"),  # signed 64-bit
+        lambda acc, t: F.xxhash64(acc, t),
+    )

@@ -4,21 +4,34 @@ Baseline: brute-force cosine top-k — a single scan with a JVM-side
 zip_with/aggregate dot product against a broadcast query vector (no UDF,
 no shuffle except the final top-k).
 
-Scale path: LSH with deterministic random-hyperplane signatures (sign of
-dot with seed-derived planes), bucket join, then exact re-rank within
-buckets — the bucket key bounds the candidate set so a 10^9-vector table
-never cross-joins.
+Scale path: banded random-hyperplane LSH. Signatures come from a seeded
+gaussian plane matrix (numpy RandomState — direction-uniform, identical on
+every executor, and the planes travel inside the pickled UDF closure rather
+than as dim×planes plan literals). A vectorized pandas UDF computes ALL
+band signatures for a batch in one matmul (V @ P.T), the cheapest possible
+shape — round 1 used per-plane JVM aggregate lambdas, which were
+interpreted per element and put ~9k literals in the plan at dim=768.
 
-Embedding near-duplicate pairs: cosine ≥ threshold via the same LSH
-blocking.
+Near-duplicate pairs use OR-amplified banding (any of ``bands`` agreeing
+r-bit signatures makes a candidate): recall at cosine c is
+1-(1-p^r)^bands with p = 1-acos(c)/pi, so 8 bands x 8 planes gives ~0.99
+recall at c=0.95 — the round-1 single-band AND construction had ~0.28 and
+its w.h.p. docstring was wrong.
+
+Reference analog: the sample-level extension contract
+(/root/reference/tacotoolbox/sample/datamodel.py:40-75); the banding math
+mirrors dedup/minhash.py, which already amplified correctly.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b) -> F.Column:
@@ -67,21 +80,49 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(
-    vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
-) -> F.Column:
-    """Deterministic LSH bucket id: sign pattern of dot products with
-    pseudo-random hyperplanes. Plane components derive from xxhash64-free
-    arithmetic: plane[p][i] = sin(seed + p*dim + i) — fixed, cheap,
-    direction-uniform enough for bucketing, and identical on every executor
-    without shipping state."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comps = [math.sin(seed + p * dim + i) for i in range(dim)]
-        plane = F.array(*[F.lit(c) for c in comps])
-        d = _dot(F.col(vec_col), plane)
-        sig = sig.bitwiseXOR(F.shiftleft(F.when(d > 0, 1).otherwise(0).cast("long"), p))
-    return sig
+def lsh_planes(dim: int, bands: int, rows_per_band: int, seed: int) -> np.ndarray:
+    """Deterministic gaussian plane matrix (bands*rows_per_band, dim).
+    RandomState(seed) is bit-reproducible across platforms and executors."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bands * rows_per_band, dim))
+
+
+def _pack_signatures(V: np.ndarray, P: np.ndarray, bands: int, r: int) -> np.ndarray:
+    """(n, bands) int64: per-band sign patterns of V @ P.T, r bits each."""
+    signs = (V @ P.T) > 0  # (n, bands*r)
+    weights = (1 << np.arange(r, dtype=np.int64)).reshape(1, 1, r)
+    return (signs.reshape(len(V), bands, r) * weights).sum(axis=2)
+
+
+def band_signature_col(
+    dim: int, bands: int = 8, rows_per_band: int = 8, seed: int = 42
+):
+    """Column function: array<long>[bands] of band signatures for a vector
+    column. One Arrow batch = one matmul."""
+    if rows_per_band > 62:
+        raise ValueError("rows_per_band must fit in a long")
+    P = lsh_planes(dim, bands, rows_per_band, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        packed = _pack_signatures(V, P, bands, rows_per_band)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
+def query_signatures(
+    query_vec: list[float], bands: int = 8, rows_per_band: int = 8, seed: int = 42
+) -> list[int]:
+    """Driver-side band signatures for the query (same planes)."""
+    P = lsh_planes(len(query_vec), bands, rows_per_band, seed)
+    return [
+        int(s)
+        for s in _pack_signatures(
+            np.array([query_vec], dtype=np.float64), P, bands, rows_per_band
+        )[0]
+    ]
 
 
 def lsh_topk(
@@ -90,26 +131,31 @@ def lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
-    probe_hamming: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact re-rank to vectors whose
-    hyperplane signature is within ``probe_hamming`` of the query's
-    (multi-probe LSH). Same output schema as brute_force_topk."""
+    """Approximate top-k: exact re-rank restricted to vectors agreeing with
+    the query on >= 1 band signature (OR-amplified LSH). The candidate
+    filter is scan-shaped (no index), which is the right first cut on an
+    unindexed 10^9-row table: the signature matmul is one Arrow batch pass
+    and the re-rank touches only colliding vectors. Recall is high exactly
+    when LSH theory grants it — for genuinely similar vectors; uniformly
+    random near-orthogonal 'neighbors' may be pruned (that is the
+    approximation, not a bug). Same output schema as brute_force_topk."""
     dim = len(query_vec)
-    sigs = df.withColumn(
-        "_sig", hyperplane_signature(vec_col, dim, n_planes, seed)
-    )
-    # query signature computed driver-side with the same plane formula
-    qsig = 0
-    for p in range(n_planes):
-        d = sum(
-            float(query_vec[i]) * math.sin(seed + p * dim + i) for i in range(dim)
+    sig_fn = band_signature_col(dim, bands, rows_per_band, seed)
+    qsigs = query_signatures(query_vec, bands, rows_per_band, seed)
+    qarr = F.array(*[F.lit(s).cast("long") for s in qsigs])
+    cand = (
+        df.withColumn("_sigs", sig_fn(F.col(vec_col)))
+        .filter(
+            F.exists(
+                F.zip_with(F.col("_sigs"), qarr, lambda s, q: s == q),
+                lambda x: x,
+            )
         )
-        qsig ^= (1 if d > 0 else 0) << p
-    cand = sigs.filter(
-        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        .drop("_sigs")
     )
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -119,30 +165,58 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
+    bands: int = 8,
+    rows_per_band: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine ≥ threshold, via signature-bucket
-    blocking + exact verification (near-identical vectors share all plane
-    signs w.h.p.)."""
+    """Pairs (id_a < id_b) with cosine >= threshold: OR-amplified band
+    blocking + exact cosine verification on candidates only.
+
+    Expected recall at cosine c: 1-(1-p^r)^b, p = 1-acos(c)/pi — at the
+    default 8x8 and c=0.95 that is ~0.99 (pytest-asserted on a seeded
+    corpus). ``max_bucket_size`` drops degenerate buckets (e.g. the
+    all-zeros signature of near-zero vectors) that would otherwise create
+    k^2 candidates; dropped buckets only cost recall for vector clusters
+    larger than the cap, which at the default means 10^8 candidate pairs
+    from a single bucket — already pathological.
+
+    Only (id, band, sig) rows enter the candidate join; vectors are joined
+    back for the candidate pairs only, so shuffle volume is bands x 16
+    bytes per row, not bands x dim."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(vec_col, dim, n_planes, seed).alias("sig"),
+    sig_fn = band_signature_col(dim, bands, rows_per_band, seed)
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = slim.select(
+        "id", F.posexplode(sig_fn(F.col("v"))).alias("band", "sig")
     )
-    a = sigs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sig")
+    if max_bucket_size is not None:
+        ok = (
+            sigs.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        sigs = sigs.join(ok, ["band", "sig"], "left_semi")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    b = sigs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig")
-    )
-    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(
+        slim.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(slim.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .distinct()
     )
