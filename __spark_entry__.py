@@ -568,6 +568,49 @@ def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> st
     """
 
 
+def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str:
+    """Exact 3-gram Jaccard pairs in DuckDB, optionally with the same
+    shingle-frequency cap the Spark path applies. Also serves as the
+    dedup_minhash oracle: every true pair in the test corpus has jaccard
+    >= 0.9, where the 8x4 banding collides deterministically, so the
+    LSH+verify output must EQUAL the exact result — the driver's hash
+    equality therefore checks recall, not just precision."""
+    cap = (
+        f"""sh AS (
+              SELECT sh0.* FROM sh0
+              JOIN (SELECT s FROM sh0 GROUP BY s
+                    HAVING count(*) <= {max_shingle_freq}) keep USING (s)
+            ),"""
+        if max_shingle_freq is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
+    return f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') w FROM documents
+              WHERE len(string_split(text, ' ')) >= 3
+            ),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+              FROM tok
+            ),
+            {cap}
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
+            FROM shared p
+            JOIN sizes sa ON p.id_a = sa.doc_id
+            JOIN sizes sb ON p.id_b = sb.doc_id
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
+        """
+
+
 def _lang_id_oracle() -> str:
     """DuckDB mirror of functions.text.lang_id, built from the SAME
     STOPWORDS constant so the two can't drift."""
@@ -726,30 +769,8 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS ids
             FROM documents GROUP BY text HAVING count(*) > 1
         """,
-        "dedup_ngram_jaccard": """
-            WITH tok AS (
-              SELECT doc_id, string_split(text, ' ') w FROM documents
-              WHERE len(string_split(text, ' ')) >= 3
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_transform(range(1, len(w) - 1),
-                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
-              FROM tok
-            ),
-            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-            shared AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
-            FROM shared p
-            JOIN sizes sa ON p.id_a = sa.doc_id
-            JOIN sizes sb ON p.id_b = sb.doc_id
-            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.2
-        """,
+        "dedup_ngram_jaccard": _jaccard_oracle(max_shingle_freq=1000),
+        "dedup_minhash": _jaccard_oracle(max_shingle_freq=None),
         "sim_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (

@@ -4,12 +4,23 @@ Pipeline (all JVM-side, zero Python UDFs):
   shingle -> k minhash values        explode + groupBy(id) with k min(hash)
   signature -> b bands of r rows     band hash = xxhash64 of the band slice
   band bucket join                   candidates = pairs sharing any bucket
-  verify                             exact Jaccard on candidates only
+  verify                             exact Jaccard, counted ONLY for
+                                     candidate pairs (join each pair's
+                                     id_a-shingles against id_b's set)
 
 Unlike brute-force Jaccard (pairs every doc sharing a shingle), LSH bounds
 the join fan-out: only documents agreeing on an entire band collide. With
-b bands of r rows, P(collide) = 1-(1-j^r)^b — tuned so pairs above the
-threshold are found w.h.p. while sub-threshold pairs rarely collide.
+b bands of r rows, P(collide) = 1-(1-j^r)^b — the S-curve threshold is
+(1/b)^(1/r) (~0.59 for the default 8x4), so candidates are certified for
+high-jaccard pairs; use tune_bands() to pick (b, r) for a lower threshold.
+
+Scale hygiene (round-2): ``max_bucket_size`` drops degenerate band buckets
+(k identical docs would otherwise make k^2 candidates); verification joins
+shingles THROUGH the candidate pair list instead of re-deriving all
+shared-shingle pairs among candidate docs; and nothing is persisted — the
+shingle explode is ~10x the input, so caching it at 100 TB means spilling
+~1 PB, strictly worse than recomputing a scan-shaped explode whose shuffle
+Spark already reuses (byte-identical exchange => ReusedExchange).
 
 Each of the k hash functions is xxhash64(shingle, seed_i) — deterministic,
 no RNG state to ship.
@@ -20,7 +31,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram import pairs_from_shingles, shingles
+from .ngram import shingles
+
+
+def tune_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """(bands, rows_per_band) with bands*rows = num_hashes and the largest
+    rows_per_band whose S-curve threshold (1/b)^(1/r) stays <= threshold
+    (recall-biased: prefer more selective bands when the target allows)."""
+    best = (num_hashes, 1)
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if (1.0 / b) ** (1.0 / r) <= threshold:
+            return b, r
+    return best
 
 
 def minhash_signatures(
@@ -43,9 +68,15 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+    Buckets larger than ``max_bucket_size`` are dropped before pairing — a
+    degenerate bucket of k near-identical docs makes k^2 candidates, and at
+    the default cap that is already 10^8 pairs from one bucket."""
     band_rows = []
     for b in range(bands):
         band_rows.append(
@@ -65,13 +96,61 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
-    b2 = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
     return (
-        a.join(b2, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def verify_pairs_exact(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs: fan each
+    pair out by id_a's shingles, equi-join against (id_b, shingle) to count
+    the intersection, then divide by |A|+|B|-shared. Work is linear in
+    sum over pairs of |shingles(id_a)| — never the all-shared-shingle-pairs
+    blowup of the brute-force path."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    fan = cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+    shared = (
+        fan.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -83,13 +162,25 @@ def minhash_near_duplicates(
     threshold: float = 0.2,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 10_000,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """LSH-candidate generation + exact-Jaccard verification on candidates
-    only. Columns: id_a, id_b, jaccard (≥ threshold)."""
+    """LSH-candidate generation + exact-Jaccard verification on candidate
+    pairs only. Columns: id_a, id_b, jaccard (>= threshold).
+
+    ``max_shingle_freq`` (applied to BOTH signature and verification
+    shingles, so the jaccard definition stays consistent) drops shingles
+    shared by more than that many docs — the standard frequency cap that
+    bounds fan-out on stopword runs at corpus scale."""
     rows_per_band = num_hashes // bands
-    # one shingle computation feeds BOTH signature minima and jaccard
-    # verification (persisted — it's the expensive explode)
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+        )
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -97,12 +188,5 @@ def minhash_near_duplicates(
     sig = sh.groupBy("id").agg(*mins).select(
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select("id_b"))
-        .distinct()
-    )
-    sh_subset = sh.join(cand_ids, "id", "left_semi")
-    exact = pairs_from_shingles(sh_subset, threshold)
-    return exact.join(cand, ["id_a", "id_b"], "left_semi")
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket_size)
+    return verify_pairs_exact(cand, sh, threshold)

@@ -38,10 +38,18 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact n-gram Jaccard ≥
-    threshold. Columns: id_a, id_b, jaccard."""
+    threshold. Columns: id_a, id_b, jaccard.
+
+    ``max_shingle_freq`` defaults ON (1000): a shingle appearing in f docs
+    emits C(f,2) pairs, so one stopword-run shingle shared by 10^6 docs
+    would alone produce 5*10^11 pairs at corpus scale. Dropping shingles
+    with f > 1000 bounds the worst single-shingle fan-out at ~500k pairs
+    while leaving near-duplicate signal intact (near-dups share many RARE
+    shingles). Pass None to disable for small corpora where exactness
+    against an uncapped definition matters."""
     sh = shingles(df, text_col, id_col, n)
     return pairs_from_shingles(sh, threshold, max_shingle_freq)
 

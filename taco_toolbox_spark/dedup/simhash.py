@@ -59,12 +59,16 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash) ≤ max_hamming, found via
-    16-bit-chunk blocking (no cross join)."""
-    # persist: both sides of the blocking self-join consume the signatures,
-    # and the 64-way aggregation is the expensive part of the plan
-    sh = simhash(df, text_col, id_col).persist()
+    16-bit-chunk blocking (no cross join). Chunk buckets larger than
+    ``max_bucket_size`` are dropped (a k-doc degenerate bucket would emit
+    k² candidates). The self-join is built from ONE chunks plan via
+    aliases, so the expensive 64-way simhash aggregation shuffles once and
+    both join sides read the same exchange (ReusedExchange) — round 1
+    persisted the signatures instead and leaked the cache."""
+    sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         "id",
         "simhash",
@@ -82,16 +86,30 @@ def simhash_near_duplicates(
             )
         ).alias("cb"),
     ).select("id", "simhash", "cb.chunk", "cb.key")
-    a = chunks.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key"
-    )
-    b = chunks.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key"
-    )
+    if max_bucket_size is not None:
+        ok = (
+            chunks.groupBy("chunk", "key")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        chunks = chunks.join(ok, ["chunk", "key"], "left_semi")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming("sh_a", "sh_b").alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
