@@ -155,6 +155,21 @@ def q_stats_profile(spark, sf_dir):
     return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def q_stats_quantiles(spark, sf_dir):
+    """A8 completion: p25/p50/p75/p95 in the single-pass column profile
+    (mirrors the reference's per-band percentiles,
+    geotiff_stats.py:251-264). Exact quantiles here so DuckDB's
+    quantile_cont is a value-exact oracle; the library default is the
+    mergeable percentile_approx sketch for corpus scale."""
+    from taco_toolbox_spark.stats import global_stats
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    s = global_stats(o, exact_quantiles=True)
+    return s.select("column", "p25", "p50", "p75", "p95")
+
+
 def q_extent_by_type(spark, sf_dir):
     """A5/A6 extents: temporal min/max + count per event_type."""
     from taco_toolbox_spark.operators.extents import temporal_extent
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_refint": q_v12_refint,
         "v10_range": q_v10_range,
         "stats_profile": q_stats_profile,
+        "stats_quantiles": q_stats_quantiles,
         "extent_by_type": q_extent_by_type,
         "a9_distribution": q_a9_distribution,
         "a4_top1": q_a4_top1,
@@ -645,6 +661,26 @@ def _lang_id_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_oracle(),
+        "stats_quantiles": """
+            SELECT 'o_orderkey' AS column,
+                   quantile_cont(o_orderkey, 0.25)::DOUBLE AS p25,
+                   quantile_cont(o_orderkey, 0.50)::DOUBLE AS p50,
+                   quantile_cont(o_orderkey, 0.75)::DOUBLE AS p75,
+                   quantile_cont(o_orderkey, 0.95)::DOUBLE AS p95
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', quantile_cont(o_custkey, 0.25)::DOUBLE,
+                   quantile_cont(o_custkey, 0.50)::DOUBLE,
+                   quantile_cont(o_custkey, 0.75)::DOUBLE,
+                   quantile_cont(o_custkey, 0.95)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', quantile_cont(o_totalprice, 0.25)::DOUBLE,
+                   quantile_cont(o_totalprice, 0.50)::DOUBLE,
+                   quantile_cont(o_totalprice, 0.75)::DOUBLE,
+                   quantile_cont(o_totalprice, 0.95)::DOUBLE
+            FROM orders
+        """,
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
         "sim_near_dup": _sim_near_dup_oracle(),
         "v1_uniqueness": """

@@ -40,7 +40,13 @@ STATS_COLUMNS = (
     "max",
     "mean",
     "std",
+    "p25",
+    "p50",
+    "p75",
+    "p95",
 )
+
+QUANTILE_PROBS = (0.25, 0.50, 0.75, 0.95)
 
 
 def column_stats(
@@ -48,11 +54,17 @@ def column_stats(
     partition_col: str = "part",
     columns: list[str] | None = None,
     rsd: float = 0.02,
+    exact_quantiles: bool = False,
 ) -> DataFrame:
     """Long-format per-(partition, column) profile in a single aggregation.
 
     ``rsd`` is the HyperLogLog relative standard deviation for
-    approx_count_distinct.
+    approx_count_distinct. Numeric columns get p25/p50/p75/p95 — mirroring
+    the reference's per-band percentile profile
+    (sample/extensions/geotiff_stats.py:251-264) — via percentile_approx
+    (GK sketch, mergeable map-side, the 100 TB path) or, with
+    ``exact_quantiles=True``, the exact sort-based percentile for
+    small/oracle-checked profiles.
     """
     fields = [
         f
@@ -69,9 +81,16 @@ def column_stats(
             F.max(c).cast("string").alias(f"_{f.name}_max"),
         ]
         if isinstance(f.dataType, _NUMERIC):
+            probs = F.array(*[F.lit(p) for p in QUANTILE_PROBS])
+            quant = (
+                F.percentile(c, probs)
+                if exact_quantiles
+                else F.percentile_approx(c, probs, 10_000)
+            )
             aggs += [
                 F.avg(c).alias(f"_{f.name}_mean"),
                 F.stddev(c).alias(f"_{f.name}_std"),
+                quant.alias(f"_{f.name}_q"),
             ]
     agg_df = df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(*aggs)
 
@@ -93,6 +112,14 @@ def column_stats(
                 F.col(f"_{f.name}_max").alias("max"),
                 (F.col(f"_{f.name}_mean") if is_num else F.lit(None).cast("double")).alias("mean"),
                 (F.col(f"_{f.name}_std") if is_num else F.lit(None).cast("double")).alias("std"),
+                *[
+                    (
+                        F.element_at(F.col(f"_{f.name}_q"), i + 1).cast("double")
+                        if is_num
+                        else F.lit(None).cast("double")
+                    ).alias(f"p{round(p * 100)}")
+                    for i, p in enumerate(QUANTILE_PROBS)
+                ],
             )
         )
     return agg_df.select("part", F.explode(F.array(*structs)).alias("s")).select(
@@ -100,10 +127,15 @@ def column_stats(
     )
 
 
-def global_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def global_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_quantiles: bool = False,
+) -> DataFrame:
     """Whole-table profile (partition = '_all')."""
     return column_stats(
         df.withColumn("_all_part", F.lit("_all")),
         partition_col="_all_part",
         columns=columns,
+        exact_quantiles=exact_quantiles,
     )
