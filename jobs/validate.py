@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--baseline", help="clean reference table for drift + text equality")
@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--partition-col", default="part")
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--batch-parts",
+        type=int,
+        default=32,
+        help="validate this many partitions per engine pass, saving the "
+        "manifest after each batch (0 = single pass over everything); "
+        "smaller batches -> finer crash-recovery granularity, more fixed "
+        "per-pass overhead",
+    )
     args = p.parse_args(argv)
     manifest_path = args.manifest or os.path.join(args.output, "manifest.json")
     run_id = args.run_id or f"run_{int(time.time())}"
@@ -71,49 +80,80 @@ def main(argv: list[str] | None = None) -> int:
         df = manifest.pending_filter(df, cfg.partition_col)
     if df.select(cfg.partition_col).limit(1).count() == 0:
         print("nothing pending — all partitions already validated")
-        spark.stop()
+        if stop_session:
+            spark.stop()
         return 0
 
     checks = transcript_checks(reference=ref) if ref is not None else [
         c for c in transcript_checks()
         if c.check_id not in ("text_len_drift", "text_equality")
     ]
-    t0 = time.time()
-    res = run_validation(df, checks, cfg, baseline=ref)
-    res.verdicts.write.mode("append").parquet(os.path.join(args.output, "verdicts"))
-    res.violations.write.mode("append").parquet(os.path.join(args.output, "violations"))
-    column_stats(df, cfg.partition_col).write.mode("append").parquet(
-        os.path.join(args.output, "stats")
-    )
 
-    verdict_rows = res.verdicts.collect()
-    by_part: dict[str, dict[str, int]] = {}
-    for r in verdict_rows:
-        by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
-    counts = {
-        r["p"]: r["n"]
-        for r in df.groupBy(F.col(cfg.partition_col).alias("p"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # Crash-safe writes: outputs are partitioned by `part` and written with
+    # dynamic partition overwrite, so re-validating a partition REPLACES its
+    # rows instead of appending duplicates — a run killed between the data
+    # writes and manifest.save() re-does only its unsaved batch and the
+    # output stays exactly-once. The manifest is saved after every batch.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    part_str = F.col(cfg.partition_col).cast("string")
+    pending_parts = [
+        r[0] for r in df.select(part_str.alias("p")).distinct().orderBy("p").collect()
+    ]
+    batch = args.batch_parts if args.batch_parts > 0 else len(pending_parts)
+
+    t0 = time.time()
+    total_rows = 0
+    n_failed = 0
+    for i in range(0, len(pending_parts), batch):
+        chunk = pending_parts[i : i + batch]
+        bt0 = time.time()
+        cdf = df.filter(part_str.isin(chunk))
+        res = run_validation(cdf, checks, cfg, baseline=ref)
+        for name, out in (
+            ("verdicts", res.verdicts),
+            ("violations", res.violations),
+        ):
+            out.repartition("part").write.mode("overwrite").partitionBy(
+                "part"
+            ).parquet(os.path.join(args.output, name))
+        column_stats(cdf, cfg.partition_col).repartition("part").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(os.path.join(args.output, "stats"))
+
+        verdict_rows = res.verdicts.collect()
+        by_part: dict[str, dict[str, int]] = {}
+        for r in verdict_rows:
+            by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
+        counts = {
+            r["p"]: r["n"]
+            for r in cdf.groupBy(part_str.alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bsec = time.time() - bt0
+        for part in chunk:
+            manifest.record_partition(
+                part,
+                by_part.get(part, {}),
+                n_rows=counts.get(part, 0),
+                metrics={"batch_sec": round(bsec, 2)},
+            )
+        manifest.save()  # checkpoint AFTER the idempotent writes land
+        total_rows += sum(counts.values())
+        n_failed += sum(1 for r in verdict_rows if not r["passed"])
+        if cfg.persist_violations:
+            res.violations.unpersist()
+
     elapsed = time.time() - t0
-    total_rows = sum(counts.values())
-    for part, verdicts in by_part.items():
-        manifest.record_partition(
-            part,
-            verdicts,
-            n_rows=counts.get(part),
-            metrics={"run_sec": round(elapsed, 2)},
-        )
-    manifest.save()
-    n_failed = sum(1 for r in verdict_rows if not r["passed"])
     print(
         f"validated {total_rows:,} rows in {elapsed:.1f}s "
-        f"({total_rows / max(elapsed, 1e-9):,.0f} rows/sec); "
+        f"({total_rows / max(elapsed, 1e-9):,.0f} rows/sec) over "
+        f"{len(pending_parts)} partitions in batches of {batch}; "
         f"{n_failed} failing (partition, check) cells; "
         f"manifest: {manifest_path}"
     )
-    spark.stop()
+    if stop_session:
+        spark.stop()
     return 0
 
 

@@ -128,7 +128,9 @@ def _row_pass(df: DataFrame, checks: list[RowCheck], cfg: EngineConfig) -> DataF
 def _window_pass(
     df: DataFrame, checks: list[MonotoneCheck], cfg: EngineConfig
 ) -> DataFrame:
-    w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+    # keyed (partition, group) like every other pass: one shared exchange,
+    # and attribution stays correct even if a group spans partitions
+    w = Window.partitionBy(cfg.partition_col, cfg.group_col).orderBy(cfg.order_col)
     structs = []
     for c in checks:
         prev = F.lag(F.col(c.value_col)).over(w)
@@ -167,7 +169,9 @@ def _window_pass_chunked(
     n_chunks rows — negligible)."""
     chunk = cfg.window_chunk_size
     dfc = df.withColumn("_chunk", F.floor(F.col(cfg.order_col) / chunk))
-    w = Window.partitionBy(cfg.group_col, "_chunk").orderBy(cfg.order_col)
+    w = Window.partitionBy(cfg.partition_col, cfg.group_col, "_chunk").orderBy(
+        cfg.order_col
+    )
 
     structs = []
     for c in checks:
@@ -284,7 +288,7 @@ def _uniqueness_via_window(
     a dup row has order == lag(order). Only the flagged rows (a ~0.1%
     sliver) are then aggregated for per-key counts — the full-key shuffle
     of every row is gone."""
-    w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+    w = Window.partitionBy(cfg.partition_col, cfg.group_col).orderBy(cfg.order_col)
     flagged = (
         df.withColumn("_prev", F.lag(cfg.order_col).over(w))
         .filter(F.col("_prev").isNotNull() & (F.col("_prev") == F.col(cfg.order_col)))
@@ -317,7 +321,10 @@ def _group_agg_pass(
     structs: list = []
     for idx_col in sorted({c.idx_col for c in contig}):
         prev = F.lag(idx_col).over(
-            Window.partitionBy(cfg.group_col).orderBy(idx_col)
+            # must match the aggregation key (partition, group): a window
+            # keyed by group alone would split one group's _is_new flags
+            # across partition values and mis-count distincts
+            Window.partitionBy(cfg.partition_col, cfg.group_col).orderBy(idx_col)
         )
         df = df.withColumn(
             f"_is_new_{idx_col}",
@@ -467,6 +474,12 @@ def run_validation(
             )
         )
 
+    if not pieces:
+        raise ValueError(
+            "no supported checks: every entry in `checks` must be a known "
+            "Check subclass (RowCheck, MonotoneCheck, UniquenessCheck, "
+            "ContiguityCheck, GroupAggCheck, DriftCheck, TextEqualityCheck)"
+        )
     violations = pieces[0]
     for p in pieces[1:]:
         violations = violations.unionAll(p)

@@ -19,15 +19,44 @@ def add_row_position(
     order_cols: list[str],
     partition_cols: list[str] | None = None,
     out_col: str = "current_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """0-based position per (optional) group — reference W1 current_id
-    (_metadata.py:117-120). Window shuffle on the partition cols only."""
-    w = (
-        Window.partitionBy(*partition_cols)
-        if partition_cols
-        else Window.partitionBy(F.lit(1))
-    ).orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(out_col, F.row_number().over(w) - 1)
+    (_metadata.py:117-120). With ``partition_cols`` the window shuffles on
+    those keys only. Without, the GLOBAL position is computed as a
+    distributed prefix count: per-bucket row_number over a deterministic
+    order-monotone coarse bucket plus a broadcast offset table (one tiny
+    count per bucket) — round 1 used Window.partitionBy(lit(1)), which
+    funneled the whole table through a single task."""
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+    from .partitioning import _monotone_bucket
+
+    b = df.withColumn(
+        "_rp_bucket", _monotone_bucket(df, order_cols[0], n_buckets)
+    )
+    counts = b.groupBy("_rp_bucket").agg(F.count(F.lit(1)).alias("_rp_n"))
+    w_off = Window.orderBy("_rp_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_rp_bucket",
+        F.coalesce(F.sum("_rp_n").over(w_off), F.lit(0)).alias("_rp_off"),
+    )
+    w_local = Window.partitionBy("_rp_bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        b.join(F.broadcast(offsets), "_rp_bucket")
+        .withColumn(
+            out_col, F.row_number().over(w_local) - 1 + F.col("_rp_off")
+        )
+        .drop("_rp_bucket", "_rp_off")
+    )
 
 
 def parent_child_join(

@@ -1,0 +1,64 @@
+"""End-to-end crash-safety contract of the spark-submit job:
+
+- outputs are partitioned by `part` and written with dynamic overwrite, so
+  re-validating a partition REPLACES its rows (no duplicates, ever);
+- the manifest is saved after every batch, so a killed run loses at most
+  one batch of progress and --resume skips everything recorded.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs.validate import main as validate_main  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    from taco_toolbox_spark.datagen import generate_transcripts, write_corpus
+
+    d = tmp_path_factory.mktemp("cli_corpus")
+    corpus = generate_transcripts(spark, n_convs=150, seed=11, violation_denom=200)
+    write_corpus(corpus, str(d))
+    return str(d)
+
+
+def test_batched_run_resume_and_idempotency(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "out")
+    manifest_path = os.path.join(out, "manifest.json")
+    args = [
+        "--input", f"{corpus_dir}/transcripts",
+        "--baseline", f"{corpus_dir}/transcripts_baseline",
+        "--output", out,
+        "--batch-parts", "40",
+    ]
+    assert validate_main(args + ["--run-id", "r1"], stop_session=False) == 0
+
+    doc = json.load(open(manifest_path))
+    parts = sorted(doc["partitions"])
+    assert len(parts) >= 3
+    assert all(rec["status"] == "done" for rec in doc["partitions"].values())
+
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    n_verd, n_viol = verd.count(), viol.count()
+    # one verdict row per (part, check); no duplicates from batching
+    assert verd.groupBy("part", "check_id").count().filter("count > 1").count() == 0
+
+    # simulate a crash AFTER a partition's data write but BEFORE its
+    # manifest record: drop the last partition's record and resume —
+    # dynamic overwrite must replace that partition's rows, not append
+    doc["partitions"].pop(parts[-1])
+    json.dump(doc, open(manifest_path, "w"))
+    assert validate_main(args + ["--resume", "--run-id", "r1"], stop_session=False) == 0
+
+    assert spark.read.parquet(os.path.join(out, "verdicts")).count() == n_verd
+    assert spark.read.parquet(os.path.join(out, "violations")).count() == n_viol
+
+    # fully-done resume is a no-op
+    assert validate_main(args + ["--resume", "--run-id", "r1"], stop_session=False) == 0
+    assert spark.read.parquet(os.path.join(out, "verdicts")).count() == n_verd
