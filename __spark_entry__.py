@@ -170,6 +170,19 @@ def q_stats_quantiles(spark, sf_dir):
     return s.select("column", "p25", "p50", "p75", "p95")
 
 
+def q_j4_position_pattern(spark, sf_dir):
+    """J4/PIT per-position pattern: the modal (returnflag, linestatus)
+    tuple at each lineitem position within its order — the reference's
+    per-position (id, type) schema extraction re-expressed as a
+    count + deterministic argmax (_metadata.py:413-423, :452-509)."""
+    from taco_toolbox_spark.operators.hierarchy import per_position_pattern
+
+    li = _t(spark, sf_dir, "lineitem")
+    return per_position_pattern(
+        li, "l_linenumber", ["l_returnflag", "l_linestatus"]
+    )
+
+
 def q_extent_by_type(spark, sf_dir):
     """A5/A6 extents: temporal min/max + count per event_type."""
     from taco_toolbox_spark.operators.extents import temporal_extent
@@ -476,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v10_range": q_v10_range,
         "stats_profile": q_stats_profile,
         "stats_quantiles": q_stats_quantiles,
+        "j4_position_pattern": q_j4_position_pattern,
         "extent_by_type": q_extent_by_type,
         "a9_distribution": q_a9_distribution,
         "a4_top1": q_a4_top1,
@@ -682,6 +696,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
+        "j4_position_pattern": """
+            SELECT l_linenumber, l_returnflag, l_linestatus, n FROM (
+              SELECT l_linenumber, l_returnflag, l_linestatus,
+                     count(*) AS n,
+                     row_number() OVER (
+                       PARTITION BY l_linenumber
+                       ORDER BY count(*) DESC, l_returnflag, l_linestatus
+                     ) AS rk
+              FROM lineitem GROUP BY 1, 2, 3
+            ) WHERE rk = 1
+        """,
         "sim_near_dup": _sim_near_dup_oracle(),
         "v1_uniqueness": """
             SELECT user_id, event_type, count(*) AS n_dups

@@ -102,6 +102,65 @@ def child_count_signature(
     )
 
 
+def per_position_pattern(
+    child: DataFrame,
+    pos_col: str,
+    pattern_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """J4/V6 completion: the dominant (modal) value-tuple at each child
+    position — the reference's PIT per-position pattern, which picks a
+    canonical group and reads its (id, type) per position
+    (_metadata.py:364-386 `_process_level1`, :413-423 folder-position
+    filtering). Under the homogeneity guarantee the mode IS the canonical
+    pattern; with violations present it is the pattern the most groups
+    conform to (deviants surface via isomorphism_violations).
+
+    One groupBy(pos, cols) count (map-side combined) + a row_number over the
+    TINY counts frame (positions x distinct tuples), ties broken by value
+    order so the result is deterministic. Returns one row per position:
+    (pos_col, *pattern_cols, count_col)."""
+    counts = child.groupBy(pos_col, *pattern_cols).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    w = Window.partitionBy(pos_col).orderBy(
+        F.col(count_col).desc(), *[F.col(c) for c in pattern_cols]
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy(pos_col)
+    )
+
+
+def pit_schema(
+    levels: list[DataFrame],
+    pos_col: str,
+    pattern_cols: list[str],
+) -> dict:
+    """Assemble the reference's PIT schema dict
+    (_metadata.py:452-509 `generate_pit_schema`): root count plus, per
+    level, the per-position pattern. Each level's pattern is a tiny
+    aggregate (collected rows = positions), so driver-side assembly is
+    safe at any corpus size."""
+    if not levels:
+        raise ValueError("need at least one level DataFrame")
+    root = {"n": levels[0].count()}
+    hierarchy = {}
+    for depth, lvl in enumerate(levels[1:], 1):
+        rows = per_position_pattern(lvl, pos_col, pattern_cols).collect()
+        hierarchy[str(depth)] = [
+            {
+                "pos": r[pos_col],
+                **{c: r[c] for c in pattern_cols},
+                "n": r["n"],
+            }
+            for r in rows
+        ]
+    return {"root": root, "hierarchy": hierarchy}
+
+
 def isomorphism_violations(
     child: DataFrame, group_col: str, sig_cols: list[str], order_col: str
 ) -> DataFrame:

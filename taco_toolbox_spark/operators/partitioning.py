@@ -195,14 +195,51 @@ def greedy_pack_bins(
     )
 
 
+def partition_summaries(
+    df: DataFrame, keys: list[str], summary_cols: list[str] | None = None
+) -> DataFrame:
+    """S11: per-partition metadata table — row count plus min/max extents of
+    the summary columns, one row per key tuple. The Spark analog of the
+    reference FolderWriter's per-directory metadata
+    (_writers/folder_writer.py:52-108: local METADATA tables next to each
+    DATA folder): a reader navigates partition extents without scanning
+    data files. One map-side-combined aggregation; output is one row per
+    partition, so it stays tiny at any corpus size."""
+    if summary_cols is None:
+        summary_cols = [
+            f.name for f in df.schema.fields if f.name not in keys
+        ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in summary_cols:
+        aggs += [
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def write_partitioned_by_key(
-    df: DataFrame, out_dir: str, keys: list[str], max_records_per_file: int = 0
+    df: DataFrame,
+    out_dir: str,
+    keys: list[str],
+    max_records_per_file: int = 0,
+    with_summary: bool = False,
+    summary_cols: list[str] | None = None,
 ) -> None:
-    """S9: one directory per distinct key value."""
+    """S9: one directory per distinct key value. With ``with_summary``, a
+    sibling ``_summary`` dataset partitioned by the same keys carries each
+    partition's row count and column extents (S11) — written AFTER the data
+    so a summary's existence implies its partition's data landed."""
     w = df.write.mode("overwrite").partitionBy(*keys)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(out_dir)
+    if with_summary:
+        partition_summaries(df, keys, summary_cols).repartition(
+            *keys
+        ).write.mode("overwrite").partitionBy(*keys).parquet(
+            f"{out_dir}/_summary"
+        )
 
 
 def consolidate(

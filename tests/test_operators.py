@@ -82,6 +82,29 @@ def test_isomorphism(spark):
     assert [r["g"] for r in bad.collect()] == ["c"]
 
 
+def test_per_position_pattern_and_pit_schema(spark):
+    from taco_toolbox_spark.operators.hierarchy import (
+        per_position_pattern,
+        pit_schema,
+    )
+
+    # 3 groups isomorphic at (pos, t); group d deviates at pos 1
+    rows = [
+        (g, 0, "user", None) for g in "abc"
+    ] + [
+        (g, 1, "assistant", "search") for g in "abc"
+    ] + [("d", 0, "user", None), ("d", 1, "user", "code")]
+    df = spark.createDataFrame(rows, "g string, pos int, role string, tool string")
+    pat = per_position_pattern(df, "pos", ["role", "tool"]).collect()
+    assert [(r["pos"], r["role"], r["tool"], r["n"]) for r in pat] == [
+        (0, "user", None, 4),
+        (1, "assistant", "search", 3),
+    ]
+    schema = pit_schema([df.select("g").distinct(), df], "pos", ["role", "tool"])
+    assert schema["root"]["n"] == 4
+    assert schema["hierarchy"]["1"][1]["role"] == "assistant"
+
+
 def test_size_bins(spark):
     df = spark.createDataFrame(
         [(i, 40) for i in range(10)], "id int, sz int"
@@ -171,6 +194,24 @@ def test_greedy_pack_bins_global_never_exceeds_caps(spark):
     assert all(
         id_to_bin[i] <= id_to_bin[i + 1] for i in range(len(rows) - 1)
     )
+
+
+def test_partition_summary_roundtrip(spark, tmp_path):
+    from taco_toolbox_spark.operators.partitioning import write_partitioned_by_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0)],
+        "k string, id int, v double",
+    )
+    out = str(tmp_path / "sink")
+    write_partitioned_by_key(df, out, ["k"], with_summary=True)
+    # data round-trips
+    assert spark.read.parquet(out).count() == 3
+    # summary: one row per partition, extents match the data
+    s = {r["k"]: r for r in spark.read.parquet(f"{out}/_summary").collect()}
+    assert s["a"]["n_rows"] == 2 and s["b"]["n_rows"] == 1
+    assert s["a"]["v_min"] == "10.0" and s["a"]["v_max"] == "20.0"
+    assert s["b"]["id_min"] == "3"
 
 
 def test_consolidate_strict_and_loose(spark):
