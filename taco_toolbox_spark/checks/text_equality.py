@@ -19,13 +19,24 @@ from pyspark.sql import types as T
 
 
 @F.pandas_udf(T.BooleanType())
-def texts_equal(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized NULL-safe equality: NULL == NULL is True, NULL vs value
-    is False (matches a <=> comparison; kept as a pandas UDF per the
-    input_hint's vectorized-UDF requirement and as the extension point for
-    normalization — e.g. unicode NFC — without leaving Arrow batches)."""
+def _texts_equal_impl(a: pd.Series, b: pd.Series) -> pd.Series:
     na_a, na_b = a.isna(), b.isna()
     return (na_a & na_b) | (~na_a & ~na_b & (a == b))
+
+
+#: Vectorized NULL-safe equality: NULL == NULL is True, NULL vs value is
+#: False (matches a <=> comparison; kept as a pandas UDF per the
+#: input_hint's vectorized-UDF requirement and as the extension point for
+#: normalization — e.g. unicode NFC — without leaving Arrow batches).
+#:
+#: Marked non-deterministic ON PURPOSE (it is in fact deterministic): it
+#: forbids CombineFilters from collapsing the UDF filter into the JVM
+#: prefilter below it. Collapsed, ExtractPythonUDFs plants ArrowEvalPython
+#: UNDER the merged filter and the UDF evaluates on every joined row —
+#: measured 70s of a 106s validation pass at 16M turns, i.e. the prefilter
+#: silently dead. Non-deterministic, the prefilter stays a separate lower
+#: filter and only the ~0.1% sliver crosses into Python.
+texts_equal = _texts_equal_impl.asNondeterministic()
 
 
 def text_equality_violations(
@@ -37,21 +48,65 @@ def text_equality_violations(
     check_id: str = "text_equality",
 ) -> DataFrame:
     """Violation rows for turns whose text differs from the reference copy
-    (or that have no reference row at all)."""
+    (or that have no reference row at all).
+
+    The equality join shuffles 9-byte (is-null, xxhash64) text fingerprints
+    plus keys — never the text payload. On a shared-disk deployment the
+    full-text join's shuffle (~8 GB at 16M turns) is the suite's largest
+    IO and stops scaling exactly when parallelism rises (the disk is one);
+    fingerprints cut it ~6x. Texts are then fetched ONLY for the mismatch
+    sliver through EXPLICIT broadcast joins (sliver keys are small by the
+    0.1%-violation contract; an explicit hint because AQE's runtime
+    conversion was not reliable for the semi-join shape), deduplicated on
+    (keys, fingerprint) so duplicate-key rows keep the exact pair
+    multiplicity of a direct text join. The Arrow/pandas UDF judges only
+    the sliver (see texts_equal's non-determinism note). Equal hashes with
+    unequal texts (2^-64/pair) are the standard content-fingerprint trade.
+    """
     keys = list(key_cols)
-    ref = reference.select(
-        *keys, F.col(text_col).alias("_ref_text"), F.lit(True).alias("_ref_present")
+    c = F.col(text_col)
+    fp = F.xxhash64(F.coalesce(c, F.lit("")))
+    left = df.select(
+        partition_col, *keys, c.isNull().alias("_n"), fp.alias("_h")
     )
-    joined = df.select(partition_col, *keys, text_col).join(ref, keys, "left")
-    # JVM prefilter: raw-identical strings are semantically equal under any
-    # unifying normalization, so only rows failing the codegen'd null-safe
-    # equality (a ~0.1% sliver) reach the Arrow/pandas UDF — the UDF stays
-    # the semantic judge, but 99.9% of rows never leave the JVM.
-    candidates = joined.filter(
-        F.col("_ref_present").isNull() | ~F.col(text_col).eqNullSafe(F.col("_ref_text"))
+    right = reference.select(
+        *keys,
+        c.isNull().alias("_rn"),
+        fp.alias("_rh"),
+        F.lit(True).alias("_ref_present"),
     )
+    sliver = left.join(right, keys, "left").filter(
+        F.col("_ref_present").isNull()
+        | (F.col("_n") != F.col("_rn"))
+        | (F.col("_h") != F.col("_rh"))
+    )
+
+    # fetch texts for the sliver only: broadcast the tiny key set against
+    # the big tables (scan + probe, no text ever enters a shuffle); dedupe
+    # on (keys, fingerprint) keeps multiplicity exactly 1:1 per sliver row
+    # even when duplicate keys exist on either side
+    skeys = sliver.select(*keys).distinct()
+    got = (
+        df.select(*keys, text_col)
+        .join(F.broadcast(skeys), keys, "left_semi")
+        .withColumn("_h", fp)
+        .dropDuplicates(keys + ["_h"])
+    )
+    want = (
+        reference.select(*keys, c.alias("_ref_text"))
+        .join(F.broadcast(skeys), keys, "left_semi")
+        .withColumn(
+            "_rh", F.xxhash64(F.coalesce(F.col("_ref_text"), F.lit("")))
+        )
+        .dropDuplicates(keys + ["_rh"])
+    )
+    both = sliver.join(F.broadcast(got), keys + ["_h"], "left").join(
+        F.broadcast(want), keys + ["_rh"], "left"
+    )
+    # the UDF remains the semantic judge on the sliver; rows it deems equal
+    # (e.g. under a normalizing override) are dropped
     eq = texts_equal(F.col(text_col), F.col("_ref_text"))
-    bad = candidates.filter(
+    bad = both.filter(
         F.col("_ref_present").isNull() | ~F.coalesce(eq, F.lit(False))
     )
     return bad.select(

@@ -81,6 +81,16 @@ class EngineConfig:
 class ValidationResult:
     verdicts: DataFrame  # (part, check_id, passed, n_violations)
     violations: DataFrame  # (part, check_id, conv_id, turn_idx, detail)
+    #: input persisted by share_group_shuffle (None otherwise)
+    cached_input: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist everything this run cached (persist_violations,
+        share_group_shuffle) — call after the terminal action in long-lived
+        sessions so repeated runs don't accumulate executor storage."""
+        self.violations.unpersist()
+        if self.cached_input is not None:
+            self.cached_input.unpersist()
 
 
 def _viol(cfg: EngineConfig, df: DataFrame, check_id, detail, conv=None, turn=None):
@@ -398,9 +408,10 @@ def run_validation(
     cfg = cfg or EngineConfig()
     spark = df.sparkSession
 
+    cached_input = None
     if cfg.share_group_shuffle:
         n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        df = df.repartition(n, cfg.group_col).persist()
+        df = cached_input = df.repartition(n, cfg.group_col).persist()
 
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
@@ -506,7 +517,9 @@ def run_validation(
             (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
         )
     )
-    return ValidationResult(verdicts=verdicts, violations=violations)
+    return ValidationResult(
+        verdicts=verdicts, violations=violations, cached_input=cached_input
+    )
 
 
 def sample_violations(violations: DataFrame, k: int = 10) -> DataFrame:

@@ -21,13 +21,44 @@ def write_bucketed(
     n_buckets: int = 64,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (and optionally sorted) managed table. Sorting by
-    the in-group order column makes window passes sort-free per bucket."""
+    """Save as a bucketed (and optionally sorted) table. Sorting by the
+    in-group order column makes window passes sort-free per bucket. With
+    ``path`` the table is external: the bucketed files outlive the session
+    and a later session re-attaches via :func:`attach_bucketed` (the
+    in-memory catalog forgets table metadata at shutdown)."""
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Register an EXTERNAL bucketed table over files a previous session
+    wrote with :func:`write_bucketed` — the catalog entry is per-session,
+    the bucket layout is in the files. Idempotent."""
+    sort = (
+        f"SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {table} ({schema_ddl})
+            USING parquet
+            CLUSTERED BY ({', '.join(bucket_cols)}) {sort}
+            INTO {n_buckets} BUCKETS
+            LOCATION '{path}'"""
+    )
+    return spark.table(table)
 
 
 def bucketed_join_is_shuffle_free(

@@ -47,8 +47,28 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # keep partition columns as strings on read-back (stable verdict keys)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # a conv_id-bucketed table already co-locates (conv_id, turn_idx)
+        # join keys; with the default (true) Spark still inserts exchanges
+        # when the join keys are a superset of the bucket columns — relaxing
+        # makes the text-equality join and every per-conversation window
+        # exchange-free over bucketed corpora
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Long-lived sessions compile a new generated class per query (fresh
+        # expression ids defeat the codegen source cache); the JVM default
+        # 240m code cache fills after ~2-3 full validation passes and HotSpot
+        # silently stops JIT-compiling — measured 2-6x progressive slowdown
+        # across repeats, fully reproducible, gone with headroom. Metaspace
+        # likewise accumulates generated classes between GCs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=2g",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=2g",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
