@@ -94,7 +94,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     # rows instead of appending duplicates — a run killed between the data
     # writes and manifest.save() re-does only its unsaved batch and the
     # output stays exactly-once. The manifest is saved after every batch.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # The conf is restored on exit: with stop_session=False the session is
+    # shared, and later unrelated overwrite-mode writes must not silently
+    # inherit dynamic semantics.
+    _overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+    _overwrite_prev = spark.conf.get(_overwrite_key, None)
+    spark.conf.set(_overwrite_key, "dynamic")
     part_str = F.col(cfg.partition_col).cast("string")
     pending_parts = [
         r[0] for r in df.select(part_str.alias("p")).distinct().orderBy("p").collect()
@@ -104,45 +109,51 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     t0 = time.time()
     total_rows = 0
     n_failed = 0
-    for i in range(0, len(pending_parts), batch):
-        chunk = pending_parts[i : i + batch]
-        bt0 = time.time()
-        cdf = df.filter(part_str.isin(chunk))
-        res = run_validation(cdf, checks, cfg, baseline=ref)
-        for name, out in (
-            ("verdicts", res.verdicts),
-            ("violations", res.violations),
-        ):
-            out.repartition("part").write.mode("overwrite").partitionBy(
-                "part"
-            ).parquet(os.path.join(args.output, name))
-        column_stats(cdf, cfg.partition_col).repartition("part").write.mode(
-            "overwrite"
-        ).partitionBy("part").parquet(os.path.join(args.output, "stats"))
+    try:
+        for i in range(0, len(pending_parts), batch):
+            chunk = pending_parts[i : i + batch]
+            bt0 = time.time()
+            cdf = df.filter(part_str.isin(chunk))
+            res = run_validation(cdf, checks, cfg, baseline=ref)
+            for name, out in (
+                ("verdicts", res.verdicts),
+                ("violations", res.violations),
+            ):
+                out.repartition("part").write.mode("overwrite").partitionBy(
+                    "part"
+                ).parquet(os.path.join(args.output, name))
+            column_stats(cdf, cfg.partition_col).repartition("part").write.mode(
+                "overwrite"
+            ).partitionBy("part").parquet(os.path.join(args.output, "stats"))
 
-        verdict_rows = res.verdicts.collect()
-        by_part: dict[str, dict[str, int]] = {}
-        for r in verdict_rows:
-            by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
-        counts = {
-            r["p"]: r["n"]
-            for r in cdf.groupBy(part_str.alias("p"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        bsec = time.time() - bt0
-        for part in chunk:
-            manifest.record_partition(
-                part,
-                by_part.get(part, {}),
-                n_rows=counts.get(part, 0),
-                metrics={"batch_sec": round(bsec, 2)},
-            )
-        manifest.save()  # checkpoint AFTER the idempotent writes land
-        total_rows += sum(counts.values())
-        n_failed += sum(1 for r in verdict_rows if not r["passed"])
-        if cfg.persist_violations:
-            res.violations.unpersist()
+            verdict_rows = res.verdicts.collect()
+            by_part: dict[str, dict[str, int]] = {}
+            for r in verdict_rows:
+                by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
+            counts = {
+                r["p"]: r["n"]
+                for r in cdf.groupBy(part_str.alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            bsec = time.time() - bt0
+            for part in chunk:
+                manifest.record_partition(
+                    part,
+                    by_part.get(part, {}),
+                    n_rows=counts.get(part, 0),
+                    metrics={"batch_sec": round(bsec, 2)},
+                )
+            manifest.save()  # checkpoint AFTER the idempotent writes land
+            total_rows += sum(counts.values())
+            n_failed += sum(1 for r in verdict_rows if not r["passed"])
+            if cfg.persist_violations:
+                res.violations.unpersist()
+    finally:
+        if _overwrite_prev is None:
+            spark.conf.unset(_overwrite_key)
+        else:
+            spark.conf.set(_overwrite_key, _overwrite_prev)
 
     elapsed = time.time() - t0
     print(

@@ -54,6 +54,16 @@ VIOLATION_COLS = ("part", "check_id", "conv_id", "turn_idx", "detail")
 
 @dataclass
 class EngineConfig:
+    """Data contract: every window/aggregation pass is keyed by
+    ``(partition_col, group_col)`` — ONE shared exchange, and violation
+    attribution is always a single partition value. This assumes groups are
+    NESTED WITHIN partitions (a conversation never spans two partition
+    values — true for the transcript layout, where ``part`` is derived from
+    the conversation's start date). If a group DID span partitions, its
+    cross-partition duplicates/order regressions/contiguity breaks would not
+    be detected; run :func:`assert_groups_nested` first when ingesting a
+    layout that doesn't guarantee nesting by construction."""
+
     partition_col: str = "part"
     group_col: str = "conv_id"
     order_col: str = "turn_idx"
@@ -91,6 +101,27 @@ class ValidationResult:
         self.violations.unpersist()
         if self.cached_input is not None:
             self.cached_input.unpersist()
+
+
+def assert_groups_nested(df: DataFrame, cfg: EngineConfig) -> None:
+    """Verify the EngineConfig data contract: no group spans more than one
+    partition value. One cheap aggregation (map-side combined); raises with
+    an example offender. Call once when ingesting a layout that doesn't
+    guarantee group-in-partition nesting by construction."""
+    offender = (
+        df.groupBy(cfg.group_col)
+        .agg(F.countDistinct(cfg.partition_col).alias("n_parts"))
+        .filter(F.col("n_parts") > 1)
+        .first()
+    )
+    if offender is not None:
+        raise ValueError(
+            f"group {offender[cfg.group_col]!r} spans {offender['n_parts']} "
+            f"{cfg.partition_col!r} values — the engine's "
+            "(partition, group)-keyed passes require groups nested within "
+            "partitions; repartition the input or choose a coarser "
+            "partition_col"
+        )
 
 
 def _viol(cfg: EngineConfig, df: DataFrame, check_id, detail, conv=None, turn=None):

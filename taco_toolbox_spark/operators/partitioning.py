@@ -52,8 +52,12 @@ def _monotone_bucket(
         # bucket = number of boundaries strictly below this value; NULL keys
         # (sorted first by Spark) fall into bucket 0
         return F.size(F.filter(arr, lambda b: num > b))
-    # strings: a prefix is order-monotone (s1 < s2 => prefix(s1) <= prefix(s2))
-    return F.substring(c.cast("string"), 1, 8)
+    # strings: a prefix is order-monotone (s1 < s2 => prefix(s1) <= prefix(s2)).
+    # NULL keys coalesce to "" (sorts before every non-empty prefix, same
+    # bucket-0 semantics as the numeric path) — substring(NULL) would return
+    # NULL and the consumers' inner equi-join on the bucket would silently
+    # drop those rows.
+    return F.coalesce(F.substring(c.cast("string"), 1, 8), F.lit(""))
 
 
 def assign_size_bins(
@@ -146,12 +150,22 @@ def greedy_pack_bins(
         )
         group_cols = ["_gp_bucket"]
 
+    # Deterministic final tie-breaker: when order_cols do not uniquely order
+    # rows, mergesort ties resolve by shuffle arrival order — and the
+    # implicit path below evaluates the applyInPandas result TWICE (offset
+    # derivation + main branch), so nondeterministic ties could pack
+    # differently per evaluation. A content hash makes the sort total up to
+    # fully-identical rows, which are interchangeable in any packing.
+    tie_col = "_gp_tie"
+    sort_cols = [c for c in order_cols] + [tie_col]
+    df = df.withColumn(tie_col, F.xxhash64(*[F.col(c) for c in df.columns]))
+
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(bin_col, T.LongType())]
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(
             drop=True
         )
         sizes = pdf[size_col].to_numpy()
@@ -172,12 +186,13 @@ def greedy_pack_bins(
 
     packed = df.groupBy(*group_cols).applyInPandas(pack, schema=out_schema)
     if not implicit:
-        return packed
+        return packed.drop(tie_col)
 
     # make per-bucket local bin ids global: offset by the cumulative number
-    # of bins in all earlier buckets (tiny table; bucket packing is a pure
-    # deterministic function of the input, so recomputing the map stage for
-    # this aggregate cannot diverge from the main branch)
+    # of bins in all earlier buckets (tiny table; the content-hash
+    # tie-breaker makes bucket packing a pure deterministic function of the
+    # input, so recomputing the map stage for this aggregate cannot diverge
+    # from the main branch)
     counts = packed.groupBy("_gp_bucket").agg(
         (F.max(bin_col) + 1).alias("_gp_nbins")
     )
@@ -191,7 +206,7 @@ def greedy_pack_bins(
     return (
         packed.join(F.broadcast(offsets), "_gp_bucket")
         .withColumn(bin_col, F.col(bin_col) + F.col("_gp_off"))
-        .drop("_gp_bucket", "_gp_off")
+        .drop("_gp_bucket", "_gp_off", tie_col)
     )
 
 

@@ -260,3 +260,32 @@ def test_distribution_and_vocab(spark):
         "v",
     ).first()
     assert top["g"] == "b" and top["total"] == 5
+
+
+def test_size_bins_null_string_order_key_not_dropped(spark):
+    # NULL string order keys must land in bucket "" (sorts first), not be
+    # dropped by the bucket equi-join; NULLs sort before every string, so
+    # they take the first bins
+    rows = [(None, 40), ("a", 40), ("b", 40), (None, 40)]
+    df = spark.createDataFrame(rows, "k string, sz int")
+    out = assign_size_bins(df, "sz", 100, ["k"], n_buckets=4).collect()
+    assert len(out) == 4  # nothing dropped
+    by_key = sorted((r["k"] is not None, r["bin_id"]) for r in out)
+    # two NULLs first (cum 0, 40 -> bin 0), then "a" (80 -> bin 0), "b" (120 -> bin 1)
+    assert [b for _, b in by_key] == [0, 0, 0, 1]
+
+
+def test_greedy_pack_bins_null_string_key_and_ties(spark):
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+
+    # NULL keys survive, and duplicate order keys pack deterministically
+    rows = [(None, 60), ("x", 60), ("x", 60), ("y", 60)]
+    df = spark.createDataFrame(rows, "k string, sz int")
+    out = greedy_pack_bins(df, "sz", ["k"], max_bin_size=100, n_buckets=4)
+    got = out.collect()
+    assert len(got) == 4
+    assert "_gp_tie" not in out.columns and "_gp_bucket" not in out.columns
+    sizes: dict = {}
+    for r in got:
+        sizes[r["bin_id"]] = sizes.get(r["bin_id"], 0) + r["sz"]
+    assert all(v <= 100 for v in sizes.values())
