@@ -321,20 +321,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dups (scale path; engine-specific hashes → no
-    SQL oracle, exactness covered in pytest vs brute-force jaccard)."""
+    """MinHash+LSH near-dups in md5 hash mode: the oracle replicates the
+    ENTIRE pipeline (52-bit md5 shingle hashes, 8x4 banding, bucket cap,
+    candidate-restricted exact-Jaccard verify) in DuckDB SQL, so recall and
+    precision of the banding itself are independently recomputed — no
+    corpus-dependent "banding always collides" assumption. The xxhash64
+    fast path is benchmarked separately (bench.py EXTRA_BENCH)."""
     from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, "text", "doc_id", n=3, threshold=0.2)
+    return minhash_near_duplicates(
+        d, "text", "doc_id", n=3, threshold=0.2, hash_fn="md5"
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dups via hamming-chunk blocking (rows-only check)."""
+    """SimHash near-dups via hamming-chunk blocking, md5 hash mode: the
+    oracle recomputes token hashes (first 64 md5 bits), per-bit sign sums,
+    16-bit-chunk blocking, bucket cap, and hamming verify in DuckDB SQL."""
     from taco_toolbox_spark.dedup.simhash import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "text", "doc_id", max_hamming=3)
+    return simhash_near_duplicates(
+        d, "text", "doc_id", max_hamming=3, hash_fn="md5"
+    )
 
 
 def q_sim_topk(spark, sf_dir):
@@ -598,24 +608,20 @@ def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> st
     """
 
 
-def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str:
-    """Exact 3-gram Jaccard pairs in DuckDB, optionally with the same
-    shingle-frequency cap the Spark path applies. Also serves as the
-    dedup_minhash oracle: every true pair in the test corpus has jaccard
-    >= 0.9, where the 8x4 banding collides deterministically, so the
-    LSH+verify output must EQUAL the exact result — the driver's hash
-    equality therefore checks recall, not just precision."""
+def _shingle_ctes(max_shingle_freq: int | None) -> str:
+    """Shared DuckDB CTEs: distinct 3-gram shingles per doc (mirror of
+    dedup.ngram.shingles), optional frequency cap."""
     cap = (
         f"""sh AS (
               SELECT sh0.* FROM sh0
               JOIN (SELECT s FROM sh0 GROUP BY s
                     HAVING count(*) <= {max_shingle_freq}) keep USING (s)
-            ),"""
+            )"""
         if max_shingle_freq is not None
-        else "sh AS (SELECT * FROM sh0),"
+        else "sh AS (SELECT * FROM sh0)"
     )
     return f"""
-            WITH tok AS (
+            tok AS (
               SELECT doc_id, string_split(text, ' ') w FROM documents
               WHERE len(string_split(text, ' ')) >= 3
             ),
@@ -626,6 +632,144 @@ def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str
               FROM tok
             ),
             {cap}
+    """
+
+
+def _minhash_oracle(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    max_bucket: int = 10_000,
+) -> str:
+    """Full pipeline replica of dedup.minhash.minhash_near_duplicates in
+    md5 hash mode: 52-bit md5 shingle hashes (bit-identical across
+    engines), per-doc minima, band buckets (band-value concat — equal iff
+    Spark's xxhash64-of-the-same-concat is equal), bucket-size cap,
+    candidate pairing, exact-Jaccard verification restricted to candidates.
+    Unlike an exact-Jaccard oracle, this checks the banding's actual recall
+    and precision with no corpus-dependent collision assumption."""
+    r = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(('0x' || substr(md5(s || '#{i}'), 1, 13))::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS bucket FROM mins"
+        for b in range(bands)
+    )
+    return f"""
+            WITH {_shingle_ctes(None)},
+            mins AS (
+              SELECT doc_id,
+                   {mins}
+              FROM sh GROUP BY doc_id
+            ),
+            buckets AS (
+              {band_rows}
+            ),
+            kept AS (
+              SELECT band, bucket FROM buckets
+              GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+            ),
+            bk AS (SELECT buckets.* FROM buckets JOIN kept USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            shared AS (
+              SELECT c.id_a, c.id_b, count(*) AS shared
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   shared::DOUBLE / (sa.n + sb.n - shared) AS jaccard
+            FROM shared p
+            JOIN sizes sa ON p.id_a = sa.doc_id
+            JOIN sizes sb ON p.id_b = sb.doc_id
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
+        """
+
+
+def _simhash_oracle(max_hamming: int = 3, max_bucket: int = 10_000) -> str:
+    """Full pipeline replica of dedup.simhash.simhash_near_duplicates in
+    md5 hash mode: whitespace tokens, first-64-md5-bits token hash (as two
+    32-bit halves — no BIGINT sign traps), per-bit ±1 sums, sign-bit
+    fingerprint as four 16-bit chunk keys, chunk-bucket cap, candidate
+    pairing, hamming = sum of per-chunk popcounts."""
+    bit_sums = ",\n                   ".join(
+        f"sum((({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) * 2 - 1) AS b{b}"
+        for b in range(64)
+    )
+    chunk_keys = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN b{c * 16 + r} > 0 THEN 1::BIGINT << {r} ELSE 0 END)"
+            for r in range(16)
+        )
+        + f") AS k{c}"
+        for c in range(4)
+    )
+    chunk_rows = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, k{c} AS key FROM cw" for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ca.k{c}, cb.k{c}))" for c in range(4))
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+              FROM tok
+            ),
+            sums AS (
+              SELECT doc_id,
+                   {bit_sums}
+              FROM h GROUP BY doc_id
+            ),
+            cw AS (
+              SELECT doc_id,
+                   {chunk_keys}
+              FROM sums
+            ),
+            cl AS (
+              {chunk_rows}
+            ),
+            kept AS (
+              SELECT chunk, key FROM cl
+              GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+            ),
+            clk AS (SELECT cl.* FROM cl JOIN kept USING (chunk, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM clk a JOIN clk b
+                ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT id_a, id_b, ({ham})::INT AS hamming
+              FROM cand
+              JOIN cw ca ON ca.doc_id = id_a
+              JOIN cw cb ON cb.doc_id = id_b
+            ) WHERE hamming <= {max_hamming}
+        """
+
+
+def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str:
+    """Exact 3-gram Jaccard pairs in DuckDB, optionally with the same
+    shingle-frequency cap the Spark path applies (dedup_ngram_jaccard
+    oracle; the minhash oracle is the pipeline replica above)."""
+    return f"""
+            WITH {_shingle_ctes(max_shingle_freq)},
             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
             shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -831,7 +975,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": _jaccard_oracle(max_shingle_freq=1000),
-        "dedup_minhash": _jaccard_oracle(max_shingle_freq=None),
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
         "sim_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (

@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 from .ngram import shingles
 
 
+def shingle_hash(i: int, hash_fn: str = "xxhash64") -> F.Column:
+    """Hash function i over the ``shingle`` column. "xxhash64" (default):
+    xxhash64(shingle, i) — fastest, Spark-only. "md5": the first 52 bits
+    (13 hex chars) of md5(shingle || '#' || i) — bit-identical to DuckDB's
+    ``('0x' || substr(md5(s || '#i'), 1, 13))::BIGINT``, so the entire
+    minhash+LSH pipeline can be replicated in oracle SQL by an independent
+    engine. 52 bits keep the value positive and exactly representable
+    everywhere; collision odds at 2^52 are irrelevant for min-hashing."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+    if hash_fn == "md5":
+        m = F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
+        return F.conv(F.substring(m, 1, 13), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def tune_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
     """(bands, rows_per_band) with bands*rows = num_hashes and the largest
     rows_per_band whose S-curve threshold (1/b)^(1/r) stays <= threshold
@@ -164,6 +180,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     max_bucket_size: int | None = 10_000,
     max_shingle_freq: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH-candidate generation + exact-Jaccard verification on candidate
     pairs only. Columns: id_a, id_b, jaccard (>= threshold).
@@ -171,7 +188,11 @@ def minhash_near_duplicates(
     ``max_shingle_freq`` (applied to BOTH signature and verification
     shingles, so the jaccard definition stays consistent) drops shingles
     shared by more than that many docs — the standard frequency cap that
-    bounds fan-out on stopword runs at corpus scale."""
+    bounds fan-out on stopword runs at corpus scale.
+
+    ``hash_fn="md5"`` switches to the engine-portable shingle hash (see
+    :func:`shingle_hash`) so the exact pipeline — signatures, banding,
+    bucket cap, verification — can be recomputed by DuckDB as an oracle."""
     rows_per_band = num_hashes // bands
     sh = shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
@@ -182,7 +203,7 @@ def minhash_near_duplicates(
         )
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(shingle_hash(i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*mins).select(

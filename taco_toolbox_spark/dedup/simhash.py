@@ -19,23 +19,54 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def _md5_halves(c) -> tuple[F.Column, F.Column]:
+    """(hi32, lo32) of the first 64 bits of md5(c) — an engine-portable
+    token hash: DuckDB's ``('0x' || substr(md5(x),1,8))::BIGINT`` computes
+    the identical value, so an md5-mode simhash pipeline can be replicated
+    bit-for-bit in oracle SQL (each half < 2^32, no sign issues)."""
+    m = F.md5(c)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return hi, lo
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash long): 64-bit simhash per document."""
+    """(id, simhash long): 64-bit simhash per document.
+
+    ``hash_fn``: "xxhash64" (default — fastest, Spark-only) or "md5"
+    (first 64 bits of md5, bit-identical to DuckDB's md5() so the whole
+    pipeline is independently recomputable by another engine; ~2x slower
+    token hashing, same everything else)."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+
+        def bit(b: int) -> F.Column:
+            return F.shiftright("h", b).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "md5":
+        hi, lo = _md5_halves(F.col("tok"))
+        tok = tok.withColumn("hi", hi).withColumn("lo", lo)
+
+        def bit(b: int) -> F.Column:
+            half = F.col("lo") if b < 32 else F.col("hi")
+            return F.shiftright(half, b % 32).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     # per-bit contribution: +1 if bit set else -1, branch-free
     # (2*bit - 1 instead of CASE WHEN: 64 CASE branches blow up the
     # whole-stage-codegen method size and fall back to interpreted)
     sums = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+        *[F.sum(bit(b) * 2 - 1).alias(f"b{b}") for b in range(bits)]
     )
     # balanced XOR reduction: a depth-64 chain makes Catalyst analysis and
     # codegen quadratic (20s one-time cost); a log-depth tree is instant
@@ -60,6 +91,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash) ≤ max_hamming, found via
     16-bit-chunk blocking (no cross join). Chunk buckets larger than
@@ -68,7 +100,7 @@ def simhash_near_duplicates(
     aliases, so the expensive 64-way simhash aggregation shuffles once and
     both join sides read the same exchange (ReusedExchange) — round 1
     persisted the signatures instead and leaked the cache."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_fn=hash_fn)
     chunks = sh.select(
         "id",
         "simhash",

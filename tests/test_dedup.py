@@ -96,3 +96,50 @@ def test_simhash_identical_and_near(docs):
     }
     assert pairs[(0, 1)] == 0
     assert (0, 3) in pairs  # near-dup within hamming 10
+
+
+def test_md5_halves_match_hashlib(spark):
+    # the engine-portable hash must equal python's md5 bit-for-bit
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.dedup.simhash import _md5_halves
+
+    words = ["fox", "Straße", "", "a b", "42"]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    hi, lo = _md5_halves(F.col("tok"))
+    got = {r["tok"]: (r["hi"], r["lo"]) for r in df.select("tok", hi.alias("hi"), lo.alias("lo")).collect()}
+    for w in words:
+        hx = hashlib.md5(w.encode("utf-8")).hexdigest()
+        assert got[w] == (int(hx[:8], 16), int(hx[8:16], 16)), w
+
+
+def test_simhash_md5_mode_finds_near_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=10, hash_fn="md5").collect()
+    }
+    assert got[(0, 1)] == 0  # exact dups: identical fingerprints
+    # case/whitespace variant: hamming 6, and some 16-bit chunk agrees
+    assert got[(0, 2)] == got[(1, 2)] > 0
+    assert (0, 4) not in got  # unrelated text is far
+
+
+def test_minhash_md5_mode_precision_and_certified_recall(docs):
+    # banding is probabilistic for mid-jaccard pairs (hash-family
+    # dependent), so the two modes' outputs need not coincide; what IS
+    # guaranteed for any hash family: jaccard-1.0 pairs collide in every
+    # band, and every emitted pair survives the exact-jaccard verify
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.2, max_shingle_freq=None).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.2, hash_fn="md5").collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert set(got) <= set(truth)  # precision: no false pairs
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-9
