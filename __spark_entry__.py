@@ -466,10 +466,55 @@ def q_skew_salted_agg(spark, sf_dir):
     )
 
 
+#: corpus dump consumed by the engine_verdicts DuckDB oracle — the path is
+#: versioned by the generation parameters so a parameter change can't reuse
+#: a stale dump
+_ORACLE_DUMP = "/tmp/spark_graft_oracle/c500_s42_d500"
+
+
+def _write_verdict_dump(spark) -> None:
+    import os
+
+    from taco_toolbox_spark.datagen import generate_transcripts
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    corpus.corrupted.write.mode("overwrite").parquet(f"{_ORACLE_DUMP}/transcripts")
+    corpus.clean.write.mode("overwrite").parquet(f"{_ORACLE_DUMP}/baseline")
+    with open(os.path.join(_ORACLE_DUMP, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def _ensure_verdict_dump() -> None:
+    """Make the corpus parquet available to DuckDB regardless of whether the
+    driver evaluates the Spark query or the oracle SQL first. Generation is
+    a deterministic pure-column-expression plan (datagen.py), so both sides
+    always see identical values."""
+    import os
+
+    if os.path.exists(os.path.join(_ORACLE_DUMP, "_DONE")):
+        return
+    from pyspark.sql import SparkSession
+
+    from taco_toolbox_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark(
+        "oracle_dump", master="local[8]", shuffle_partitions=8
+    )
+    _write_verdict_dump(spark)
+    if active is None:
+        spark.stop()
+
+
 def q_engine_verdicts(spark, sf_dir):
     """The full transcript validation battery on a deterministic synthetic
-    corpus (the engine's flagship; no SQL oracle — exactness is pytest's
-    job via the violation manifest)."""
+    corpus — the engine's flagship. Drift runs in "exact" mode (sort-based
+    type-7 percentiles) so the ENTIRE battery, drift included, is
+    independently recomputed by the DuckDB oracle over a parquet dump of
+    the same corpus; uniqueness/vocab/format/range/monotone/contiguity/
+    text-equality are plain SQL there."""
     from taco_toolbox_spark.checks import transcript_checks
     from taco_toolbox_spark.datagen import generate_transcripts
     from taco_toolbox_spark.engine import run_validation
@@ -477,7 +522,8 @@ def q_engine_verdicts(spark, sf_dir):
     corpus = generate_transcripts(
         spark, n_convs=500, seed=42, violation_denom=500
     )
-    checks = transcript_checks(reference=corpus.clean)
+    _write_verdict_dump(spark)
+    checks = transcript_checks(reference=corpus.clean, drift_method="exact")
     res = run_validation(corpus.corrupted, checks, baseline=corpus.clean)
     return (
         res.verdicts.groupBy("check_id")
@@ -785,6 +831,109 @@ def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str
         """
 
 
+def _engine_verdicts_oracle() -> str:
+    """Independent DuckDB recomputation of the flagship battery over the
+    corpus dump: every check re-expressed as SQL (window lag for monotone,
+    group-agg for contiguity, left join for text equality, quantile_cont
+    for exact drift), aggregated to the same
+    (check_id, n_violations, parts_failed) frame the engine emits."""
+    from taco_toolbox_spark.schema import (
+        CONV_ID_PATTERN,
+        ROLE_VOCAB,
+        TOOL_VOCAB,
+    )
+
+    roles = ", ".join(f"'{x}'" for x in ROLE_VOCAB)
+    tools = ", ".join(f"'{x}'" for x in TOOL_VOCAB)
+    check_ids = [
+        "unique_turn", "conv_id_format", "role_vocab", "tool_vocab",
+        "tool_iff_role", "text_not_null", "turn_idx_nonneg", "ts_not_null",
+        "ts_monotone", "turn_contiguous", "text_len_drift", "text_equality",
+    ]
+    values = ", ".join(f"('{c}')" for c in sorted(check_ids))
+    probes = "[0.1, 0.25, 0.5, 0.75, 0.9]"
+    return f"""
+        WITH t AS (
+          SELECT * FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+        ),
+        r AS (
+          SELECT * FROM read_parquet('{_ORACLE_DUMP}/baseline/*.parquet')
+        ),
+        row_v AS (
+          SELECT part, 'conv_id_format' AS check_id FROM t
+            WHERE NOT coalesce(regexp_matches(conv_id, '{CONV_ID_PATTERN}'), FALSE)
+          UNION ALL SELECT part, 'role_vocab' FROM t
+            WHERE NOT coalesce(role IN ({roles}), FALSE)
+          UNION ALL SELECT part, 'tool_vocab' FROM t
+            WHERE NOT coalesce(tool IN ({tools}), TRUE)
+          UNION ALL SELECT part, 'tool_iff_role' FROM t
+            WHERE NOT coalesce((role = 'tool') = (tool IS NOT NULL), FALSE)
+          UNION ALL SELECT part, 'text_not_null' FROM t WHERE text IS NULL
+          UNION ALL SELECT part, 'turn_idx_nonneg' FROM t
+            WHERE NOT coalesce(turn_idx >= 0, FALSE)
+          UNION ALL SELECT part, 'ts_not_null' FROM t WHERE ts IS NULL
+        ),
+        uniq_v AS (
+          SELECT part, 'unique_turn' AS check_id
+          FROM t GROUP BY part, conv_id, turn_idx HAVING count(*) > 1
+        ),
+        mono_v AS (
+          SELECT part, 'ts_monotone' AS check_id FROM (
+            SELECT part, ts,
+                   lag(ts) OVER (PARTITION BY part, conv_id
+                                 ORDER BY turn_idx) AS pts
+            FROM t)
+          WHERE pts > ts
+        ),
+        contig_v AS (
+          SELECT part, 'turn_contiguous' AS check_id
+          FROM t GROUP BY part, conv_id
+          HAVING NOT (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                      AND count(DISTINCT turn_idx) = count(*))
+        ),
+        texteq_v AS (
+          SELECT t.part, 'text_equality' AS check_id
+          FROM t LEFT JOIN r
+            ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx
+          WHERE r.conv_id IS NULL OR t.text IS DISTINCT FROM r.text
+        ),
+        bq AS (
+          SELECT quantile_cont(length(text), {probes}) AS q FROM r
+        ),
+        pq AS (
+          SELECT part, quantile_cont(length(text), {probes}) AS q
+          FROM t GROUP BY part
+        ),
+        drift_v AS (
+          SELECT part, 'text_len_drift' AS check_id FROM (
+            SELECT pq.part,
+                   list_max(list_transform(range(1, 6),
+                       i -> abs(pq.q[i] - bq.q[i])
+                            / greatest(abs(bq.q[i]), 1e-12))) AS dist
+            FROM pq, bq)
+          WHERE dist IS NULL OR isnan(dist) OR dist > 0.25
+        ),
+        allv AS (
+          SELECT * FROM row_v
+          UNION ALL SELECT * FROM uniq_v
+          UNION ALL SELECT * FROM mono_v
+          UNION ALL SELECT * FROM contig_v
+          UNION ALL SELECT * FROM texteq_v
+          UNION ALL SELECT * FROM drift_v
+        ),
+        checks(check_id) AS (VALUES {values}),
+        agg AS (
+          SELECT check_id, count(*) AS n, count(DISTINCT part) AS pf
+          FROM allv GROUP BY 1
+        )
+        SELECT c.check_id,
+               coalesce(a.n, 0)::BIGINT AS n_violations,
+               coalesce(a.pf, 0)::BIGINT AS parts_failed
+        FROM checks c LEFT JOIN agg a USING (check_id)
+        ORDER BY c.check_id
+    """
+
+
 def _lang_id_oracle() -> str:
     """DuckDB mirror of functions.text.lang_id, built from the SAME
     STOPWORDS constant so the two can't drift."""
@@ -817,7 +966,9 @@ def _lang_id_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_verdict_dump()
     return {
+        "engine_verdicts": _engine_verdicts_oracle(),
         "lang_id": _lang_id_oracle(),
         "stats_quantiles": """
             SELECT 'o_orderkey' AS column,

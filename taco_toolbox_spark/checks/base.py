@@ -107,7 +107,10 @@ class DriftCheck(Check):
     #: "approx" = JVM-side percentile_approx (Spark's own mergeable sketch,
     #: no Python in the path — the default/fast path); "tdigest" = the
     #: custom two-phase centroid sketch whose state is persistable into the
-    #: checkpoint manifest (checks/drift.py).
+    #: checkpoint manifest (checks/drift.py); "exact" = sort-based exact
+    #: percentiles (type-7 interpolation, identical to DuckDB quantile_cont)
+    #: so an independent engine can recompute the verdicts — for
+    #: verification corpora, not the 10^12-row path.
     method: str = "approx"
 
 
@@ -185,6 +188,7 @@ def range_check(
 def transcript_checks(
     reference: DataFrame | None = None,
     drift_baseline: Sequence[float] | None = None,
+    drift_method: str = "approx",
 ) -> list[Check]:
     """The constraint battery for the transcript table, one per reference
     validator family (SURVEY.md §2.9):
@@ -225,6 +229,7 @@ def transcript_checks(
             description="text length distribution vs baseline quantiles",
             value_expr="length(text)",
             baseline_quantiles=list(drift_baseline) if drift_baseline else None,
+            method=drift_method,
         ),
     ]
     if reference is not None:

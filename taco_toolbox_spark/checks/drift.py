@@ -202,6 +202,42 @@ def approx_global_quantiles(
     return list(row["q"]) if row and row["q"] is not None else [float("nan")] * len(probes)
 
 
+def exact_quantiles_by_partition(
+    df: DataFrame,
+    value_expr: str,
+    probes: Sequence[float],
+    partition_col: str = "part",
+) -> DataFrame:
+    """Exact per-partition quantiles via Spark's ``percentile`` (sort-based,
+    type-7 linear interpolation — the same definition DuckDB's
+    quantile_cont uses), so an independent engine can recompute the drift
+    verdicts bit-for-bit. Costs a per-partition sort of the values: the
+    oracle-replicable path for verification corpora; the mergeable-sketch
+    paths above remain the 10^12-row default."""
+    probes_sql = ", ".join(repr(float(p)) for p in probes)
+    return df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(
+        F.expr(
+            f"percentile(cast(({value_expr}) as double), array({probes_sql}))"
+        ).alias("q")
+    )
+
+
+def exact_global_quantiles(
+    df: DataFrame, value_expr: str, probes: Sequence[float]
+) -> list[float]:
+    probes_sql = ", ".join(repr(float(p)) for p in probes)
+    row = df.agg(
+        F.expr(
+            f"percentile(cast(({value_expr}) as double), array({probes_sql}))"
+        ).alias("q")
+    ).first()
+    return (
+        list(row["q"])
+        if row and row["q"] is not None
+        else [float("nan")] * len(probes)
+    )
+
+
 def drift_violations_approx(
     quantiles: DataFrame,
     baseline_quantiles: Sequence[float],

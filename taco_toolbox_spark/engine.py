@@ -44,6 +44,8 @@ from .checks.drift import (
     approx_quantiles_by_partition,
     drift_violations,
     drift_violations_approx,
+    exact_global_quantiles,
+    exact_quantiles_by_partition,
     global_quantiles,
     sketch_by_partition,
 )
@@ -484,6 +486,8 @@ def run_validation(
                 bq = global_quantiles(
                     baseline, c.value_expr, c.probes, cfg.drift_centroids
                 )
+            elif c.method == "exact":
+                bq = exact_global_quantiles(baseline, c.value_expr, c.probes)
             else:
                 bq = approx_global_quantiles(baseline, c.value_expr, c.probes)
         if c.method == "tdigest":
@@ -498,9 +502,14 @@ def run_validation(
                 drift_violations(sk, bq, c.probes, c.threshold, c.check_id)
             )
         else:
-            q = approx_quantiles_by_partition(
-                df, c.value_expr, c.probes, cfg.partition_col
-            )
+            if c.method == "exact":
+                q = exact_quantiles_by_partition(
+                    df, c.value_expr, c.probes, cfg.partition_col
+                )
+            else:
+                q = approx_quantiles_by_partition(
+                    df, c.value_expr, c.probes, cfg.partition_col
+                )
             pieces.append(
                 drift_violations_approx(q, bq, c.threshold, c.check_id)
             )
