@@ -122,6 +122,10 @@ class TextEqualityCheck(Check):
 
     reference: DataFrame | None = None
     text_col: str = "text"
+    #: True when df and reference share a storage layout (co-bucketed /
+    #: co-partitioned on the key): the key join is exchange-free, so the
+    #: direct single-scan plan beats the shuffle-avoiding fingerprint plan.
+    colocated: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +193,7 @@ def transcript_checks(
     reference: DataFrame | None = None,
     drift_baseline: Sequence[float] | None = None,
     drift_method: str = "approx",
+    colocated: bool = False,
 ) -> list[Check]:
     """The constraint battery for the transcript table, one per reference
     validator family (SURVEY.md §2.9):
@@ -238,6 +243,7 @@ def transcript_checks(
                 check_id="text_equality",
                 description="per-turn text equals clean reference",
                 reference=reference,
+                colocated=colocated,
             )
         )
     return checks

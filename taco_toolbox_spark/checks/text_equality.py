@@ -46,9 +46,19 @@ def text_equality_violations(
     text_col: str = "text",
     partition_col: str = "part",
     check_id: str = "text_equality",
+    colocated: bool = False,
 ) -> DataFrame:
     """Violation rows for turns whose text differs from the reference copy
     (or that have no reference row at all).
+
+    ``colocated=True`` selects the direct-join plan for inputs that share a
+    storage layout (both bucketed+sorted by the key, or co-partitioned): the
+    key join is exchange-free there, so carrying the text payload through it
+    is FREE and the whole fingerprint dance (hash both sides, join slivers,
+    re-scan both tables to fetch texts) collapses to ONE scan of each table
+    with an inline JVM inequality prefilter. Default False = the
+    fingerprint plan below, which stays right when the join must shuffle
+    (shuffling full text ~6x the bytes of a 9-byte fingerprint).
 
     The equality join shuffles 9-byte (is-null, xxhash64) text fingerprints
     plus keys — never the text payload. On a shared-disk deployment the
@@ -65,6 +75,44 @@ def text_equality_violations(
     """
     keys = list(key_cols)
     c = F.col(text_col)
+    if colocated:
+        joined = df.select(partition_col, *keys, text_col).join(
+            reference.select(
+                *keys,
+                c.alias("_ref_text"),
+                F.lit(True).alias("_ref_present"),
+            ),
+            keys,
+            "left",
+        )
+        # JVM prefilter: only the ~0.1% sliver (missing ref row or unequal
+        # text under null-safe <=>) ever reaches the Arrow batch; the UDF
+        # stays the semantic judge above it (see texts_equal's
+        # non-determinism note — the two filters must not merge)
+        sliver = joined.filter(
+            F.col("_ref_present").isNull() | ~c.eqNullSafe(F.col("_ref_text"))
+        )
+        eq = texts_equal(c, F.col("_ref_text"))
+        bad = sliver.filter(
+            F.col("_ref_present").isNull() | ~F.coalesce(eq, F.lit(False))
+        )
+        return bad.select(
+            F.col(partition_col).alias("part"),
+            F.lit(check_id).alias("check_id"),
+            F.col(keys[0]).cast("string").alias("conv_id"),
+            F.col(keys[1]).cast("int").alias("turn_idx"),
+            F.when(F.col("_ref_present").isNull(), F.lit("no reference row"))
+            .otherwise(
+                F.format_string(
+                    "text mismatch: got=%s want=%s",
+                    F.substring(F.coalesce(c, F.lit("<null>")), 1, 60),
+                    F.substring(
+                        F.coalesce(F.col("_ref_text"), F.lit("<null>")), 1, 60
+                    ),
+                )
+            )
+            .alias("detail"),
+        )
     fp = F.xxhash64(F.coalesce(c, F.lit("")))
     left = df.select(
         partition_col, *keys, c.isNull().alias("_n"), fp.alias("_h")

@@ -50,6 +50,7 @@ from .checks.drift import (
     sketch_by_partition,
 )
 from .checks.text_equality import text_equality_violations
+from .schema import literal_frame
 
 VIOLATION_COLS = ("part", "check_id", "conv_id", "turn_idx", "detail")
 
@@ -103,6 +104,25 @@ class ValidationResult:
         self.violations.unpersist()
         if self.cached_input is not None:
             self.cached_input.unpersist()
+
+    def summary(self) -> dict:
+        """Materialize the battery with ONE action and return headline
+        numbers: ``{"n_violations": int, "failed_part_checks": int}``.
+
+        The single aggregation over ``verdicts`` evaluates every check pass
+        exactly once (populating the violations cache when
+        ``persist_violations`` is set, so follow-up consumers — reports,
+        violation sinks — read cached rows). Compare the naive
+        count-then-aggregate protocol, which pays two full scheduler
+        round-trips for the same answer."""
+        row = self.verdicts.agg(
+            F.sum("n_violations").alias("nv"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("nf"),
+        ).first()
+        return {
+            "n_violations": int(row["nv"] or 0),
+            "failed_part_checks": int(row["nf"] or 0),
+        }
 
 
 def assert_groups_nested(df: DataFrame, cfg: EngineConfig) -> None:
@@ -522,6 +542,7 @@ def run_validation(
                 c.text_col,
                 cfg.partition_col,
                 c.check_id,
+                colocated=c.colocated,
             )
         )
 
@@ -540,7 +561,12 @@ def run_validation(
     parts = df.select(
         F.col(cfg.partition_col).cast("string").alias("part")
     ).distinct()
-    checks_df = spark.createDataFrame(
+    # literal_frame, NOT createDataFrame: the check registry is re-broadcast
+    # on every verdict action, and a Python-parallelize plan re-spawns Python
+    # workers each time (measured ~20s/action of zero-CPU wait on a loaded
+    # box); the literal projection evaluates JVM-side in microseconds
+    checks_df = literal_frame(
+        spark,
         [(c.check_id, c.description) for c in checks],
         "check_id string, description string",
     )

@@ -28,8 +28,12 @@ def categorical_distribution(
 def out_of_vocab(df: DataFrame, col: str, vocab: Sequence[str]) -> DataFrame:
     """A9's out-of-vocab error as violation rows: distinct values of ``col``
     not in the declared vocabulary, with counts (left_anti vs vocab)."""
+    from ..schema import literal_frame
+
     spark = df.sparkSession
-    vocab_df = spark.createDataFrame([(v,) for v in vocab], f"{col} string")
+    # JVM-literal frame: createDataFrame would plan a Python parallelize RDD
+    # that spawns Python workers on every (re-)evaluation of the broadcast
+    vocab_df = literal_frame(spark, [(v,) for v in vocab], f"{col} string")
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)

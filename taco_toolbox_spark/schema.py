@@ -106,6 +106,31 @@ def align_to_schema(df: DataFrame, expected: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def literal_frame(spark, rows: list[tuple], schema_ddl: str) -> DataFrame:
+    """Small literal DataFrame built ENTIRELY JVM-side (range + explode of a
+    literal struct array). ``spark.createDataFrame(local_rows)`` plans a
+    Python ``parallelize`` RDD whose every evaluation launches Python worker
+    processes — measured ~20s of pure worker-spawn wait per action on a
+    loaded box for a 12-row frame. A literal projection keeps re-evaluations
+    (e.g. a broadcast rebuilt per action) at JVM speed. Intended for
+    dimension slivers like check registries and vocabularies."""
+    names_types = [p.strip().split(None, 1) for p in schema_ddl.split(",")]
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for v, (n, t) in zip(row, names_types)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_s"))
+        .select("_s.*")
+    )
+
+
 def align_union(dfs: list[DataFrame]) -> DataFrame:
     """Union-with-null alignment across heterogeneous inputs (reference
     consolidation concat, tacocat.py:273-287): unionByName with
