@@ -53,6 +53,30 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_snapshot() -> tuple[int, int, int]:
+    with open("/proc/stat") as f:
+        t = list(map(int, f.readline().split()[1:]))
+    steal = t[7] if len(t) > 7 else 0
+    return sum(t), t[3] + t[4], steal  # total, idle+iowait, steal jiffies
+
+
+def _busy_steal_cores(
+    a: tuple[int, int, int], b: tuple[int, int, int]
+) -> tuple[float, float]:
+    """Machine-wide (busy cores, stolen cores) between two /proc/stat
+    snapshots. This VM's contention storms are HOST-side: co-tenant VMs
+    sharing physical cores inflate our guest-CPU per unit of work (the same
+    validation stage measured 215 vs 2966 CPU-s) and show partly as steal.
+    busy >> our local[k], or steal > ~0.5 cores, marks a poisoned repeat."""
+    dt = b[0] - a[0]
+    ncpu = os.cpu_count() or 1
+    if not dt:
+        return float("nan"), float("nan")
+    busy = ncpu * (1 - (b[1] - a[1]) / dt)
+    steal = ncpu * (b[2] - a[2]) / dt
+    return round(busy, 1), round(steal, 2)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -75,8 +99,6 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     synthetic transcript corpus with ~0.1% injected violations. The corpus
     is written once (not timed) and reused across parallelism levels so
     scaling runs see identical input."""
-    from pyspark.sql import functions as F
-
     from taco_toolbox_spark.checks import transcript_checks
     from taco_toolbox_spark.datagen import generate_transcripts, write_corpus
     from taco_toolbox_spark.engine import EngineConfig, run_validation
@@ -148,17 +170,25 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
         ref, "length(text)", (0.1, 0.25, 0.5, 0.75, 0.9)
     )
 
-    checks = transcript_checks(reference=ref, drift_baseline=baseline_q)
+    # colocated=True: corpus and baseline share the conv_id-bucketed layout,
+    # so the text-equality key join is exchange-free and the direct
+    # single-scan plan beats the shuffle-avoiding fingerprint plan
+    checks = transcript_checks(
+        reference=ref, drift_baseline=baseline_q, colocated=True
+    )
     from taco_toolbox_spark.stats import column_stats
 
-    # best-of-N with per-stage timings: the sandbox is a shared box (load
-    # swings 0-20), so a single repeat can be 3-4x slower than the plan's
-    # actual cost; the breakdown + loadavg in the artifact shows whether a
-    # slow number is contention or the engine
+    # best-of-N with per-stage timings: the sandbox is a shared box (the
+    # SAME stats job measured 6s and 303s in adjacent runs), so a single
+    # repeat can be wildly contention-poisoned; the per-repeat machine-wide
+    # busy-core sample + loadavg in the artifact shows whether a slow
+    # number is contention or the engine. Median is reported alongside
+    # best-of so the protocol's optimism is visible.
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     best = None
     best_stages = None
     all_secs = []
+    busy = []
     # Build the plans ONCE and re-execute them per repeat: a production
     # validator reuses its compiled plan across runs, and fresh plans per
     # repeat would re-pay whole-stage-codegen JIT compilation every time
@@ -168,45 +198,52 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     res = run_validation(df, checks, EngineConfig(persist_violations=True))
     stats_df = column_stats(df)
     plan_sec = round(time.time() - tp0, 3)
+    # early exit is deliberately DECOUPLED from any pass criterion
+    # (VERDICT r2): stop only when a repeat demonstrates margin_factor x
+    # the reporting target, so the reported number is never by construction
+    # "the first sample that passes"
+    target_tps = float(os.environ.get("BENCH_TARGET_TPS", "120000"))
+    margin = float(os.environ.get("BENCH_EARLY_EXIT_FACTOR", "1.5"))
     for _ in range(max(1, repeats)):
         load0 = os.getloadavg()[0]
         res.violations.persist()  # re-mark: unpersist below clears the flag
+        cpu0 = _cpu_snapshot()
         t0 = time.time()
-        t1 = t0
-        n_viol = res.violations.count()
-        t2 = time.time()
-        verd = res.verdicts.agg(
-            F.sum(F.when(~F.col("passed"), 1).otherwise(0))
-        ).first()[0]
-        t3 = time.time()
+        # ONE action evaluates the whole battery (violations cached as a
+        # side effect) and aggregates the verdict matrix
+        summary = res.summary()
+        t1 = time.time()
         # the north-star suite includes the single-pass column stats profile
         stats_df.write.format("noop").mode("overwrite").save()
-        t4 = time.time()
+        t2 = time.time()
         res.violations.unpersist()
-        sec = t4 - t0
+        sec = t2 - t0
         all_secs.append(round(sec, 3))
+        busy.append(_busy_steal_cores(cpu0, _cpu_snapshot()))
         if best is None or sec < best:
             best = sec
             best_stages = {
                 "plan_build_once": plan_sec,
-                "violations": round(t2 - t1, 3),
-                "verdicts": round(t3 - t2, 3),
-                "stats_profile": round(t4 - t3, 3),
+                "battery_summary": round(t1 - t0, 3),
+                "stats_profile": round(t2 - t1, 3),
                 "loadavg_at_start": round(load0, 2),
+                "machine_busy_cores": busy[-1][0],
+                "machine_steal_cores": busy[-1][1],
             }
-        # a quiet-box repeat already demonstrates the plan's real cost —
-        # don't burn wall-clock re-proving it (contended repeats, by
-        # contrast, need every chance to catch a quiet window)
-        if n_turns / best > float(os.environ.get("BENCH_TARGET_TPS", "120000")):
+        if n_turns / best > margin * target_tps:
             break
+    med = sorted(all_secs)[len(all_secs) // 2]
     return {
         "turns": n_turns,
         "sec": round(best, 3),
         "turns_per_sec": round(n_turns / best, 1),
-        "violations": n_viol,
-        "failed_part_checks": int(verd or 0),
+        "median_sec": round(med, 3),
+        "median_turns_per_sec": round(n_turns / med, 1),
+        "violations": summary["n_violations"],
+        "failed_part_checks": summary["failed_part_checks"],
         "repeats": len(all_secs),
         "repeat_secs": all_secs,
+        "repeat_busy_steal_cores": busy,
         "stages": best_stages,
     }
 
@@ -223,9 +260,17 @@ def main() -> None:
 
     # 4x cores: big joins get sanely-sized reduce tasks (1M-row tasks with a
     # text payload spill and serialize the suite); AQE coalesces the small
-    # ones back, so over-partitioning costs nothing
+    # ones back, so over-partitioning costs nothing.
+    # maxPartitionBytes 32m (vs the 128m cluster default): the bench corpus
+    # is 64 x ~15MB bucket files; at 128m they coalesce into ~16 UNEVEN scan
+    # groups — a single straggler wave at local[16] (measured max-task 19.8s
+    # vs 13.6s mean). 32m yields ~3 balanced waves. Cluster-side, where
+    # files are row-group-split at ~128MB, the default stands.
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=4 * int(cpus)
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=4 * int(cpus),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
     )
 
     queries: dict[str, float] = {}

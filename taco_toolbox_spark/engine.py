@@ -109,16 +109,24 @@ class ValidationResult:
         """Materialize the battery with ONE action and return headline
         numbers: ``{"n_violations": int, "failed_part_checks": int}``.
 
-        The single aggregation over ``verdicts`` evaluates every check pass
-        exactly once (populating the violations cache when
+        The single aggregation over ``violations`` evaluates every check
+        pass exactly once (populating the violations cache when
         ``persist_violations`` is set, so follow-up consumers — reports,
         violation sinks — read cached rows). Compare the naive
         count-then-aggregate protocol, which pays two full scheduler
-        round-trips for the same answer."""
-        row = self.verdicts.agg(
-            F.sum("n_violations").alias("nv"),
-            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("nf"),
-        ).first()
+        round-trips for the same answer. Deliberately NOT computed from
+        ``verdicts``: the full pass/fail matrix needs the distinct-partition
+        list, i.e. another scan of the input — a failed cell is any
+        (part, check) with >=1 violation, derivable from violations alone."""
+        row = (
+            self.violations.groupBy("part", "check_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").alias("nv"),
+                F.count(F.lit(1)).alias("nf"),
+            )
+            .first()
+        )
         return {
             "n_violations": int(row["nv"] or 0),
             "failed_part_checks": int(row["nf"] or 0),

@@ -1,8 +1,8 @@
 """Profile the validation bench's timed section with Spark event logs.
 
-Usage: python tools/profile_scaling.py <cpus> [n_convs]
+Usage: python tools/profile_scaling.py <cpus> [n_convs] [reps]
 Prints wall time per action plus, from the event log, per-stage
-(task count, sum task time, max task time, GC, shuffle, spill) so the
+(task count, sum task time, max task time, CPU, GC, shuffle, spill) so the
 non-scaling component of the N->4N efficiency gap is visible.
 """
 
@@ -18,10 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = sys.argv[1] if len(sys.argv) > 1 else "16"
 N_CONVS = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 LOGDIR = f"/tmp/sparklogs_{CPUS}_{int(time.time())}"
 os.makedirs(LOGDIR, exist_ok=True)
-
-from pyspark.sql import functions as F  # noqa: E402
 
 from taco_toolbox_spark.session import get_spark  # noqa: E402
 
@@ -56,7 +55,7 @@ ref = attach_bucketed(
 )
 n_turns = df.count()
 baseline_q = approx_global_quantiles(ref, "length(text)", (0.1, 0.25, 0.5, 0.75, 0.9))
-checks = transcript_checks(reference=ref, drift_baseline=baseline_q)
+checks = transcript_checks(reference=ref, drift_baseline=baseline_q, colocated=True)
 
 t0 = time.time()
 res = run_validation(df, checks, EngineConfig(persist_violations=True))
@@ -64,108 +63,91 @@ stats_df = column_stats(df)
 plan_sec = time.time() - t0
 
 timings = []
-for rep in range(2):
+for rep in range(REPS):
     res.violations.persist()
     t0 = time.time()
-    spark.sparkContext.setJobGroup(f"violations_r{rep}", "violations")
-    n_viol = res.violations.count()
+    spark.sparkContext.setJobGroup(f"battery_r{rep}", "battery")
+    s = res.summary()
     t1 = time.time()
-    spark.sparkContext.setJobGroup(f"verdicts_r{rep}", "verdicts")
-    verd = res.verdicts.agg(F.sum(F.when(~F.col("passed"), 1).otherwise(0))).first()[0]
-    t2 = time.time()
     spark.sparkContext.setJobGroup(f"stats_r{rep}", "stats")
     stats_df.write.format("noop").mode("overwrite").save()
-    t3 = time.time()
+    t2 = time.time()
     res.violations.unpersist()
     timings.append(
-        {
-            "rep": rep,
-            "violations": round(t1 - t0, 2),
-            "verdicts": round(t2 - t1, 2),
-            "stats": round(t3 - t2, 2),
-            "total": round(t3 - t0, 2),
-        }
+        {"rep": rep, "battery": round(t1 - t0, 2), "stats": round(t2 - t1, 2),
+         "total": round(t2 - t0, 2)}
     )
-    print(f"rep {rep}: {timings[-1]}  tput={n_turns/(t3-t0):,.0f} turns/s",
+    print(f"rep {rep}: {timings[-1]}  tput={n_turns/(t2-t0):,.0f} turns/s",
           file=sys.stderr, flush=True)
 
 spark.stop()
 
-# ---- parse event log ----
-stages = {}  # stage_id -> metrics
-jobs = {}  # job_id -> (group, stage_ids)
-for path in glob.glob(f"{LOGDIR}/*"):
-    with open(path) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            et = ev.get("Event")
-            if et == "SparkListenerJobStart":
-                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "?")
-                jobs[ev["Job ID"]] = (grp, ev.get("Stage IDs", []))
-            elif et == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                m = ev.get("Task Metrics") or {}
-                s = stages.setdefault(
-                    sid,
-                    {
-                        "n": 0, "run_ms": 0, "max_ms": 0, "gc_ms": 0,
-                        "cpu_ms": 0, "shuf_read_mb": 0.0, "shuf_write_mb": 0.0,
-                        "spill_mb": 0.0, "input_mb": 0.0, "deser_ms": 0,
-                        "ser_ms": 0, "py_ms": 0,
-                    },
-                )
-                rt = m.get("Executor Run Time", 0)
-                s["n"] += 1
-                s["run_ms"] += rt
-                s["max_ms"] = max(s["max_ms"], rt)
-                s["gc_ms"] += m.get("JVM GC Time", 0)
-                s["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
-                s["deser_ms"] += m.get("Executor Deserialize Time", 0)
-                s["ser_ms"] += m.get("Result Serialization Time", 0)
-                s["shuf_read_mb"] += (m.get("Shuffle Read Metrics") or {}).get(
-                    "Remote Bytes Read", 0
-                ) / 1e6 + (m.get("Shuffle Read Metrics") or {}).get(
-                    "Local Bytes Read", 0
-                ) / 1e6
-                s["shuf_write_mb"] += (m.get("Shuffle Write Metrics") or {}).get(
-                    "Shuffle Bytes Written", 0
-                ) / 1e6
-                s["spill_mb"] += m.get("Disk Bytes Spilled", 0) / 1e6
-                s["input_mb"] += (m.get("Input Metrics") or {}).get(
-                    "Bytes Read", 0
-                ) / 1e6
-            elif et == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages.setdefault(si["Stage ID"], {}).update(
-                    name=si["Stage Name"].split("\n")[0][:60],
-                    wall_ms=(si.get("Completion Time", 0) - si.get("Submission Time", 0)),
-                )
+# ---- parse event log (v2 dir, zstd-compressed events file) ----
+import pyarrow as pa  # noqa: E402
 
-stage_to_group = {}
-for jid, (grp, sids) in jobs.items():
-    for sid in sids:
-        stage_to_group[sid] = grp
+stages, jobs = {}, {}
 
+
+def _iter_lines():
+    for path in glob.glob(f"{LOGDIR}/**/events_*", recursive=True) + glob.glob(
+        f"{LOGDIR}/app-*"
+    ):
+        if path.endswith(".zstd"):
+            with pa.CompressedInputStream(pa.OSFile(path), "zstd") as f:
+                yield from f.read().decode().splitlines()
+        else:
+            with open(path) as f:
+                yield from f
+
+
+for line in _iter_lines():
+    try:
+        ev = json.loads(line)
+    except json.JSONDecodeError:
+        continue
+    et = ev.get("Event")
+    if et == "SparkListenerJobStart":
+        grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "?")
+        jobs[ev["Job ID"]] = (grp, ev.get("Stage IDs", []))
+    elif et == "SparkListenerTaskEnd":
+        sid = ev["Stage ID"]
+        m = ev.get("Task Metrics") or {}
+        s = stages.setdefault(
+            sid,
+            dict(n=0, run=0, mx=0, gc=0, cpu=0, shr=0.0, shw=0.0, spill=0.0, inp=0.0),
+        )
+        rt = m.get("Executor Run Time", 0)
+        s["n"] += 1
+        s["run"] += rt
+        s["mx"] = max(s["mx"], rt)
+        s["gc"] += m.get("JVM GC Time", 0)
+        s["cpu"] += m.get("Executor CPU Time", 0) // 1_000_000
+        sr = m.get("Shuffle Read Metrics") or {}
+        s["shr"] += (sr.get("Remote Bytes Read", 0) + sr.get("Local Bytes Read", 0)) / 1e6
+        s["shw"] += (m.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0) / 1e6
+        s["spill"] += m.get("Disk Bytes Spilled", 0) / 1e6
+        s["inp"] += (m.get("Input Metrics") or {}).get("Bytes Read", 0) / 1e6
+    elif et == "SparkListenerStageCompleted":
+        si = ev["Stage Info"]
+        st = stages.setdefault(si["Stage ID"], {})
+        st["name"] = si["Stage Name"].split("\n")[0][:40]
+        st["wall"] = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1e3
+
+s2g = {sid: g for _, (g, sids) in jobs.items() for sid in sids}
 print(f"\n== cpus={CPUS} n_turns={n_turns:,} plan_build={plan_sec:.2f}s ==")
 for t in timings:
     print(t)
 print(
-    f"\n{'stage':>5} {'group':<16} {'n':>4} {'wall_s':>7} {'sum_run_s':>9} "
-    f"{'max_s':>6} {'cpu_s':>7} {'gc_s':>5} {'in_mb':>7} {'sh_r':>6} "
-    f"{'sh_w':>6} {'spill':>6}  name"
+    f"{'st':>3} {'group':<12} {'n':>4} {'wall':>7} {'sumrun':>8} {'max':>6} "
+    f"{'cpu':>7} {'gc':>6} {'inMB':>6} {'shR':>5} {'shW':>5} {'spill':>5} name"
 )
 for sid in sorted(stages):
     s = stages[sid]
-    if "n" not in s:
+    if not s.get("n"):
         continue
     print(
-        f"{sid:>5} {stage_to_group.get(sid, '?')[:16]:<16} {s['n']:>4} "
-        f"{s.get('wall_ms', 0)/1e3:>7.2f} {s['run_ms']/1e3:>9.2f} "
-        f"{s['max_ms']/1e3:>6.2f} {s['cpu_ms']/1e3:>7.2f} "
-        f"{s['gc_ms']/1e3:>5.1f} {s['input_mb']:>7.0f} "
-        f"{s['shuf_read_mb']:>6.0f} {s['shuf_write_mb']:>6.0f} "
-        f"{s['spill_mb']:>6.0f}  {s.get('name','?')}"
+        f"{sid:>3} {s2g.get(sid, '?')[:12]:<12} {s['n']:>4} {s.get('wall', 0):>7.1f} "
+        f"{s['run'] / 1e3:>8.1f} {s['mx'] / 1e3:>6.1f} {s['cpu'] / 1e3:>7.1f} "
+        f"{s['gc'] / 1e3:>6.1f} {s['inp']:>6.0f} {s['shr']:>5.0f} {s['shw']:>5.0f} "
+        f"{s['spill']:>5.0f} {s.get('name', '?')}"
     )
