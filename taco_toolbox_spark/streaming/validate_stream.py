@@ -64,56 +64,220 @@ def windowed_verdicts(
     )
 
 
-def ordering_violations_stateful(
+#: state bitmap covers turn_idx < STATE_CAP (8 KiB per live conversation).
+#: Beyond it the conversation is marked overflowed: uniqueness/contiguity
+#: stop being tracked exactly (one stream_state_cap violation row is
+#:  emitted) while monotone-ts keeps running — bounded state is the
+#: streaming contract at 10^12-turn scale.
+STATE_CAP = 1 << 16
+
+
+def transcript_violations_stateful(
     stream_df: DataFrame,
     group_col: str = "conv_id",
     order_col: str = "turn_idx",
     ts_col: str = "ts",
-    check_id: str = "ts_monotone",
+    check_ids: tuple[str, ...] = ("ts_monotone", "unique_turn", "turn_contiguous"),
 ) -> DataFrame:
-    """Per-conversation monotone-ts check on a STREAM via
-    applyInPandasWithState: state carries (max_turn, max_ts) per
-    conversation so regressions are caught across micro-batches. Within a
-    batch the comparison is vectorized (pandas shift); only the boundary
-    row compares against state — no per-row Python loop."""
+    """The batch engine's per-conversation battery — monotone ts,
+    (group, order) uniqueness, order contiguity — on a STREAM via
+    applyInPandasWithState, so the streaming surface matches the batch
+    window/agg passes (VERDICT r2 #9).
+
+    Per-conversation state is BOUNDED: (last_turn, last_ts) for the
+    monotone boundary, plus two <=8 KiB bitmaps (turns seen, duplicates
+    already reported) for uniqueness/contiguity. Within a micro-batch all
+    comparisons are vectorized (pandas shift / numpy bitmap ops); only the
+    boundary row consults state — no per-row Python loop.
+
+    Emission semantics vs batch:
+    - ts_monotone / unique_turn rows are violations (passed=False), one
+      per offending (conv, turn); duplicates are reported once per key.
+      Monotone is exact when each conversation's turns ARRIVE in
+      turn-order across micro-batches (the transcript-ingestion contract);
+      a late-arriving lower turn is still checked for dup/contiguity.
+    - turn_contiguous emits a row only when the conversation's contiguity
+      STATUS changes (passed flips), with turn_idx NULL — the row with the
+      highest ``n_seen`` (rows seen so far; sinks don't preserve emission
+      order) is the conversation's current verdict; no row means
+      contiguous throughout. Like the batch check, duplicates break
+      contiguity (n_rows must equal distinct turns). Matches the batch
+      check on a bounded stream.
+    """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
         f"{group_col} string, {order_col} int, {ts_col} timestamp, "
-        "check_id string, detail string"
+        "check_id string, detail string, passed boolean, n_seen long"
     )
-    state_schema = "max_turn int, max_ts timestamp"
+    state_schema = (
+        "last_turn int, last_ts timestamp, seen binary, dup_seen binary, "
+        "n_rows long, contig_bad boolean, overflow boolean"
+    )
+    do_mono = "ts_monotone" in check_ids
+    do_uniq = "unique_turn" in check_ids
+    do_contig = "turn_contiguous" in check_ids
 
     def fn(key, pdf_iter, state: GroupState):
         (conv,) = key
         if state.exists:
-            max_turn, max_ts = state.get
+            last_turn, last_ts, seen_b, dup_b, n_rows, contig_bad, overflow = (
+                state.get
+            )
+            seen = np.frombuffer(seen_b, dtype=np.uint8).copy() if seen_b else None
+            dup = np.frombuffer(dup_b, dtype=np.uint8).copy() if dup_b else None
         else:
-            max_turn, max_ts = None, None
+            last_turn = last_ts = seen = dup = None
+            n_rows, contig_bad, overflow = 0, False, False
+
+        def _grow(arr, nbytes):
+            if arr is None:
+                return np.zeros(nbytes, dtype=np.uint8)
+            if len(arr) < nbytes:
+                return np.concatenate([arr, np.zeros(nbytes - len(arr), np.uint8)])
+            return arr
+
         for pdf in pdf_iter:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(order_col, kind="mergesort")
-            prev_ts = pdf[ts_col].shift()
-            if max_ts is not None and len(pdf):
-                prev_ts.iloc[0] = max_ts
-            bad = prev_ts > pdf[ts_col]
-            if bad.any():
-                v = pdf[bad]
-                yield pd.DataFrame(
-                    {
-                        group_col: v[group_col],
-                        order_col: v[order_col],
-                        ts_col: v[ts_col],
-                        "check_id": check_id,
-                        "detail": "ts regression (stateful)",
-                    }
+            n_rows += len(pdf)
+            frames = []
+
+            if do_mono:
+                prev_ts = pdf[ts_col].shift()
+                if last_ts is not None:
+                    prev_ts.iloc[0] = last_ts
+                bad = prev_ts > pdf[ts_col]
+                if bad.any():
+                    v = pdf[bad]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                group_col: v[group_col],
+                                order_col: v[order_col],
+                                ts_col: v[ts_col],
+                                "check_id": "ts_monotone",
+                                "detail": "ts regression (stateful)",
+                                "passed": False,
+                            }
+                        )
+                    )
+
+            idx = pdf[order_col].to_numpy()
+            if (do_uniq or do_contig) and not overflow:
+                if idx.max() >= STATE_CAP or idx.min() < 0:
+                    overflow = True
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                group_col: [conv],
+                                order_col: [int(idx.max())],
+                                ts_col: [pd.NaT],
+                                "check_id": ["stream_state_cap"],
+                                "detail": [
+                                    f"{order_col} outside [0, {STATE_CAP}) — "
+                                    "uniqueness/contiguity no longer tracked"
+                                ],
+                                "passed": False,
+                            }
+                        )
+                    )
+                else:
+                    nbytes = (int(idx.max()) >> 3) + 1
+                    seen = _grow(seen, nbytes)
+                    dup = _grow(dup, nbytes)
+                    byte_pos, bit = idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+                    # per-key flags (identical across a key's rows): seen in
+                    # a prior batch / already reported as duplicate — read
+                    # BEFORE setting this batch's bits
+                    was_set = (seen[byte_pos] & bit) != 0
+                    already = (dup[byte_pos] & bit) != 0
+                    np.bitwise_or.at(seen, byte_pos, bit)
+                    if do_uniq:
+                        s = pd.Series(idx)
+                        multi = s.map(s.value_counts()).to_numpy() > 1
+                        key_dup = was_set | multi
+                        if key_dup.any():
+                            # one representative row per newly-dup key
+                            rep = ~s.duplicated().to_numpy()
+                            fresh = key_dup & rep & ~already
+                            if fresh.any():
+                                v = pdf[fresh]
+                                frames.append(
+                                    pd.DataFrame(
+                                        {
+                                            group_col: v[group_col],
+                                            order_col: v[order_col],
+                                            ts_col: v[ts_col],
+                                            "check_id": "unique_turn",
+                                            "detail": "duplicate key (stateful)",
+                                            "passed": False,
+                                        }
+                                    )
+                                )
+                            np.bitwise_or.at(
+                                dup, byte_pos[key_dup], bit[key_dup]
+                            )
+
+            if do_contig and not overflow and seen is not None:
+                max_turn = int(
+                    max(idx.max(), last_turn if last_turn is not None else -1)
                 )
-            if len(pdf):
-                mt = int(pdf[order_col].max())
-                max_turn = mt if max_turn is None else max(max_turn, mt)
-                ts_max = pdf[ts_col].max()
-                max_ts = ts_max if max_ts is None else max(max_ts, ts_max)
-        state.update((max_turn, max_ts))
+                distinct = int(np.unpackbits(seen[: (max_turn >> 3) + 1]).sum())
+                # batch-identical invariant: min==0, max==n-1, distinct==n
+                # (duplicates break contiguity there too)
+                ok = (
+                    bool(seen[0] & 1)
+                    and distinct == max_turn + 1
+                    and n_rows == distinct
+                )
+                if ok == contig_bad:  # status flip (incl. first bad batch)
+                    contig_bad = not ok
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                group_col: [conv],
+                                order_col: [None],
+                                ts_col: [pd.NaT],
+                                "check_id": ["turn_contiguous"],
+                                "detail": [
+                                    f"idx not 0..n-1: n={n_rows} "
+                                    f"distinct={distinct} max={max_turn}"
+                                    if not ok
+                                    else "contiguity restored"
+                                ],
+                                "passed": ok,
+                            }
+                        )
+                    )
+
+            mt = int(idx.max())
+            if last_turn is None or mt >= last_turn:
+                last_turn = mt
+                # ts of the HIGHEST turn (not max ts): the next batch's
+                # boundary row must compare against its predecessor by
+                # turn order, matching the batch lag-window semantics
+                last_ts = pdf[ts_col].iloc[
+                    int(np.flatnonzero(idx == mt)[-1])
+                ]
+            for f in frames:
+                f["n_seen"] = n_rows
+                yield f
+
+        state.update(
+            (
+                last_turn,
+                last_ts,
+                seen.tobytes() if seen is not None else None,
+                dup.tobytes() if dup is not None else None,
+                n_rows,
+                contig_bad,
+                overflow,
+            )
+        )
 
     return (
         stream_df.select(group_col, order_col, ts_col)
@@ -122,6 +286,24 @@ def ordering_violations_stateful(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def ordering_violations_stateful(
+    stream_df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    check_id: str = "ts_monotone",
+) -> DataFrame:
+    """Monotone-ts-only stateful stream (kept as the minimal example; the
+    full battery is transcript_violations_stateful)."""
+    return transcript_violations_stateful(
+        stream_df,
+        group_col,
+        order_col,
+        ts_col,
+        check_ids=("ts_monotone",),
+    ).drop("passed", "n_seen")
 
 
 def run_ordering_smoke(
@@ -135,6 +317,32 @@ def run_ordering_smoke(
         .parquet(parquet_dir)
     )
     out = ordering_violations_stateful(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_battery_smoke(
+    spark,
+    parquet_dir: str,
+    query_name: str = "stream_battery",
+    max_files_per_trigger: int = 8,
+):
+    """Drive the full stateful battery (monotone/uniqueness/contiguity)
+    over a bounded parquet dir with the memory sink."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = transcript_violations_stateful(stream)
     q = (
         out.writeStream.outputMode("update")
         .format("memory")

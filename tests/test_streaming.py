@@ -46,3 +46,49 @@ def test_stateful_ordering_matches_batch(tmp_path, corpus, corrupted_pdf):
     bad = s[prev > s["ts"]]
     want = set(zip(bad.conv_id, bad.turn_idx))
     assert got == want and len(want) > 0
+
+
+def test_stateful_battery_matches_batch(tmp_path, corpus, corrupted_pdf):
+    """VERDICT r2 #9: the stateful stream must reproduce the batch
+    engine's per-conversation battery — monotone ts, (conv, turn)
+    uniqueness, turn contiguity — on the same bounded corpus."""
+    from taco_toolbox_spark.streaming.validate_stream import run_battery_smoke
+
+    path = str(tmp_path / "battery_in")
+    corpus.corrupted.write.mode("overwrite").parquet(path)
+    out = run_battery_smoke(
+        corpus.corrupted.sparkSession, path, query_name="t_battery"
+    ).toPandas()
+
+    # no conversation overflowed the bounded state
+    assert (out.check_id != "stream_state_cap").all()
+
+    # monotone: same keys as the batch lag-window pass
+    mono = out[out.check_id == "ts_monotone"]
+    s = corrupted_pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    prev = s.groupby("conv_id")["ts"].shift()
+    bad = s[prev > s["ts"]]
+    assert set(zip(mono.conv_id, mono.turn_idx)) == set(
+        zip(bad.conv_id, bad.turn_idx)
+    )
+
+    # uniqueness: one row per duplicated (conv, turn) key, matching batch
+    uniq = out[out.check_id == "unique_turn"]
+    sz = corrupted_pdf.groupby(["conv_id", "turn_idx"]).size()
+    want_dups = set(sz[sz > 1].index)
+    assert set(zip(uniq.conv_id, uniq.turn_idx)) == want_dups
+    assert len(uniq) == len(want_dups)  # reported exactly once per key
+
+    # contiguity: final status per conversation (highest n_seen row) must
+    # flag exactly the conversations failing the batch invariant
+    # min==0 & max==n-1 & distinct==n (duplicates break it there too)
+    contig = out[out.check_id == "turn_contiguous"]
+    final = contig.sort_values("n_seen").groupby("conv_id").tail(1)
+    flagged = set(final[~final.passed].conv_id)
+    g = corrupted_pdf.groupby("conv_id").turn_idx
+    bad_convs = {
+        conv
+        for conv, t in g
+        if not (t.min() == 0 and t.max() == len(t) - 1 and t.nunique() == len(t))
+    }
+    assert flagged == bad_convs and len(bad_convs) > 0
