@@ -204,28 +204,35 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     # "the first sample that passes"
     target_tps = float(os.environ.get("BENCH_TARGET_TPS", "120000"))
     margin = float(os.environ.get("BENCH_EARLY_EXIT_FACTOR", "1.5"))
+    from concurrent.futures import ThreadPoolExecutor
+
     for _ in range(max(1, repeats)):
         load0 = os.getloadavg()[0]
         res.violations.persist()  # re-mark: unpersist below clears the flag
         cpu0 = _cpu_snapshot()
         t0 = time.time()
-        # ONE action evaluates the whole battery (violations cached as a
-        # side effect) and aggregates the verdict matrix
-        summary = res.summary()
+        # the suite's two actions run CONCURRENTLY (a long-lived validator
+        # pipelines independent queries): one action's scheduler/AQE
+        # round-trips overlap the other's compute, so cores never idle at
+        # stage boundaries. Local mode shares one scheduler, as executors
+        # on a cluster would.
+        with ThreadPoolExecutor(2) as pool:
+            f_summary = pool.submit(res.summary)
+            f_stats = pool.submit(
+                lambda: stats_df.write.format("noop").mode("overwrite").save()
+            )
+            summary = f_summary.result()
+            f_stats.result()
         t1 = time.time()
-        # the north-star suite includes the single-pass column stats profile
-        stats_df.write.format("noop").mode("overwrite").save()
-        t2 = time.time()
         res.violations.unpersist()
-        sec = t2 - t0
+        sec = t1 - t0
         all_secs.append(round(sec, 3))
         busy.append(_busy_steal_cores(cpu0, _cpu_snapshot()))
         if best is None or sec < best:
             best = sec
             best_stages = {
                 "plan_build_once": plan_sec,
-                "battery_summary": round(t1 - t0, 3),
-                "stats_profile": round(t2 - t1, 3),
+                "battery_plus_stats_concurrent": round(sec, 3),
                 "loadavg_at_start": round(load0, 2),
                 "machine_busy_cores": busy[-1][0],
                 "machine_steal_cores": busy[-1][1],

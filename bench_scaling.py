@@ -137,8 +137,9 @@ North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
 Sandbox evidence: the SAME validation job (full transcript check battery:
 single-pass stats profile with quantiles, uniqueness, vocab, format,
 null/range, monotone-ts windows, contiguity, drift sketch, per-turn
-text-equality vs the clean baseline — ONE summary action + one stats
-action per repeat) on the SAME pre-materialized conv_id-bucketed corpus
+text-equality vs the clean baseline — one battery-summary action and one
+stats action submitted CONCURRENTLY per repeat, so scheduler round-trips
+overlap compute) on the SAME pre-materialized conv_id-bucketed corpus
 (~{best[levels[0]]['turns']:,} turns, ~0.1% injected violations,
 heavy-tail conversation lengths), at {len(levels)} parallelism levels in
 fresh JVMs, INTERLEAVED round-by-round so all levels sample the same
@@ -183,9 +184,11 @@ Method notes:
   turn_idx)) and reused, so all levels read identical bytes; the
   text-equality join and all per-conversation windows are exchange-free
   over this layout.
-- Per repeat the engine runs ONE battery-summary action (all checks, one
-  scheduler round-trip) + one stats-profile action; plans are built once
-  per JVM and re-executed, so repeats measure execution, not compilation.
+- Per repeat the engine submits the battery-summary action (all checks,
+  one scheduler round-trip) and the stats-profile action CONCURRENTLY (a
+  long-lived validator pipelines independent queries); plans are built
+  once per JVM and re-executed, so repeats measure execution, not
+  compilation.
 """
         )
     print(json.dumps(result))
