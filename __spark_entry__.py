@@ -325,8 +325,10 @@ def q_dedup_minhash(spark, sf_dir):
     ENTIRE pipeline (52-bit md5 shingle hashes, 8x4 banding, bucket cap,
     candidate-restricted exact-Jaccard verify) in DuckDB SQL, so recall and
     precision of the banding itself are independently recomputed — no
-    corpus-dependent "banding always collides" assumption. The xxhash64
-    fast path is benchmarked separately (bench.py EXTRA_BENCH)."""
+    corpus-dependent "banding always collides" assumption. md5 mode costs
+    ONE md5 per shingle (universal-hash permutations on its halves), so
+    the portable pipeline benches within noise of the xxhash64 fast
+    path."""
     from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -688,15 +690,26 @@ def _minhash_oracle(
     max_bucket: int = 10_000,
 ) -> str:
     """Full pipeline replica of dedup.minhash.minhash_near_duplicates in
-    md5 hash mode: 52-bit md5 shingle hashes (bit-identical across
-    engines), per-doc minima, band buckets (band-value concat — equal iff
-    Spark's xxhash64-of-the-same-concat is equal), bucket-size cap,
-    candidate pairing, exact-Jaccard verification restricted to candidates.
-    Unlike an exact-Jaccard oracle, this checks the banding's actual recall
-    and precision with no corpus-dependent collision assumption."""
+    md5 hash mode: ONE md5 per shingle split into 32-bit halves, the same
+    2-universal permutation family (identical inlined constants, p=2^31-1,
+    all arithmetic in BIGINT), per-doc minima, band buckets (band-value
+    concat — equal iff Spark's xxhash64-of-the-same-concat is equal),
+    bucket-size cap, candidate pairing, exact-Jaccard verification
+    restricted to candidates. Unlike an exact-Jaccard oracle, this checks
+    the banding's actual recall and precision with no corpus-dependent
+    collision assumption."""
+    from taco_toolbox_spark.dedup.minhash import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_C,
+        MINHASH_P,
+    )
+
     r = num_hashes // bands
     mins = ",\n                   ".join(
-        f"min(('0x' || substr(md5(s || '#{i}'), 1, 13))::BIGINT) AS h{i}"
+        f"min((({MINHASH_A[i]}*h1) % {MINHASH_P} + "
+        f"({MINHASH_B[i]}*h2) % {MINHASH_P} + {MINHASH_C[i]}) % {MINHASH_P})"
+        f" AS h{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n              UNION ALL ".join(
@@ -707,10 +720,16 @@ def _minhash_oracle(
     )
     return f"""
             WITH {_shingle_ctes(None)},
+            shh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                     ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+              FROM sh
+            ),
             mins AS (
               SELECT doc_id,
                    {mins}
-              FROM sh GROUP BY doc_id
+              FROM shh GROUP BY doc_id
             ),
             buckets AS (
               {band_rows}

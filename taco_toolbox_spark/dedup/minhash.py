@@ -34,19 +34,64 @@ from pyspark.sql import functions as F
 from .ngram import shingles
 
 
+#: 2-universal permutation family for the engine-portable ("md5") hash
+#: mode: p = 2^31 - 1 (Mersenne), h_i = (a_i*h1 % p + b_i*h2 % p + c_i) % p
+#: over the two 32-bit halves (h1, h2) of ONE md5 per shingle. All
+#: arithmetic fits signed 64-bit ((2^31-1)*(2^32-1) < 2^63-1), so DuckDB
+#: BIGINT computes the identical values with the same constants inlined.
+#: Round-2's md5 mode computed md5(shingle || '#' || i) per hash function —
+#: 32 md5 invocations per shingle, measured ~5x the whole-query cost.
+MINHASH_P = (1 << 31) - 1
+
+
+def _perm_constants(k: int) -> tuple[list[int], list[int], list[int]]:
+    """Deterministic permutation constants via a fixed 64-bit LCG — no RNG
+    state to ship; the oracle inlines the same integers as SQL literals."""
+    a: list[int] = []
+    b: list[int] = []
+    c: list[int] = []
+    x = 0x5EED5EED
+    for _ in range(k):
+        out = []
+        for _ in range(3):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            out.append(x)
+        a.append(out[0] % (MINHASH_P - 1) + 1)
+        b.append(out[1] % (MINHASH_P - 1) + 1)
+        c.append(out[2] % MINHASH_P)
+    return a, b, c
+
+
+MINHASH_A, MINHASH_B, MINHASH_C = _perm_constants(64)
+
+
+def add_portable_hash(sh: DataFrame) -> DataFrame:
+    """Append ``_h1``/``_h2``: the two 32-bit halves of ONE md5 per
+    shingle (DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT`` and
+    ``substr(md5(s), 9, 8)``), the shared base for every md5-mode hash
+    function — md5 runs once per shingle, not once per permutation."""
+    m = F.md5(F.col("shingle"))
+    return sh.withColumn(
+        "_h1", F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    ).withColumn("_h2", F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
+
+
 def shingle_hash(i: int, hash_fn: str = "xxhash64") -> F.Column:
-    """Hash function i over the ``shingle`` column. "xxhash64" (default):
-    xxhash64(shingle, i) — fastest, Spark-only. "md5": the first 52 bits
-    (13 hex chars) of md5(shingle || '#' || i) — bit-identical to DuckDB's
-    ``('0x' || substr(md5(s || '#i'), 1, 13))::BIGINT``, so the entire
-    minhash+LSH pipeline can be replicated in oracle SQL by an independent
-    engine. 52 bits keep the value positive and exactly representable
-    everywhere; collision odds at 2^52 are irrelevant for min-hashing."""
+    """Hash function i over the shingle row. "xxhash64" (default):
+    xxhash64(shingle, i) — fastest, Spark-only. "md5": the 2-universal
+    permutation over the md5 halves added by :func:`add_portable_hash`
+    (call it first) — bit-identical in any engine with 64-bit ints and
+    md5, so the entire minhash+LSH pipeline can be replicated in oracle
+    SQL."""
     if hash_fn == "xxhash64":
         return F.xxhash64(F.col("shingle"), F.lit(i))
     if hash_fn == "md5":
-        m = F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
-        return F.conv(F.substring(m, 1, 13), 16, 10).cast("long")
+        p = F.lit(MINHASH_P)
+        return (
+            (F.lit(MINHASH_A[i]) * F.col("_h1")) % p
+            + (F.lit(MINHASH_B[i]) * F.col("_h2")) % p
+            + F.lit(MINHASH_C[i])
+        ) % p
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
@@ -202,11 +247,12 @@ def minhash_near_duplicates(
             .filter(F.col("count") <= max_shingle_freq)
         )
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    hashed = add_portable_hash(sh) if hash_fn == "md5" else sh
     mins = [
         F.min(shingle_hash(i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("id").agg(*mins).select(
+    sig = hashed.groupBy("id").agg(*mins).select(
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
     cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket_size)
