@@ -77,7 +77,7 @@ def _busy_steal_cores(
     return round(busy, 1), round(steal, 2)
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -86,12 +86,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     out = {}
+    telemetry = {}
     for name in HEADLINE:
+        cpu0 = _cpu_snapshot()
         t0 = time.time()
         _noop_write(qs[name](spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
-        print(f"  bench {name}: {out[name]}s", file=sys.stderr, flush=True)
-    return out
+        # (machine busy cores, stolen cores) during the query: a number
+        # inflated by a host-side co-tenant storm carries its own evidence
+        telemetry[name] = list(_busy_steal_cores(cpu0, _cpu_snapshot()))
+        print(
+            f"  bench {name}: {out[name]}s busy/steal={telemetry[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
+    return out, telemetry
 
 
 def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
@@ -281,8 +290,9 @@ def main() -> None:
     )
 
     queries: dict[str, float] = {}
+    q_telemetry: dict = {}
     if only != "validation":
-        queries = bench_queries(spark, sf_dir)
+        queries, q_telemetry = bench_queries(spark, sf_dir)
     validation = bench_validation(spark, data_dir, turns)
     total = round(sum(queries.values()) + validation["sec"], 3)
 
@@ -294,6 +304,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_busy_steal_cores": q_telemetry,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "validation": validation,
                 "cpus": int(cpus),
