@@ -328,6 +328,82 @@ def run_ordering_smoke(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_text_equality(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    partition_col: str = "part",
+    check_id: str = "text_equality",
+) -> DataFrame:
+    """Per-turn text equality on a STREAM via a stream-static join: each
+    micro-batch joins against the static reference table and runs the same
+    colocated plan the batch engine uses (JVM null-safe inequality
+    prefilter under the Arrow UDF judge). Stateless — append-mode safe.
+    The fingerprint plan is NOT used here: its sliver re-fetch derives a
+    broadcast from the streaming side, which streaming forbids; the
+    stream-static join ships only the micro-batch through the join."""
+    from ..checks.text_equality import text_equality_violations
+
+    return text_equality_violations(
+        stream_df,
+        reference,
+        key_cols,
+        text_col,
+        partition_col,
+        check_id,
+        colocated=True,
+    )
+
+
+def stream_drift(
+    stream_df: DataFrame,
+    baseline_quantiles: list[float],
+    value_expr: str = "length(text)",
+    probes: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    threshold: float = 0.25,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    check_id: str = "text_len_drift",
+) -> DataFrame:
+    """Distribution drift on a STREAM: watermarked per-event-time-window
+    approx quantiles of ``value_expr`` (Spark's mergeable GK sketch — the
+    same sketch the batch engine's fast path uses) compared against the
+    stored baseline quantiles. One row per closed window:
+    (window_start, window_end, check_id, max_rel_dev, passed). Late rows
+    beyond the watermark are dropped by state eviction, exactly like the
+    windowed verdict counts."""
+    probes_arr = F.array(*[F.lit(float(p)) for p in probes])
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.percentile_approx(
+                F.expr(value_expr).cast("double"), probes_arr, 10_000
+            ).alias("q")
+        )
+    )
+    base = F.array(*[F.lit(float(b)) for b in baseline_quantiles])
+    # max over probes of |q_i - b_i| / max(|b_i|, 1)
+    rel = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            base,
+            lambda q, b: F.abs(q - b) / F.greatest(F.abs(b), F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.lit(check_id).alias("check_id"),
+        rel.alias("max_rel_dev"),
+        (rel <= F.lit(threshold)).alias("passed"),
+    )
+
+
 def run_battery_smoke(
     spark,
     parquet_dir: str,

@@ -92,3 +92,95 @@ def test_stateful_battery_matches_batch(tmp_path, corpus, corrupted_pdf):
         if not (t.min() == 0 and t.max() == len(t) - 1 and t.nunique() == len(t))
     }
     assert flagged == bad_convs and len(bad_convs) > 0
+
+
+def test_stream_text_equality_matches_batch(tmp_path, corpus):
+    """Stream-static join + the colocated equality plan must find exactly
+    the batch text-equality violations."""
+    from taco_toolbox_spark.checks.text_equality import text_equality_violations
+    from taco_toolbox_spark.streaming.validate_stream import stream_text_equality
+
+    spark = corpus.corrupted.sparkSession
+    path = str(tmp_path / "te_in")
+    corpus.corrupted.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    out = stream_text_equality(stream, corpus.clean)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_te_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT conv_id, turn_idx FROM t_te_stream").toPandas()
+    want = (
+        text_equality_violations(static, corpus.clean, colocated=True)
+        .select("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert set(zip(got.conv_id, got.turn_idx)) == set(
+        zip(want.conv_id, want.turn_idx)
+    )
+    assert len(want) > 0
+
+
+def test_stream_drift_matches_batch_windows(tmp_path, corpus):
+    """Watermarked windowed drift on the stream must flag the same
+    event-time windows as the identical aggregation run in batch."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.checks.drift import approx_global_quantiles
+    from taco_toolbox_spark.streaming.validate_stream import stream_drift
+
+    spark = corpus.corrupted.sparkSession
+    path = str(tmp_path / "drift_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    baseline = approx_global_quantiles(
+        corpus.clean, "length(text)", (0.1, 0.25, 0.5, 0.75, 0.9)
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    out = stream_drift(stream, baseline, window="1 day", watermark="1 day")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_drift_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_drift_stream").toPandas()
+    failed = {str(w.date()) for w in got[~got.passed].window_start}
+
+    # batch reference: same windowed agg + same verdict rule
+    probes = F.array(*[F.lit(p) for p in (0.1, 0.25, 0.5, 0.75, 0.9)])
+    base = F.array(*[F.lit(float(b)) for b in baseline])
+    rel = F.aggregate(
+        F.zip_with(
+            F.col("q"), base,
+            lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    batch = (
+        static.groupBy(F.window("ts", "1 day"))
+        .agg(F.percentile_approx(F.expr("length(text)").cast("double"), probes, 10_000).alias("q"))
+        .select(F.col("window.start").alias("ws"), (rel <= 0.25).alias("passed"))
+        .toPandas()
+    )
+    want_failed = {str(w.date()) for w in batch[~batch.passed].ws}
+    assert failed == want_failed
+    # the designated drifted partitions are distribution anomalies in the
+    # CLEAN data — the stream must catch them
+    assert set(corpus.drifted_parts) <= failed
