@@ -115,27 +115,43 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             bt0 = time.time()
             cdf = df.filter(part_str.isin(chunk))
             res = run_validation(cdf, checks, cfg, baseline=ref)
-            for name, out in (
-                ("verdicts", res.verdicts),
-                ("violations", res.violations),
-            ):
+
+            def _write(out, name):
                 out.repartition("part").write.mode("overwrite").partitionBy(
                     "part"
                 ).parquet(os.path.join(args.output, name))
-            column_stats(cdf, cfg.partition_col).repartition("part").write.mode(
-                "overwrite"
-            ).partitionBy("part").parquet(os.path.join(args.output, "stats"))
 
-            verdict_rows = res.verdicts.collect()
+            # Two concurrent phases instead of five sequential actions: a
+            # long-lived validator pipelines independent queries so one
+            # query's scheduler/AQE round-trips overlap another's compute.
+            # Phase 1: the violations write materializes the persisted
+            # battery; stats and row counts are independent scans.
+            # Phase 2 (cache now warm): the verdict matrix is written and
+            # collected — both read the cached violation sliver.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as pool:
+                f_viol = pool.submit(_write, res.violations, "violations")
+                f_stats = pool.submit(
+                    _write, column_stats(cdf, cfg.partition_col), "stats"
+                )
+                f_counts = pool.submit(
+                    lambda: cdf.groupBy(part_str.alias("p"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                f_viol.result()
+                f_stats.result()
+                counts = {r["p"]: r["n"] for r in f_counts.result()}
+            with ThreadPoolExecutor(2) as pool:
+                f_vw = pool.submit(_write, res.verdicts, "verdicts")
+                f_vc = pool.submit(res.verdicts.collect)
+                f_vw.result()
+                verdict_rows = f_vc.result()
+
             by_part: dict[str, dict[str, int]] = {}
             for r in verdict_rows:
                 by_part.setdefault(r["part"], {})[r["check_id"]] = int(r["n_violations"])
-            counts = {
-                r["p"]: r["n"]
-                for r in cdf.groupBy(part_str.alias("p"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
             bsec = time.time() - bt0
             for part in chunk:
                 manifest.record_partition(
