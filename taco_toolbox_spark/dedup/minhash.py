@@ -23,7 +23,10 @@ shingle explode is ~10x the input, so caching it at 100 TB means spilling
 Spark already reuses (byte-identical exchange => ReusedExchange).
 
 Each of the k hash functions is xxhash64(shingle, seed_i) — deterministic,
-no RNG state to ship.
+no RNG state to ship. The engine-portable "md5" mode instead computes ONE
+md5 per shingle and derives all k values from a 2-universal permutation
+family over its 32-bit halves (constants inlined in the DuckDB oracle
+SQL), so portability costs one digest, not k.
 """
 
 from __future__ import annotations
