@@ -147,27 +147,40 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in raw.schema.fields
     )
+    # bucket count SCALES WITH DATA (~250k turns per bucket): a fixed count
+    # quadruples per-task sort/join state as the corpus grows — measured
+    # 606k turns/s at 16M turns but 201k at 64M with 64 fixed buckets
+    # (1M-row bucket tasks spill); the warehouse rule is bytes-per-bucket,
+    # not bucket-count
+    n_buckets = max(64, (n_convs * 8) // 250_000)
     if not os.path.exists(bmark):
         for name in ("transcripts", "transcripts_baseline"):
             write_bucketed(
                 spark.read.parquet(f"{corpus_dir}/{name}"),
                 f"{name}_{tag}",
                 ["conv_id"],
-                64,
+                n_buckets,
                 ["conv_id", "turn_idx"],
                 path=f"{corpus_dir}/bucketed_{name}",
             )
         with open(bmark, "w") as f:
-            f.write("ok")
+            f.write(str(n_buckets))
+    else:
+        with open(bmark) as f:
+            marked = f.read().strip()
+        if marked.isdigit():
+            n_buckets = int(marked)
+        else:
+            n_buckets = 64  # corpora bucketed before this marker existed
     df = attach_bucketed(
         spark, f"transcripts_{tag}", f"{corpus_dir}/bucketed_transcripts",
-        schema_ddl, ["conv_id"], 64, ["conv_id", "turn_idx"],
+        schema_ddl, ["conv_id"], n_buckets, ["conv_id", "turn_idx"],
     )
     ref = attach_bucketed(
         spark,
         f"transcripts_baseline_{tag}",
         f"{corpus_dir}/bucketed_transcripts_baseline",
-        schema_ddl, ["conv_id"], 64, ["conv_id", "turn_idx"],
+        schema_ddl, ["conv_id"], n_buckets, ["conv_id", "turn_idx"],
     )
     n_turns = df.count()  # warm the scan; not part of the timed section
 
@@ -215,23 +228,36 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     margin = float(os.environ.get("BENCH_EARLY_EXIT_FACTOR", "1.5"))
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pipelining the suite's two actions (battery summary + stats) wins
+    # when their combined working set stays cache/bandwidth-resident: one
+    # query's scheduler/AQE round-trips overlap the other's compute
+    # (measured 35.6s -> 26.0s at 16M turns, local[16]). Past that point
+    # the two streaming scans thrash shared cache/memory bandwidth and
+    # SEQUENTIAL wins big (measured 106s vs 181s at 64M turns) — so the
+    # mode follows the corpus size unless BENCH_CONCURRENT forces it.
+    conc_env = os.environ.get("BENCH_CONCURRENT", "")
+    if conc_env:
+        concurrent = conc_env == "1"
+    else:
+        concurrent = n_turns <= 32_000_000
     for _ in range(max(1, repeats)):
         load0 = os.getloadavg()[0]
         res.violations.persist()  # re-mark: unpersist below clears the flag
         cpu0 = _cpu_snapshot()
         t0 = time.time()
-        # the suite's two actions run CONCURRENTLY (a long-lived validator
-        # pipelines independent queries): one action's scheduler/AQE
-        # round-trips overlap the other's compute, so cores never idle at
-        # stage boundaries. Local mode shares one scheduler, as executors
-        # on a cluster would.
-        with ThreadPoolExecutor(2) as pool:
-            f_summary = pool.submit(res.summary)
-            f_stats = pool.submit(
-                lambda: stats_df.write.format("noop").mode("overwrite").save()
-            )
-            summary = f_summary.result()
-            f_stats.result()
+        if concurrent:
+            with ThreadPoolExecutor(2) as pool:
+                f_summary = pool.submit(res.summary)
+                f_stats = pool.submit(
+                    lambda: stats_df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                summary = f_summary.result()
+                f_stats.result()
+        else:
+            summary = res.summary()
+            stats_df.write.format("noop").mode("overwrite").save()
         t1 = time.time()
         res.violations.unpersist()
         sec = t1 - t0
@@ -241,7 +267,8 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
             best = sec
             best_stages = {
                 "plan_build_once": plan_sec,
-                "battery_plus_stats_concurrent": round(sec, 3),
+                "battery_plus_stats": round(sec, 3),
+                "actions_concurrent": concurrent,
                 "loadavg_at_start": round(load0, 2),
                 "machine_busy_cores": busy[-1][0],
                 "machine_steal_cores": busy[-1][1],

@@ -45,13 +45,16 @@ from taco_toolbox_spark.stats import column_stats  # noqa: E402
 
 raw = spark.read.parquet(f"{corpus_dir}/transcripts")
 schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in raw.schema.fields)
+with open(os.path.join(corpus_dir, "_BUCKETED")) as f:
+    marked = f.read().strip()
+N_BUCKETS = int(marked) if marked.isdigit() else 64
 df = attach_bucketed(
     spark, f"transcripts_{tag}", f"{corpus_dir}/bucketed_transcripts",
-    schema_ddl, ["conv_id"], 64, ["conv_id", "turn_idx"],
+    schema_ddl, ["conv_id"], N_BUCKETS, ["conv_id", "turn_idx"],
 )
 ref = attach_bucketed(
     spark, f"transcripts_baseline_{tag}", f"{corpus_dir}/bucketed_transcripts_baseline",
-    schema_ddl, ["conv_id"], 64, ["conv_id", "turn_idx"],
+    schema_ddl, ["conv_id"], N_BUCKETS, ["conv_id", "turn_idx"],
 )
 n_turns = df.count()
 baseline_q = approx_global_quantiles(ref, "length(text)", (0.1, 0.25, 0.5, 0.75, 0.9))
