@@ -438,6 +438,66 @@ def q_a7_extent_union(spark, sf_dir):
     return union_extents(per)
 
 
+#: deterministic synthetic coordinates for the spatial operators (events
+#: carry no lon/lat): pure double arithmetic over event_id, so DuckDB
+#: derives bit-identical values from the same expressions
+_LON_SQL = "(event_id * 7919 % 36000) / 100.0 - 180.0"
+_LAT_SQL = "(event_id * 104729 % 18000) / 100.0 - 90.0"
+
+
+def _with_coords(ev):
+    lon = (F.col("event_id") * 7919 % 36000) / 100.0 - 180.0
+    lat = (F.col("event_id") * 104729 % 18000) / 100.0 - 90.0
+    return ev.select("event_id", lon.alias("lon"), lat.alias("lat"))
+
+
+def q_o1_zorder(spark, sf_dir):
+    """F7 Morton encode + F8 grid bucket + O1 z-order sort: the 20 events
+    with the smallest z-codes over deterministic synthetic coordinates.
+    The oracle replicates the log-depth magic-number bit spread
+    (functions/ids.py:_spread_bits) step-for-step in DuckDB BIGINT
+    arithmetic — same masks, same shifts."""
+    from taco_toolbox_spark.functions.ids import grid_bucket, morton_encode
+
+    pts = _with_coords(_t(spark, sf_dir, "events"))
+    return (
+        pts.select(
+            "event_id",
+            morton_encode(F.col("lon"), F.col("lat")).alias("zcode"),
+            grid_bucket(F.col("lat"), F.col("lon"), 10.0).alias("cell"),
+        )
+        .orderBy("zcode", "event_id")
+        .limit(20)
+    )
+
+
+def q_a5_extent(spark, sf_dir):
+    """A5 spatial extent with the reference's antimeridian rule: when the
+    points span both hemispheres wider than 180 degrees, keep the
+    sign-group with the larger longitude span (taco/datamodel.py:520-560).
+    One conditional aggregation; the oracle replicates the full rule."""
+    from taco_toolbox_spark.operators.extents import spatial_extent
+
+    return spatial_extent(_with_coords(_t(spark, sf_dir, "events")))
+
+
+def q_u1_align_union(spark, sf_dir):
+    """P4/U1 schema-align union: two projections with different column
+    sets union via unionByName(allowMissingColumns) — typed nulls fill the
+    gaps — then a per-type profile proves which side contributed what."""
+    from taco_toolbox_spark.schema import align_union
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_id", "event_type", "value")
+    b = ev.select("event_id", "event_type", "ts")
+    u = align_union([a, b])
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count("ts").alias("n_ts"),
+    )
+
+
 def q_pivot_by_day(spark, sf_dir):
     """Pivot via conditional aggregation: per-day counts of each event type."""
     ev = _t(spark, sf_dir, "events")
@@ -569,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "w4_sessionize": q_w4_sessionize,
         "a7_extent_union": q_a7_extent_union,
+        "o1_zorder": q_o1_zorder,
+        "a5_extent": q_a5_extent,
+        "u1_align_union": q_u1_align_union,
         "pivot_by_day": q_pivot_by_day,
         "skew_salted_agg": q_skew_salted_agg,
         "engine_verdicts": q_engine_verdicts,
