@@ -7,9 +7,10 @@ the DuckDB-equivalent SQL. Column names/aliases match exactly between both
 sides; float-bearing aggregates are computed through exact decimal sums (or
 integer-valued doubles) so the order-insensitive value hash is stable.
 
-Queries without an oracle entry (minhash/simhash/LSH/lang-id — they depend
-on engine-specific hash functions or pandas UDFs) get the driver's weaker
-rows-only check; their exactness is covered by pytest instead.
+Every query has an oracle entry. Engine-specific hash pipelines
+(minhash/simhash/LSH) are oracled in md5 portability mode via full DuckDB
+pipeline replicas (identical constants inlined on both sides); the Morton
+z-order oracle replicates the magic-number bit spread in BIGINT arithmetic.
 """
 
 from __future__ import annotations
@@ -1047,6 +1048,110 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _zorder_oracle() -> str:
+    """DuckDB mirror of functions.ids.morton_encode/grid_bucket: the same
+    log-depth magic-number bit spread (masks/shifts inlined from
+    _spread_bits, decimal form) chained through CTEs in BIGINT arithmetic,
+    then interleave, sort, limit — recomputed end-to-end, not assumed."""
+    scale = (1 << 21) - 1  # 2097151, morton_encode default bits=21
+    steps = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    spread = "".join(
+        f""",
+        s{shift} AS (
+          SELECT event_id, lon, lat,
+                 (x | (x << {shift})) & {mask} AS x,
+                 (y | (y << {shift})) & {mask} AS y
+          FROM {prev}
+        )"""
+        for (shift, mask), prev in zip(
+            steps, ["g"] + [f"s{s}" for s, _ in steps[:-1]]
+        )
+    )
+    return f"""
+        WITH pts AS (
+          SELECT event_id,
+                 {_LON_SQL} AS lon,
+                 {_LAT_SQL} AS lat
+          FROM events
+        ),
+        g AS (
+          SELECT event_id, lon, lat,
+                 CAST(round((lon + 180.0) / 360.0 * {scale}) AS BIGINT)
+                   & {scale} AS x,
+                 CAST(round((lat + 90.0) / 180.0 * {scale}) AS BIGINT)
+                   & {scale} AS y
+          FROM pts
+        ){spread}
+        SELECT event_id,
+               x | (y << 1) AS zcode,
+               printf('r%04d_c%04d',
+                      CAST(floor((lat + 90.0) / 10.0) AS INT),
+                      CAST(floor((lon + 180.0) / 10.0) AS INT)) AS cell
+        FROM s1
+        ORDER BY zcode, event_id
+        LIMIT 20
+    """
+
+
+def _a5_extent_oracle() -> str:
+    """DuckDB mirror of operators.extents.spatial_extent: one conditional
+    aggregation, then the antimeridian pick rule (crosses iff both sign
+    groups present AND full span > 180; keep the sign group with the larger
+    longitude span) — identical expression tree to the Spark side."""
+    return f"""
+        WITH pts AS (
+          SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ),
+        a AS (
+          SELECT min(lon) AS min_lon, max(lon) AS max_lon,
+                 min(lat) AS min_lat, max(lat) AS max_lat,
+                 min(CASE WHEN lon < 0 THEN lon END) AS w_min,
+                 max(CASE WHEN lon < 0 THEN lon END) AS w_max,
+                 min(CASE WHEN lon >= 0 THEN lon END) AS e_min,
+                 max(CASE WHEN lon >= 0 THEN lon END) AS e_max
+          FROM pts
+        ),
+        p AS (
+          SELECT *,
+                 (w_min IS NOT NULL AND e_min IS NOT NULL
+                  AND max_lon - min_lon > 180.0) AS crosses
+          FROM a
+        ),
+        q AS (
+          SELECT *,
+                 (crosses AND coalesce(w_max - w_min, -1.0)
+                              >= coalesce(e_max - e_min, -1.0)) AS pick_w
+          FROM p
+        )
+        SELECT CASE WHEN pick_w THEN w_min
+                    WHEN crosses THEN e_min ELSE min_lon END AS west,
+               CASE WHEN pick_w THEN w_max
+                    WHEN crosses THEN e_max ELSE max_lon END AS east,
+               min_lat AS south, max_lat AS north
+        FROM q
+    """
+
+
+_U1_ALIGN_UNION_ORACLE = """
+    WITH u AS (
+      SELECT event_id, event_type, value, CAST(NULL AS TIMESTAMP) AS ts
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value, ts
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_rows,
+           count(value) AS n_value, count(ts) AS n_ts
+    FROM u GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_verdict_dump()
     return {
@@ -1085,6 +1190,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk = 1
         """,
         "sim_near_dup": _sim_near_dup_oracle(),
+        "o1_zorder": _zorder_oracle(),
+        "a5_extent": _a5_extent_oracle(),
+        "u1_align_union": _U1_ALIGN_UNION_ORACLE,
         "v1_uniqueness": """
             SELECT user_id, event_type, count(*) AS n_dups
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
