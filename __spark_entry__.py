@@ -323,7 +323,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dups in md5 hash mode: the oracle replicates the
-    ENTIRE pipeline (52-bit md5 shingle hashes, 8x4 banding, bucket cap,
+    ENTIRE pipeline (2-universal permutations mod 2^31-1 over the two
+    32-bit md5 halves — one md5 per shingle, 8x4 banding, bucket cap,
     candidate-restricted exact-Jaccard verify) in DuckDB SQL, so recall and
     precision of the banding itself are independently recomputed — no
     corpus-dependent "banding always collides" assumption. md5 mode costs
@@ -336,6 +337,20 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_near_duplicates(
         d, "text", "doc_id", n=3, threshold=0.2, hash_fn="md5"
     )
+
+
+def q_dedup_minhash_default(spark, sf_dir):
+    """Bench-only twin of q_dedup_minhash on the LIBRARY-DEFAULT xxhash64
+    hash family (not registered in queries(): xxhash64 exists in no other
+    engine, so there is no honest oracle — correctness of the shared
+    banding/verify pipeline is carried by the md5-mode pipeline-replica
+    oracle plus pytest). Benched separately so the headline suite reports
+    the default fast path and the portable mode without conflating them
+    (VERDICT r3)."""
+    from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "text", "doc_id", n=3, threshold=0.2)
 
 
 def q_dedup_simhash(spark, sf_dir):

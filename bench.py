@@ -35,7 +35,8 @@ HEADLINE = [
     "stats_profile",
     "a9_distribution",
     "dedup_ngram_jaccard",
-    "dedup_minhash",
+    "dedup_minhash",          # md5 portability mode — the oracled pipeline
+    "dedup_minhash_default",  # library-default xxhash64 — the 100-TB path
     "sim_topk",
     "sim_near_dup",
     "text_stats",
@@ -88,9 +89,12 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     out = {}
     telemetry = {}
     for name in HEADLINE:
+        # bench-only twins (no oracle possible) live as q_<name> functions
+        # outside the queries() registry
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         cpu0 = _cpu_snapshot()
         t0 = time.time()
-        _noop_write(qs[name](spark, sf_dir))
+        _noop_write(fn(spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
         # (machine busy cores, stolen cores) during the query: a number
         # inflated by a host-side co-tenant storm carries its own evidence

@@ -36,6 +36,18 @@ SKETCH_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
+#: one floor for relative deviation everywhere (batch exact, batch approx,
+#: streaming) — a baseline quantile below 1 must not inflate the denominator.
+REL_DEV_FLOOR = 1e-12
+
+
+def rel_dev(a, b):
+    """|a - b| / max(|b|, floor): THE drift deviation definition, shared by
+    drift_violations_approx, the exact applyInPandas path (numpy mirror),
+    and streaming.stream_drift so the surfaces can't diverge."""
+    return F.abs(a - b) / F.greatest(F.abs(b), F.lit(REL_DEV_FLOOR))
+
+
 def compress_values(values: np.ndarray, n_centroids: int = 128):
     """Compress raw values into ≤ n_centroids (mean, weight) pairs by
     equal-weight bucketing of the sorted values."""
@@ -247,13 +259,7 @@ def drift_violations_approx(
     """Per-partition drift verdicts computed as column expressions over the
     per-partition quantile arrays (no Python)."""
     base = F.array(*[F.lit(float(b)) for b in baseline_quantiles])
-    dist = F.array_max(
-        F.zip_with(
-            F.col("q"),
-            base,
-            lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12)),
-        )
-    )
+    dist = F.array_max(F.zip_with(F.col("q"), base, rel_dev))
     judged = quantiles.select(
         "part",
         dist.alias("dist"),
@@ -291,7 +297,7 @@ def drift_violations(
             q = quantiles_from_centroids(
                 np.array(r["means"]), np.array(r["weights"]), probes_t
             )
-            denom = np.maximum(np.abs(base), 1e-12)
+            denom = np.maximum(np.abs(base), REL_DEV_FLOOR)
             dist = float(np.nanmax(np.abs(q - base) / denom)) if q.size else np.nan
             if np.isnan(dist) or dist > threshold:
                 out.append(

@@ -68,6 +68,15 @@ def _perm_constants(k: int) -> tuple[list[int], list[int], list[int]]:
 MINHASH_A, MINHASH_B, MINHASH_C = _perm_constants(64)
 
 
+def _ensure_perm_constants(k: int) -> None:
+    """Grow the precomputed family to >= k functions. The LCG stream is
+    fixed, so regenerating at a larger k keeps the existing prefix
+    bit-identical (oracles inlining the first 64 stay valid)."""
+    if k > len(MINHASH_A):
+        a, b, c = _perm_constants(k)
+        MINHASH_A[:], MINHASH_B[:], MINHASH_C[:] = a, b, c
+
+
 def add_portable_hash(sh: DataFrame) -> DataFrame:
     """Append ``_h1``/``_h2``: the two 32-bit halves of ONE md5 per
     shingle (DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT`` and
@@ -89,6 +98,7 @@ def shingle_hash(i: int, hash_fn: str = "xxhash64") -> F.Column:
     if hash_fn == "xxhash64":
         return F.xxhash64(F.col("shingle"), F.lit(i))
     if hash_fn == "md5":
+        _ensure_perm_constants(i + 1)
         p = F.lit(MINHASH_P)
         return (
             (F.lit(MINHASH_A[i]) * F.col("_h1")) % p

@@ -140,7 +140,7 @@ def decode_image(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
             "environment); use fake_decode_features() for pipeline tests"
         ) from e
 
-    schema = f"media_id long, pixels array<float>"
+    schema = "media_id long, pixels array<float>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -148,11 +148,26 @@ def decode_image(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
         import PIL.Image as Image
 
         for pdf in batches:
-            out = []
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                img = Image.open(io.BytesIO(blob)).resize((out_width, out_height))
-                out.append((mid, np.asarray(img, dtype=np.float32).ravel().tolist()))
-            yield pd.DataFrame(out, columns=["media_id", "pixels"])
+            # the codec call is per-image by API, but pixels land directly
+            # in one preallocated (n, h*w*c) float32 block — no Python
+            # float lists, null blobs yield null pixel rows
+            pix = np.zeros((len(pdf), out_height * out_width * 3), np.float32)
+            null = pdf["media"].isna().to_numpy()
+            for k, blob in enumerate(pdf["media"]):
+                if blob is None:
+                    continue
+                img = (
+                    Image.open(io.BytesIO(blob))
+                    .convert("RGB")
+                    .resize((out_width, out_height))
+                )
+                pix[k] = np.asarray(img, dtype=np.float32).ravel()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "pixels": [None if m else p for m, p in zip(null, pix)],
+                }
+            )
 
     return df.select("media_id", "media").mapInPandas(op, schema)
 
@@ -162,7 +177,9 @@ def fake_decode_features(
 ) -> DataFrame:
     """Deterministic stand-in for decode+embed: derives a fixed-size float
     vector from the blob bytes (hash-seeded). Same schema/batching as a real
-    decoder so downstream similarity/dedup operators are testable."""
+    decoder so downstream similarity/dedup operators are testable. A null
+    blob yields a NULL embedding (a missing media row must not acquire a
+    valid-looking vector); an empty blob yields the zero vector."""
     schema = "media_id long, embedding array<float>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,7 +188,8 @@ def fake_decode_features(
             # concatenated, per-blob chunk boundaries computed in closed
             # form (b[i] = i*(L//dim) + min(i, L%dim), np.array_split's
             # partition), chunk sums from one prefix-sum via fancy indexing
-            blobs = [b if b is not None else b"\x00" for b in pdf["media"]]
+            null = pdf["media"].isna().to_numpy()
+            blobs = [b if b is not None else b"" for b in pdf["media"]]
             lens = np.array([len(b) for b in blobs], dtype=np.int64)
             buf = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.float64)
             offs = np.concatenate([[0], np.cumsum(lens)])  # (n+1,)
@@ -189,10 +207,11 @@ def fake_decode_features(
                 vec = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0)
             norms = np.linalg.norm(vec, axis=1)
             vec = vec / np.where(norms == 0, 1.0, norms)[:, None]
+            emb = vec.astype(np.float32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
-                    "embedding": list(vec.astype(np.float32)),
+                    "embedding": [None if m else e for m, e in zip(null, emb)],
                 }
             )
 

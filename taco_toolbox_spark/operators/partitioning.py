@@ -27,6 +27,18 @@ _NUMERIC_KINDS = (
 )
 
 
+def _hashable_type(dt: T.DataType) -> bool:
+    """True when xxhash64/hash accepts the type: Spark disallows MapType
+    (SPARK-27619), at any nesting depth."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _monotone_bucket(
     df: DataFrame, first_order_col: str, n_buckets: int
 ) -> Column:
@@ -155,10 +167,15 @@ def greedy_pack_bins(
     # implicit path below evaluates the applyInPandas result TWICE (offset
     # derivation + main branch), so nondeterministic ties could pack
     # differently per evaluation. A content hash makes the sort total up to
-    # fully-identical rows, which are interchangeable in any packing.
+    # rows identical on every hashable column; such rows are interchangeable
+    # in any packing (and the per-bucket bin COUNTS the offset join consumes
+    # depend only on the (order, size) sequence, which the hash covers).
+    # xxhash64 rejects MapType (SPARK-27619), so map-bearing columns are
+    # excluded rather than failing the whole operator on generic schemas.
     tie_col = "_gp_tie"
     sort_cols = [c for c in order_cols] + [tie_col]
-    df = df.withColumn(tie_col, F.xxhash64(*[F.col(c) for c in df.columns]))
+    hashable = [f.name for f in df.schema.fields if _hashable_type(f.dataType)]
+    df = df.withColumn(tie_col, F.xxhash64(*[F.col(c) for c in hashable]))
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(bin_col, T.LongType())]

@@ -113,13 +113,20 @@ def literal_frame(spark, rows: list[tuple], schema_ddl: str) -> DataFrame:
     processes — measured ~20s of pure worker-spawn wait per action on a
     loaded box for a 12-row frame. A literal projection keeps re-evaluations
     (e.g. a broadcast rebuilt per action) at JVM speed. Intended for
-    dimension slivers like check registries and vocabularies."""
-    names_types = [p.strip().split(None, 1) for p in schema_ddl.split(",")]
+    dimension slivers like check registries and vocabularies.
+
+    ``schema_ddl`` is parsed with ``StructType.fromDDL`` so parameterized
+    types (``decimal(10,2)``, ``array<struct<...>>``) work; an empty
+    ``rows`` list returns a typed empty LocalRelation (an empty
+    ``F.array()`` would be NullType and break the star-expansion)."""
+    struct = T.StructType.fromDDL(schema_ddl)
+    if not rows:
+        return spark.createDataFrame([], struct)
     structs = [
         F.struct(
             *[
-                F.lit(v).cast(t).alias(n)
-                for v, (n, t) in zip(row, names_types)
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, struct.fields)
             ]
         )
         for row in rows

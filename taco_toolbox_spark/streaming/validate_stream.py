@@ -146,7 +146,30 @@ def transcript_violations_stateful(
             n_rows += len(pdf)
             frames = []
 
-            if do_mono:
+            # Null/negative order keys arrive from Arrow as float64 NaN /
+            # negatives and would poison the int bitmap math. Batch parity:
+            # they are turn_idx_nonneg violations (range_check null_ok=False)
+            # and are excluded from the mono/uniq/contig passes. They still
+            # count in n_rows, so contiguity goes bad — as in batch, where
+            # a null turn can't be part of 0..n-1.
+            bad_key = pdf[order_col].isna() | (pdf[order_col] < 0)
+            if bad_key.any():
+                v = pdf[bad_key]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            group_col: v[group_col],
+                            order_col: None,
+                            ts_col: v[ts_col],
+                            "check_id": "turn_idx_nonneg",
+                            "detail": "null or negative turn_idx (stateful)",
+                            "passed": False,
+                        }
+                    )
+                )
+                pdf = pdf[~bad_key]
+
+            if do_mono and len(pdf):
                 prev_ts = pdf[ts_col].shift()
                 if last_ts is not None:
                     prev_ts.iloc[0] = last_ts
@@ -166,9 +189,13 @@ def transcript_violations_stateful(
                         )
                     )
 
-            idx = pdf[order_col].to_numpy()
-            if (do_uniq or do_contig) and not overflow:
-                if idx.max() >= STATE_CAP or idx.min() < 0:
+            idx = (
+                pdf[order_col].to_numpy(dtype=np.int64)
+                if len(pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            if (do_uniq or do_contig) and not overflow and len(idx):
+                if idx.max() >= STATE_CAP:
                     overflow = True
                     frames.append(
                         pd.DataFrame(
@@ -178,7 +205,7 @@ def transcript_violations_stateful(
                                 ts_col: [pd.NaT],
                                 "check_id": ["stream_state_cap"],
                                 "detail": [
-                                    f"{order_col} outside [0, {STATE_CAP}) — "
+                                    f"{order_col} >= {STATE_CAP} — "
                                     "uniqueness/contiguity no longer tracked"
                                 ],
                                 "passed": False,
@@ -224,7 +251,10 @@ def transcript_violations_stateful(
 
             if do_contig and not overflow and seen is not None:
                 max_turn = int(
-                    max(idx.max(), last_turn if last_turn is not None else -1)
+                    max(
+                        idx.max() if len(idx) else -1,
+                        last_turn if last_turn is not None else -1,
+                    )
                 )
                 distinct = int(np.unpackbits(seen[: (max_turn >> 3) + 1]).sum())
                 # batch-identical invariant: min==0, max==n-1, distinct==n
@@ -254,8 +284,8 @@ def transcript_violations_stateful(
                         )
                     )
 
-            mt = int(idx.max())
-            if last_turn is None or mt >= last_turn:
+            mt = int(idx.max()) if len(idx) else None
+            if mt is not None and (last_turn is None or mt >= last_turn):
                 last_turn = mt
                 # ts of the HIGHEST turn (not max ts): the next batch's
                 # boundary row must compare against its predecessor by
@@ -384,14 +414,14 @@ def stream_drift(
             ).alias("q")
         )
     )
+    from ..checks.drift import rel_dev
+
     base = F.array(*[F.lit(float(b)) for b in baseline_quantiles])
-    # max over probes of |q_i - b_i| / max(|b_i|, 1)
+    # max over probes of |q_i - b_i| / max(|b_i|, floor) — the SAME rel_dev
+    # definition as drift_violations_approx, so batch and stream verdicts
+    # agree on baselines with sub-1 quantiles.
     rel = F.aggregate(
-        F.zip_with(
-            F.col("q"),
-            base,
-            lambda q, b: F.abs(q - b) / F.greatest(F.abs(b), F.lit(1.0)),
-        ),
+        F.zip_with(F.col("q"), base, rel_dev),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )

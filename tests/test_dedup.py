@@ -143,3 +143,22 @@ def test_minhash_md5_mode_precision_and_certified_recall(docs):
     assert set(got) <= set(truth)  # precision: no false pairs
     for k, v in got.items():
         assert abs(v - truth[k]) < 1e-9
+
+
+def test_minhash_md5_mode_beyond_precomputed_family(spark):
+    """ADVICE r3: hash_fn='md5' with num_hashes > 64 must extend the
+    permutation family on demand (IndexError before), and regeneration at
+    a larger k must keep the first-64 prefix bit-identical so inlined
+    oracle constants stay valid."""
+    from taco_toolbox_spark.dedup.minhash import (
+        MINHASH_A,
+        _perm_constants,
+        shingle_hash,
+    )
+
+    a64 = list(MINHASH_A[:64])
+    shingle_hash(80, hash_fn="md5")  # must not raise
+    assert len(MINHASH_A) >= 81
+    assert list(MINHASH_A[:64]) == a64
+    a100, _, _ = _perm_constants(100)
+    assert a100[:64] == a64

@@ -92,12 +92,22 @@ def test_byte_features_vectorized_parity(spark):
 
 def test_fake_decode_vectorized_parity(spark):
     """Chunk boundaries must match np.array_split exactly, including blobs
-    shorter than dim and null blobs."""
-    rows = [(0, None), (1, b"\x05"), (2, bytes(range(100))), (3, b"z" * 7)]
+    shorter than dim; a NULL blob must yield a NULL embedding (not a
+    valid-looking vector) and an empty blob the zero vector."""
+    rows = [
+        (0, None),
+        (1, b"\x05"),
+        (2, bytes(range(100))),
+        (3, b"z" * 7),
+        (4, b""),
+    ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     got = fake_decode_features(df, dim=16).toPandas().set_index("media_id")
     for mid, blob in rows:
-        a = np.frombuffer(blob or b"\x00", dtype=np.uint8).astype(np.float64)
+        if blob is None:
+            assert got.loc[mid, "embedding"] is None
+            continue
+        a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
         chunks = np.array_split(a, 16)
         vec = np.array([c.mean() if c.size else 0.0 for c in chunks])
         norm = np.linalg.norm(vec) or 1.0

@@ -289,3 +289,25 @@ def test_greedy_pack_bins_null_string_key_and_ties(spark):
     for r in got:
         sizes[r["bin_id"]] = sizes.get(r["bin_id"], 0) + r["sz"]
     assert all(v <= 100 for v in sizes.values())
+
+
+def test_greedy_pack_bins_map_column_schema(spark):
+    """ADVICE r3: xxhash64 rejects MapType (SPARK-27619); the tie-breaker
+    hash must skip map-bearing columns instead of failing the operator on
+    generic schemas."""
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+
+    rows = [(i, 40, {"k": str(i)}) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, sz long, props map<string,string>")
+    out = greedy_pack_bins(df, "sz", ["id"], max_bin_size=100, n_buckets=4)
+    rows_out = out.collect()
+    assert {r["id"]: r["props"] for r in rows_out} == {
+        i: {"k": str(i)} for i in range(30)
+    }
+    by_bin = {}
+    for r in rows_out:
+        by_bin.setdefault(r["bin_id"], []).append(r["sz"])
+    assert all(sum(s) <= 100 for s in by_bin.values())
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    got = {r["id"]: r["bin_id"] for r in rows_out}
+    assert all(got[i] <= got[i + 1] for i in range(29))

@@ -49,3 +49,25 @@ def test_align_union(spark):
     u = align_union([a, b])
     assert set(u.columns) == {"id", "a", "b"}
     assert u.count() == 2
+
+
+def test_literal_frame_empty_rows_and_parameterized_types(spark):
+    """ADVICE r3: empty rows must yield a typed empty frame (not a NullType
+    array star-expansion error), and parameterized DDL types must parse."""
+    from taco_toolbox_spark.schema import literal_frame
+
+    empty = literal_frame(spark, [], "name string, n int")
+    assert empty.count() == 0
+    assert [f.simpleString() for f in empty.schema.fields] == [
+        "name:string",
+        "n:int",
+    ]
+
+    dec = literal_frame(
+        spark,
+        [("a", "1.25", [1, 2]), ("b", "2.50", [])],
+        "k string, amount decimal(10,2), xs array<int>",
+    )
+    assert dec.schema["amount"].dataType.simpleString() == "decimal(10,2)"
+    rows = {r.k: (str(r.amount), list(r.xs)) for r in dec.collect()}
+    assert rows == {"a": ("1.25", [1, 2]), "b": ("2.50", [])}

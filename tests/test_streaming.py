@@ -184,3 +184,40 @@ def test_stream_drift_matches_batch_windows(tmp_path, corpus):
     # the designated drifted partitions are distribution anomalies in the
     # CLEAN data — the stream must catch them
     assert set(corpus.drifted_parts) <= failed
+
+
+def test_stateful_battery_null_and_negative_turn_idx(tmp_path, spark):
+    """ADVICE r3: Arrow hands nullable ints to pandas as float64/NaN — the
+    stateful battery must not crash on null or negative turn_idx. Such rows
+    become turn_idx_nonneg violations (batch parity: range_check with
+    null_ok=False), are excluded from the bitmap math, and still count
+    against contiguity."""
+    import datetime as dt
+
+    from taco_toolbox_spark.streaming.validate_stream import run_battery_smoke
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("conv_a", 0, t0),
+        ("conv_a", 1, t0 + dt.timedelta(seconds=1)),
+        ("conv_a", None, t0 + dt.timedelta(seconds=2)),
+        ("conv_a", 2, t0 + dt.timedelta(seconds=3)),
+        ("conv_a", -5, t0 + dt.timedelta(seconds=4)),
+        ("conv_b", 0, t0),
+        ("conv_b", 1, t0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    path = str(tmp_path / "nullturn_in")
+    df.repartition(1).write.mode("overwrite").parquet(path)
+
+    out = run_battery_smoke(spark, path, query_name="t_nullturn").toPandas()
+
+    nonneg = out[out.check_id == "turn_idx_nonneg"]
+    assert len(nonneg) == 2 and (nonneg.conv_id == "conv_a").all()
+    assert nonneg.turn_idx.isna().all()  # violation rows carry null turn_idx
+    assert not out.check_id.eq("stream_state_cap").any()
+
+    # conv_a: 5 rows but turns {0,1,2} -> contiguity bad; conv_b clean
+    contig = out[out.check_id == "turn_contiguous"]
+    final = contig.sort_values("n_seen").groupby("conv_id").tail(1)
+    assert set(final[~final.passed].conv_id) == {"conv_a"}
