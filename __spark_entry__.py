@@ -289,6 +289,68 @@ def q_w1_row_position(spark, sf_dir):
     ).select("event_id", "user_id", "pos")
 
 
+def q_w1_row_position_global(spark, sf_dir):
+    """W1 GLOBAL 0-based row position: the distributed prefix-count path
+    (per-bucket row_number over an order-monotone coarse bucket + broadcast
+    offset table — no single-task global window). The oracle is the
+    single-walk definition: row_number() OVER (ORDER BY event_id) - 1."""
+    from taco_toolbox_spark.operators.hierarchy import add_row_position
+
+    ev = _t(spark, sf_dir, "events")
+    return add_row_position(ev, ["event_id"], out_col="pos").select(
+        "event_id", "pos"
+    )
+
+
+def q_w3_greedy_pack(spark, sf_dir):
+    """W3/S8 greedy bin packing with the reference's exact semantics (open
+    a new bin when size OR count would overflow; create.py:454-478),
+    distributed per group. The oracle replays the identical sequential walk
+    as a DuckDB recursive CTE over per-user row numbers."""
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", (F.col("event_id") % 97 + 10).alias("sz")
+    )
+    return greedy_pack_bins(
+        ev,
+        "sz",
+        ["event_id"],
+        max_bin_size=200,
+        max_bin_count=4,
+        group_cols=["user_id"],
+    ).select("user_id", "event_id", "bin_id")
+
+
+_W1_GLOBAL_ORACLE = """
+    SELECT event_id,
+           row_number() OVER (ORDER BY event_id) - 1 AS pos
+    FROM events
+"""
+
+_W3_GREEDY_PACK_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, event_id % 97 + 10 AS sz,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    walk(user_id, rn, event_id, bin_id, cur_size, cur_count) AS (
+      SELECT user_id, rn, event_id, 0::BIGINT, sz, 1
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id,
+             CASE WHEN w.cur_count >= 4 OR w.cur_size + e.sz > 200
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.cur_count >= 4 OR w.cur_size + e.sz > 200
+                  THEN e.sz ELSE w.cur_size + e.sz END,
+             CASE WHEN w.cur_count >= 4 OR w.cur_size + e.sz > 200
+                  THEN 1 ELSE w.cur_count + 1 END
+      FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, bin_id FROM walk
+"""
+
+
 def q_w3_size_bins(spark, sf_dir):
     """W3/S8 running-total size bin packing (greedy ≤max-size packing)."""
     from taco_toolbox_spark.operators.partitioning import assign_size_bins
@@ -632,7 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_broadcast_enrich": q_j1_broadcast_enrich,
         "o4_topk": q_o4_topk,
         "w1_row_position": q_w1_row_position,
+        "w1_row_position_global": q_w1_row_position_global,
         "w3_size_bins": q_w3_size_bins,
+        "w3_greedy_pack": q_w3_greedy_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1206,6 +1270,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_near_dup": _sim_near_dup_oracle(),
         "o1_zorder": _zorder_oracle(),
+        "w1_row_position_global": _W1_GLOBAL_ORACLE,
+        "w3_greedy_pack": _W3_GREEDY_PACK_ORACLE,
         "a5_extent": _a5_extent_oracle(),
         "u1_align_union": _U1_ALIGN_UNION_ORACLE,
         "v1_uniqueness": """

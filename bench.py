@@ -154,9 +154,11 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     # bucket count SCALES WITH DATA (~250k turns per bucket): a fixed count
     # quadruples per-task sort/join state as the corpus grows — measured
     # 606k turns/s at 16M turns but 201k at 64M with 64 fixed buckets
-    # (1M-row bucket tasks spill); the warehouse rule is bytes-per-bucket,
-    # not bucket-count
-    n_buckets = max(64, (n_convs * 8) // 250_000)
+    # (1M-row bucket tasks spill). The rule is library API since r4
+    # (scale.bucket_count, consumed by write_bucketed(n_buckets=None)).
+    from taco_toolbox_spark.scale import bucket_count
+
+    n_buckets = bucket_count(n_convs * 8)
     if not os.path.exists(bmark):
         for name in ("transcripts", "transcripts_baseline"):
             write_bucketed(
@@ -239,11 +241,13 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     # the two streaming scans thrash shared cache/memory bandwidth and
     # SEQUENTIAL wins big (measured 106s vs 181s at 64M turns) — so the
     # mode follows the corpus size unless BENCH_CONCURRENT forces it.
+    # the crossover rule is library API since r4 (scale.concurrent_actions,
+    # honored by EngineConfig.resolve_concurrent_actions and the CLI)
     conc_env = os.environ.get("BENCH_CONCURRENT", "")
     if conc_env:
         concurrent = conc_env == "1"
     else:
-        concurrent = n_turns <= 32_000_000
+        concurrent = EngineConfig().resolve_concurrent_actions(n_turns)
     for _ in range(max(1, repeats)):
         load0 = os.getloadavg()[0]
         res.violations.persist()  # re-mark: unpersist below clears the flag

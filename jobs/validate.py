@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--partition-col", default="part")
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--actions",
+        choices=("auto", "concurrent", "sequential"),
+        default="auto",
+        help="pipeline independent actions (stats/violations/verdicts) "
+        "concurrently or run them sequentially; auto follows the batch row "
+        "count (scale.concurrent_actions: concurrency wins while the "
+        "working set is cache-resident, sequential wins past the crossover)",
+    )
+    p.add_argument(
         "--batch-parts",
         type=int,
         default=32,
@@ -61,7 +70,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     spark = get_spark("validate")
     df = spark.read.parquet(args.input)
     ref = spark.read.parquet(args.baseline) if args.baseline else None
-    cfg = EngineConfig(partition_col=args.partition_col, persist_violations=True)
+    cfg = EngineConfig(
+        partition_col=args.partition_col,
+        persist_violations=True,
+        concurrent_actions=(
+            None if args.actions == "auto" else args.actions == "concurrent"
+        ),
+    )
 
     from taco_toolbox_spark.sources.catalog import snapshot_id as snap
 
@@ -121,33 +136,43 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     "part"
                 ).parquet(os.path.join(args.output, name))
 
-            # Two concurrent phases instead of five sequential actions: a
-            # long-lived validator pipelines independent queries so one
-            # query's scheduler/AQE round-trips overlap another's compute.
-            # Phase 1: the violations write materializes the persisted
-            # battery; stats and row counts are independent scans.
-            # Phase 2 (cache now warm): the verdict matrix is written and
-            # collected — both read the cached violation sliver.
+            # The per-partition row counts come first (a cheap single-column
+            # aggregation) — they feed the manifest AND decide the action
+            # mode for the heavy phases: pipelining independent queries
+            # overlaps scheduler/AQE round-trips with compute while the
+            # combined working set stays cache-resident, but past the
+            # crossover (scale.concurrent_actions) the concurrent scans
+            # thrash shared bandwidth and sequential wins.
+            counts = {
+                r["p"]: r["n"]
+                for r in cdf.groupBy(part_str.alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            pipelined = cfg.resolve_concurrent_actions(sum(counts.values()))
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(3) as pool:
-                f_viol = pool.submit(_write, res.violations, "violations")
-                f_stats = pool.submit(
-                    _write, column_stats(cdf, cfg.partition_col), "stats"
-                )
-                f_counts = pool.submit(
-                    lambda: cdf.groupBy(part_str.alias("p"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                )
-                f_viol.result()
-                f_stats.result()
-                counts = {r["p"]: r["n"] for r in f_counts.result()}
-            with ThreadPoolExecutor(2) as pool:
-                f_vw = pool.submit(_write, res.verdicts, "verdicts")
-                f_vc = pool.submit(res.verdicts.collect)
-                f_vw.result()
-                verdict_rows = f_vc.result()
+            stats_df = column_stats(cdf, cfg.partition_col)
+            if pipelined:
+                # Phase 1: the violations write materializes the persisted
+                # battery; the stats scan is independent. Phase 2 (cache now
+                # warm): the verdict matrix is written and collected — both
+                # read the cached violation sliver.
+                with ThreadPoolExecutor(2) as pool:
+                    f_viol = pool.submit(_write, res.violations, "violations")
+                    f_stats = pool.submit(_write, stats_df, "stats")
+                    f_viol.result()
+                    f_stats.result()
+                with ThreadPoolExecutor(2) as pool:
+                    f_vw = pool.submit(_write, res.verdicts, "verdicts")
+                    f_vc = pool.submit(res.verdicts.collect)
+                    f_vw.result()
+                    verdict_rows = f_vc.result()
+            else:
+                _write(res.violations, "violations")
+                _write(stats_df, "stats")
+                _write(res.verdicts, "verdicts")
+                verdict_rows = res.verdicts.collect()
 
             by_part: dict[str, dict[str, int]] = {}
             for r in verdict_rows:

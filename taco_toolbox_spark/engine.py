@@ -88,6 +88,21 @@ class EngineConfig:
     #: task; chunk-boundary rows are reconciled with a tiny join of
     #: per-chunk first/last values. None = plain per-group windows.
     window_chunk_size: int | None = None
+    #: whether a driver (CLI, bench) should pipeline independent actions
+    #: (battery summary + stats scan) concurrently. None = decide from the
+    #: input size via scale.concurrent_actions — pipelining wins while the
+    #: combined working set is cache/bandwidth-resident and loses past the
+    #: crossover (measured r3 weak scaling: 35.6s->26.0s at 16M turns, but
+    #: 181s vs 106s at 64M). True/False forces the mode.
+    concurrent_actions: bool | None = None
+
+    def resolve_concurrent_actions(self, n_rows: int) -> bool:
+        """The action mode a driver should use for an ``n_rows`` pass."""
+        if self.concurrent_actions is not None:
+            return self.concurrent_actions
+        from .scale import concurrent_actions
+
+        return concurrent_actions(n_rows)
 
 
 @dataclass

@@ -18,22 +18,33 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     bucket_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     path: str | None = None,
-) -> None:
+) -> int:
     """Save as a bucketed (and optionally sorted) table. Sorting by the
     in-group order column makes window passes sort-free per bucket. With
     ``path`` the table is external: the bucketed files outlive the session
     and a later session re-attaches via :func:`attach_bucketed` (the
-    in-memory catalog forgets table metadata at shutdown)."""
+    in-memory catalog forgets table metadata at shutdown).
+
+    ``n_buckets=None`` scales the count with the data (scale.bucket_count:
+    ~250k rows/bucket, floor 64) — a fixed count quadruples per-task state
+    as the table grows; the row count comes from a metadata-only
+    ``df.count()`` for parquet inputs. Returns the bucket count used (a
+    later :func:`attach_bucketed` must pass the same number)."""
+    if n_buckets is None:
+        from ..scale import bucket_count
+
+        n_buckets = bucket_count(df.count())
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+    return n_buckets
 
 
 def attach_bucketed(

@@ -78,6 +78,7 @@ def transcript_violations_stateful(
     order_col: str = "turn_idx",
     ts_col: str = "ts",
     check_ids: tuple[str, ...] = ("ts_monotone", "unique_turn", "turn_contiguous"),
+    output_mode: str = "update",
 ) -> DataFrame:
     """The batch engine's per-conversation battery — monotone ts,
     (group, order) uniqueness, order contiguity — on a STREAM via
@@ -313,8 +314,49 @@ def transcript_violations_stateful(
         stream_df.select(group_col, order_col, ts_col)
         .groupBy(group_col)
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            fn,
+            out_schema,
+            state_schema,
+            output_mode,
+            GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stateful_windowed_verdicts(
+    stream_df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    check_ids: tuple[str, ...] = ("ts_monotone", "unique_turn", "turn_contiguous"),
+) -> DataFrame:
+    """Per-(event-time window, check) verdict counts for the STATEFUL
+    battery — the windowed verdict matrix previously available only for
+    the stateless row checks (VERDICT r3 #7). The stateful operator runs in
+    APPEND output mode here: Spark forbids chaining an aggregation after an
+    update-mode arbitrary-stateful operator, and this battery's emissions
+    are append-shaped anyway (each violation row is emitted exactly once).
+
+    Conversation-level STATUS rows (turn_contiguous flips, the
+    stream_state_cap overflow marker) carry no event time, so they cannot
+    be windowed — they stay on the violation stream
+    (:func:`transcript_violations_stateful`); this matrix covers the
+    row-attributable checks (ts_monotone / unique_turn / turn_idx_nonneg)."""
+    viol = transcript_violations_stateful(
+        stream_df,
+        group_col=group_col,
+        order_col=order_col,
+        ts_col=ts_col,
+        check_ids=check_ids,
+        output_mode="append",
+    )
+    return windowed_verdicts(
+        viol.filter(F.col(ts_col).isNotNull() & ~F.col("passed")),
+        ts_col=ts_col,
+        window=window,
+        watermark=watermark,
     )
 
 

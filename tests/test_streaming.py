@@ -165,11 +165,10 @@ def test_stream_drift_matches_batch_windows(tmp_path, corpus):
     # batch reference: same windowed agg + same verdict rule
     probes = F.array(*[F.lit(p) for p in (0.1, 0.25, 0.5, 0.75, 0.9)])
     base = F.array(*[F.lit(float(b)) for b in baseline])
+    from taco_toolbox_spark.checks.drift import rel_dev
+
     rel = F.aggregate(
-        F.zip_with(
-            F.col("q"), base,
-            lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1.0)),
-        ),
+        F.zip_with(F.col("q"), base, rel_dev),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
@@ -221,3 +220,51 @@ def test_stateful_battery_null_and_negative_turn_idx(tmp_path, spark):
     contig = out[out.check_id == "turn_contiguous"]
     final = contig.sort_values("n_seen").groupby("conv_id").tail(1)
     assert set(final[~final.passed].conv_id) == {"conv_a"}
+
+
+def test_stateful_windowed_verdicts_match_batch(tmp_path, corpus, corrupted_pdf):
+    """VERDICT r3 #7: the stateful battery's windowed verdict matrix must
+    reproduce the batch per-(hour window, check) violation counts for the
+    row-attributable checks (mono + uniq; contiguity status rows carry no
+    event time and stay on the violation stream)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stateful_windowed_verdicts,
+    )
+
+    spark = corpus.corrupted.sparkSession
+    path = str(tmp_path / "swv_in")
+    corpus.corrupted.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    out = stateful_windowed_verdicts(stream, window="1 hour")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_swv")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_swv").toPandas()
+    got_counts = {
+        (r.window_start.floor("h"), r.check_id): int(r.n_violations)
+        for r in got.itertuples()
+    }
+
+    s = corrupted_pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    prev = s.groupby("conv_id")["ts"].shift()
+    mono_bad = s[prev > s["ts"]]
+    want: dict = {}
+    for w, n in mono_bad.ts.dt.floor("h").value_counts().items():
+        want[(w, "ts_monotone")] = int(n)
+    # dup_turn injects exact-copy rows, so every occurrence of a dup key
+    # shares one ts — the representative row's window is unambiguous
+    dups = s.groupby(["conv_id", "turn_idx"]).filter(lambda g: len(g) > 1)
+    first = dups.groupby(["conv_id", "turn_idx"], as_index=False).first()
+    for w, n in first.ts.dt.floor("h").value_counts().items():
+        want[(w, "unique_turn")] = int(n)
+    assert got_counts == want and len(want) > 0

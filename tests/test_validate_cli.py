@@ -62,3 +62,58 @@ def test_batched_run_resume_and_idempotency(spark, corpus_dir, tmp_path):
     # fully-done resume is a no-op
     assert validate_main(args + ["--resume", "--run-id", "r1"], stop_session=False) == 0
     assert spark.read.parquet(os.path.join(out, "verdicts")).count() == n_verd
+
+
+def test_sequential_actions_flag(spark, corpus_dir, tmp_path):
+    """--actions sequential must produce byte-identical outputs to the
+    pipelined default (the mode is a scheduling choice, not a semantic
+    one)."""
+    out = str(tmp_path / "out_seq")
+    args = [
+        "--input", f"{corpus_dir}/transcripts",
+        "--baseline", f"{corpus_dir}/transcripts_baseline",
+        "--output", out,
+        "--actions", "sequential",
+    ]
+    assert validate_main(args + ["--run-id", "rs"], stop_session=False) == 0
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.filter("NOT passed").count() > 0
+
+
+def test_scale_rules():
+    """r3 weak-scaling rules are library API: bucket count follows
+    rows-per-bucket (floor 64) and the action mode follows the corpus-size
+    crossover; EngineConfig(None) defers to the rule, a bool forces it."""
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.scale import bucket_count, concurrent_actions
+
+    assert bucket_count(1_000) == 64                 # floor for small corpora
+    assert bucket_count(16_000_000) == 64            # 16M turns -> 64 x 250k
+    assert bucket_count(64_000_000) == 256           # 4x data -> 4x buckets
+    assert concurrent_actions(16_000_000) is True    # cache-resident: pipeline
+    assert concurrent_actions(64_000_000) is False   # past crossover: sequential
+
+    assert EngineConfig().resolve_concurrent_actions(16_000_000) is True
+    assert EngineConfig().resolve_concurrent_actions(64_000_000) is False
+    assert EngineConfig(concurrent_actions=True).resolve_concurrent_actions(
+        10**12
+    ) is True
+    assert EngineConfig(concurrent_actions=False).resolve_concurrent_actions(
+        1
+    ) is False
+
+
+def test_write_bucketed_scales_bucket_count(spark, tmp_path):
+    """write_bucketed(n_buckets=None) picks the data-scaled count."""
+    from taco_toolbox_spark.operators.bucketing import write_bucketed
+
+    df = spark.range(1000).selectExpr("id AS conv_id", "id % 7 AS v")
+    n = write_bucketed(
+        df,
+        "t_scaled_buckets",
+        ["conv_id"],
+        n_buckets=None,
+        path=str(tmp_path / "scaled_buckets"),
+    )
+    assert n == 64  # floor
+    spark.sql("DROP TABLE IF EXISTS t_scaled_buckets")
