@@ -449,6 +449,20 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF-partitioned approximate top-k (coarse cells + n_probe nearest
+    cells + exact re-rank within them — at scale the cell is a write-time
+    partition column and the probe filter is partition pruning). The
+    oracle replays the SAME pipeline in DuckDB: identical centroid
+    literals, argmax cell assignment with the dot-DESC/cid-DESC tie rule,
+    probe selection, candidate-restricted cosine re-rank."""
+    from taco_toolbox_spark.similarity.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), qv, k=10)
+
+
 def q_sim_near_dup(spark, sf_dir):
     """OR-amplified LSH near-duplicate pairs over the embedding column,
     exact-cosine verified; threshold 0.4 so sf0.01's random gaussians yield
@@ -703,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup": q_sim_near_dup,
         "text_stats": q_text_stats,
         "text_lang_distribution": q_text_lang_distribution,
@@ -1127,6 +1142,64 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _sim_ivf_topk_oracle(
+    n_centroids: int = 16, n_probe: int = 4, seed: int = 7,
+    dim: int = 64, k: int = 10,
+) -> str:
+    """DuckDB replica of similarity.ann.ivf_topk with the identical
+    centroid literals: cell assignment (argmax dot, ties to larger cid),
+    query probe selection, and the candidate-restricted exact re-rank are
+    all independently recomputed — pruning recall is not assumed."""
+    from taco_toolbox_spark.similarity.ann import ivf_centroids
+
+    C = ivf_centroids(dim, n_centroids, seed)
+    rows = ",\n".join(
+        "(" + str(cid) + ", [" + ", ".join(repr(x) for x in row) + "])"
+        for cid, row in enumerate(C)
+    )
+    return f"""
+        WITH centroids(cid, c) AS (VALUES {rows}),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qdots AS (
+          SELECT c.cid,
+                 list_sum(list_transform(range(1, {dim} + 1),
+                    i -> q.qe[i]::DOUBLE * c.c[i])) AS dot
+          FROM centroids c, q
+        ),
+        probes AS (
+          SELECT cid FROM qdots ORDER BY dot DESC, cid DESC LIMIT {n_probe}
+        ),
+        dots AS (
+          SELECT e.vec_id, c.cid,
+                 list_sum(list_transform(range(1, {dim} + 1),
+                    i -> e.embedding[i]::DOUBLE * c.c[i])) AS dot
+          FROM embeddings e, centroids c WHERE e.vec_id <> 0
+        ),
+        assign AS (
+          SELECT vec_id,
+                 (array_agg(cid ORDER BY dot DESC, cid DESC))[1] AS cell
+          FROM dots GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+          WHERE a.cell IN (SELECT cid FROM probes)
+        ),
+        scored AS (
+          SELECT cd.vec_id,
+                 list_sum(list_transform(range(1, {dim} + 1),
+                    i -> cd.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(cd.embedding,
+                      x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(q.qe,
+                      x -> x::DOUBLE * x::DOUBLE)))) AS cval
+          FROM cand cd, q
+        )
+        SELECT vec_id, round(cval, 4) AS cos FROM scored
+        ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
 def _zorder_oracle() -> str:
     """DuckDB mirror of functions.ids.morton_encode/grid_bucket: the same
     log-depth magic-number bit spread (masks/shifts inlined from
@@ -1257,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "sim_lsh_topk": _sim_lsh_topk_oracle(),
+        "sim_ivf_topk": _sim_ivf_topk_oracle(),
         "j4_position_pattern": """
             SELECT l_linenumber, l_returnflag, l_linestatus, n FROM (
               SELECT l_linenumber, l_returnflag, l_linestatus,

@@ -4,7 +4,10 @@ Baseline: brute-force cosine top-k — a single scan with a JVM-side
 zip_with/aggregate dot product against a broadcast query vector (no UDF,
 no shuffle except the final top-k).
 
-Scale path: banded random-hyperplane LSH. Signatures come from a seeded
+Scale paths: banded random-hyperplane LSH (scan-shaped, no index) and an
+IVF coarse quantizer (``ivf_topk``: cells are a write-time partition
+column at scale, so probing becomes partition pruning at the parquet
+scan). Signatures for the LSH path come from a seeded
 gaussian plane matrix (numpy RandomState — direction-uniform, identical on
 every executor, and the planes travel inside the pickled UDF closure rather
 than as dim×planes plan literals). A vectorized pandas UDF computes ALL
@@ -158,6 +161,81 @@ def lsh_topk(
         .drop("_sigs")
     )
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids (seeded gaussian
+    directions — RandomState is bit-reproducible everywhere, and the values
+    can be inlined as oracle literals). A data-dependent k-means refinement
+    would sharpen the cells but make the assignment depend on
+    summation-order-sensitive float group averages; fixed directions keep
+    the whole pipeline engine-portable and deterministic."""
+    rng = np.random.RandomState(seed)
+    C = rng.standard_normal((n_centroids, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_cell_col(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """Cell id = argmax over centroids of the (sequential, double) dot
+    product — array_max over (dot, cid) structs, so ties break to the
+    larger cid, a rule any engine can mirror (ORDER BY dot DESC, cid
+    DESC). Pure JVM expressions; at dim >> 100 swap in a pandas-UDF matmul
+    (band_signature_col's shape) — values are identical either way."""
+    entries = [
+        F.struct(
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in row])).alias("dot"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, row in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*entries))["cid"]
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """Driver-side: the n_probe cells nearest the query (dot DESC, cid
+    DESC — the same tie rule as the row assignment). Accumulation is
+    left-to-right, matching the engine-side sequential aggregate."""
+    dots = []
+    for cid, row in enumerate(centroids):
+        acc = 0.0
+        for a, b in zip(query_vec, row):
+            acc += float(a) * b
+        dots.append((acc, cid))
+    return [cid for _, cid in sorted(dots, key=lambda t: (-t[0], -t[1]))[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-partitioned approximate top-k: vectors are bucketed into
+    ``n_centroids`` coarse cells, the query probes its ``n_probe`` nearest
+    cells, and the exact cosine re-rank touches only those cells'
+    vectors — the inverted-file structure as a composition of built-ins.
+
+    100 TB shape: in production the cell id is a WRITE-TIME partition
+    column (``.partitionBy("cell")``), so this probe filter becomes
+    partition pruning at the parquet scan and a query reads n_probe/n_
+    centroids of the corpus; here the assignment is computed in-plan so
+    the operator is self-contained. Scanned fraction ~= n_probe /
+    n_centroids; recall is high for clustered corpora and degrades toward
+    that fraction for adversarially uniform ones (the IVF approximation,
+    not a bug). Same output schema as brute_force_topk."""
+    C = ivf_centroids(len(query_vec), n_centroids, seed)
+    probes = ivf_probe_cells(query_vec, C, n_probe)
+    cand = df.withColumn("_cell", ivf_cell_col(vec_col, C)).filter(
+        F.col("_cell").isin(probes)
+    )
+    return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
 
 
 def embedding_near_duplicates(

@@ -197,3 +197,21 @@ def test_add_row_position_no_data_sized_single_partition(spark):
     plan = _plan(out)
     assert plan.count("SinglePartition") <= 1
     assert out.count() == 5000
+
+
+def test_ivf_topk_plan_is_narrow(spark):
+    """IVF top-k must stay shuffle-free: the cell assignment is a pure
+    projection, the probe filter a plain Filter, and the re-rank a
+    TakeOrderedAndProject (partition-local top-k + driver merge) — at
+    scale the filter becomes partition pruning on a cell-partitioned
+    layout, so any Exchange here would be a plan regression."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.ann import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _plan(ivf_topk(df, rows[0][1], k=5, n_centroids=4, n_probe=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -91,3 +91,37 @@ def test_near_duplicate_recall_at_095(spark):
     recall = len(got & want) / len(want)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(want)} true pairs"
     assert got <= want  # exact verification: no false positives
+
+
+def test_ivf_topk_equals_restricted_brute_force(vectors):
+    """ivf_topk must equal brute force restricted to the probed cells (the
+    pruning is the ONLY approximation), the planted near-dup must land in
+    the query's own cell, and the probe must actually prune."""
+    from taco_toolbox_spark.similarity.ann import (
+        ivf_cell_col,
+        ivf_centroids,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    df, vecs = vectors
+    q = vecs[0].astype(np.float64).tolist()
+    C = ivf_centroids(16, 8, seed=7)
+    probes = ivf_probe_cells(q, C, 3)
+
+    got = ivf_topk(
+        df.filter("vec_id <> 0"), q, k=5, n_centroids=8, n_probe=3, seed=7
+    ).collect()
+
+    import pyspark.sql.functions as F
+
+    cells = df.withColumn("cell", ivf_cell_col("embedding", C))
+    cand = cells.filter(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
+    want = brute_force_topk(cand.drop("cell"), q, k=5).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+    # near-dup of the query shares the query's argmax cell by construction
+    assert got[0]["vec_id"] == 50
+    # the probe prunes: candidates are a strict subset of the table
+    assert 0 < cand.count() < df.count()
