@@ -133,6 +133,53 @@ def record_sketch_state(
         }
 
 
+def record_distinct_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_col: str = "part",
+    lg_k: int = 12,
+) -> None:
+    """Persist per-partition HLL distinct-sketch BYTES into the manifest
+    (base64) — the distinct-count twin of :func:`record_sketch_state`.
+    A later run unions stored sketches into global per-column distincts
+    without rescanning finished partitions."""
+    import base64
+
+    from .stats import distinct_sketches
+
+    for r in distinct_sketches(df, columns, partition_col, lg_k).collect():
+        rec = manifest.doc["partitions"].setdefault(r["part"], {})
+        rec.setdefault("distinct", {})[r["column"]] = {
+            "hll": base64.b64encode(bytes(r["sketch"])).decode(),
+            "estimate": int(r["approx_distinct"]),
+        }
+
+
+def merged_distinct_from_manifest(
+    spark, manifest: CheckpointManifest, column: str
+) -> int | None:
+    """Union every stored partition sketch for ``column`` into one global
+    approx-distinct — partial→final across RUNS, no data rescan. Returns
+    None when no partition recorded a sketch for the column."""
+    import base64
+
+    blobs = [
+        base64.b64decode(rec["distinct"][column]["hll"])
+        for rec in manifest.doc["partitions"].values()
+        if column in rec.get("distinct", {})
+    ]
+    if not blobs:
+        return None
+    df = spark.createDataFrame(
+        [(bytearray(b),) for b in blobs], "sketch binary"
+    )
+    est = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("d")
+    ).first()["d"]
+    return int(est)
+
+
 def merged_quantiles_from_manifest(
     manifest: CheckpointManifest,
     value_expr: str,

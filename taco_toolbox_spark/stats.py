@@ -139,3 +139,52 @@ def global_stats(
         columns=columns,
         exact_quantiles=exact_quantiles,
     )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_col: str = "part",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-(partition, column) PERSISTABLE distinct sketches: Spark's
+    DataSketches HLL aggregate (``hll_sketch_agg``) emits the sketch
+    BYTES, so unlike ``approx_count_distinct`` the state outlives the
+    query — it can be stored in the checkpoint manifest and unioned
+    across partitions, runs, and tables without rescanning data (the
+    north_star's "sketch state" for distinct counts). One groupBy pass,
+    map-side partial merge; shuffle carries one 2^lg_k-register sketch
+    per (partition, column). Returns (part, column, sketch, approx_distinct).
+    """
+    cols = columns or [
+        f.name for f in df.schema.fields if f.name != partition_col
+    ]
+    wide = df.groupBy(F.col(partition_col).alias("part")).agg(
+        *[F.hll_sketch_agg(c, lg_k).alias(f"_{c}_sk") for c in cols]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(f"_{c}_sk").alias("sketch")
+            )
+            for c in cols
+        ]
+    )
+    return wide.select("part", F.explode(entries).alias("e")).select(
+        "part",
+        "e.column",
+        "e.sketch",
+        F.hll_sketch_estimate("e.sketch").alias("approx_distinct"),
+    )
+
+
+def merge_distinct_sketches(sketches: DataFrame) -> DataFrame:
+    """Partial→final across partitions (or across runs, once re-read from
+    a manifest): union the sketch bytes per column and estimate. Sketch
+    union is exact over register state, so merging per-partition sketches
+    gives the IDENTICAL estimate the whole-table sketch would (tested)."""
+    return sketches.groupBy("column").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct"
+        )
+    )

@@ -476,6 +476,41 @@ def stream_drift(
     )
 
 
+def run_durable_battery(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Production-shaped streaming validation: the stateful battery's
+    violation rows land in a PARQUET sink with exactly-once semantics via
+    the streaming checkpoint. ``availableNow`` drains everything currently
+    in ``input_dir`` (in ``maxFilesPerTrigger`` micro-batches) and stops; a
+    later call with the same ``checkpoint_dir`` resumes from the last
+    committed offset — new files only, no re-emitted or lost violations —
+    and the per-conversation bitmap/boundary STATE survives the restart,
+    so a duplicate turn whose first occurrence arrived before the restart
+    is still caught (state store checkpointing, not just source offsets).
+    The batch CLI's manifest-resume analog on the streaming surface."""
+    static = spark.read.parquet(input_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out = transcript_violations_stateful(stream, output_mode="append")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_battery_smoke(
     spark,
     parquet_dir: str,

@@ -32,3 +32,50 @@ def test_sketch_roundtrip_and_merge(tmp_path, corpus, clean_pdf):
         for rec in m2.doc["partitions"].values()
     )
     assert total == len(clean_pdf)
+
+
+def test_distinct_sketch_merge_equals_whole_table(corpus, clean_pdf):
+    """Unioning per-partition HLL sketches must give the IDENTICAL
+    estimate as one whole-table sketch (register-state union is exact),
+    and both must sit within HLL error of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.stats import distinct_sketches, merge_distinct_sketches
+
+    per_part = distinct_sketches(corpus.clean, ["conv_id", "role"])
+    merged = {
+        r["column"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(per_part).collect()
+    }
+    whole = {
+        r["column"]: r["approx_distinct"]
+        for r in distinct_sketches(
+            corpus.clean.withColumn("_one", F.lit("x")),
+            ["conv_id", "role"],
+            partition_col="_one",
+        ).collect()
+    }
+    assert merged == whole
+    exact_conv = clean_pdf.conv_id.nunique()
+    assert abs(merged["conv_id"] - exact_conv) / exact_conv < 0.05
+    assert merged["role"] == clean_pdf.role.nunique()  # tiny cardinality: exact
+
+
+def test_distinct_state_manifest_roundtrip(tmp_path, corpus, clean_pdf):
+    """record -> save -> reload -> union across RUNS without rescan."""
+    from taco_toolbox_spark.checkpoint import (
+        merged_distinct_from_manifest,
+        record_distinct_state,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "md.json")
+    m = CheckpointManifest.load_or_create(path, "r", "mem://c")
+    record_distinct_state(m, corpus.clean, ["conv_id"])
+    m.save()
+
+    m2 = CheckpointManifest.load_or_create(path, "r", "mem://c")
+    est = merged_distinct_from_manifest(spark, m2, "conv_id")
+    exact = clean_pdf.conv_id.nunique()
+    assert abs(est - exact) / exact < 0.05
+    assert merged_distinct_from_manifest(spark, m2, "absent_col") is None

@@ -268,3 +268,58 @@ def test_stateful_windowed_verdicts_match_batch(tmp_path, corpus, corrupted_pdf)
     for w, n in first.ts.dt.floor("h").value_counts().items():
         want[(w, "unique_turn")] = int(n)
     assert got_counts == want and len(want) > 0
+
+
+def test_durable_battery_restart_exactly_once(tmp_path, spark):
+    """Kill/restart semantics of the durable parquet sink: a second run
+    with the same checkpoint processes ONLY files added since, emits no
+    duplicate violations, and the per-conversation state survives — a
+    duplicate turn whose first occurrence arrived before the restart is
+    still caught."""
+    import datetime as dt
+
+    from taco_toolbox_spark.streaming.validate_stream import run_durable_battery
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def _write(rows, name):
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp"
+        )
+        df.repartition(1).write.mode("append").parquet(str(tmp_path / "in"))
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    # run 1: conv_a turns 0..2, clean
+    _write(
+        [("conv_a", i, t0 + dt.timedelta(seconds=i)) for i in range(3)], "f1"
+    )
+    run_durable_battery(spark, inp, out, ckpt)
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 0  # clean prefix: no violations emitted
+
+    # "crash", new data arrives: conv_a turn 2 AGAIN (dup vs pre-restart
+    # state) + turn 3; conv_b with a ts regression at turn 1
+    _write(
+        [
+            ("conv_a", 2, t0 + dt.timedelta(seconds=10)),
+            ("conv_a", 3, t0 + dt.timedelta(seconds=11)),
+            ("conv_b", 0, t0 + dt.timedelta(seconds=5)),
+            ("conv_b", 1, t0 + dt.timedelta(seconds=4)),
+        ],
+        "f2",
+    )
+    run_durable_battery(spark, inp, out, ckpt)
+    got = spark.read.parquet(out).toPandas()
+
+    dup = got[got.check_id == "unique_turn"]
+    assert list(zip(dup.conv_id, dup.turn_idx)) == [("conv_a", 2)]
+    mono = got[got.check_id == "ts_monotone"]
+    assert list(zip(mono.conv_id, mono.turn_idx)) == [("conv_b", 1)]
+    # duplicate broke conv_a's contiguity: exactly one status-flip row
+    contig = got[got.check_id == "turn_contiguous"]
+    assert list(contig.conv_id) == ["conv_a"] and not contig.passed.any()
+
+    # idempotent restart with no new files: nothing re-emitted
+    run_durable_battery(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == len(got)
