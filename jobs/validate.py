@@ -38,6 +38,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--partition-col", default="part")
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--record-sketches",
+        action="store_true",
+        help="store per-partition sketch state in the manifest alongside "
+        "lineage/metrics: t-digest centroids for length(text) and HLL "
+        "distinct sketches for conv_id — a later run (or another table's "
+        "run) merges them into global quantiles/distincts without "
+        "rescanning finished partitions",
+    )
+    p.add_argument(
         "--actions",
         choices=("auto", "concurrent", "sequential"),
         default="auto",
@@ -184,6 +193,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     by_part.get(part, {}),
                     n_rows=counts.get(part, 0),
                     metrics={"batch_sec": round(bsec, 2)},
+                )
+            if args.record_sketches:
+                # AFTER record_partition (which rewrites each record):
+                # sketch state rides the same per-batch checkpoint
+                from taco_toolbox_spark.checkpoint import (
+                    record_distinct_state,
+                    record_sketch_state,
+                )
+
+                record_sketch_state(
+                    manifest, cdf, "length(text)", cfg.partition_col
+                )
+                record_distinct_state(
+                    manifest, cdf, ["conv_id"], cfg.partition_col
                 )
             manifest.save()  # checkpoint AFTER the idempotent writes land
             total_rows += sum(counts.values())

@@ -117,3 +117,40 @@ def test_write_bucketed_scales_bucket_count(spark, tmp_path):
     )
     assert n == 64  # floor
     spark.sql("DROP TABLE IF EXISTS t_scaled_buckets")
+
+
+def test_record_sketches_flag(spark, corpus_dir, tmp_path):
+    """--record-sketches persists mergeable quantile + distinct state per
+    partition in the manifest; a fresh session merges them into global
+    answers without touching the data."""
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        merged_distinct_from_manifest,
+        merged_quantiles_from_manifest,
+    )
+
+    out = str(tmp_path / "out_sk")
+    manifest_path = os.path.join(out, "manifest.json")
+    args = [
+        "--input", f"{corpus_dir}/transcripts",
+        "--baseline", f"{corpus_dir}/transcripts_baseline",
+        "--output", out,
+        "--record-sketches",
+    ]
+    assert validate_main(args + ["--run-id", "rk"], stop_session=False) == 0
+
+    m = CheckpointManifest.load_or_create(
+        manifest_path, "rk", f"{corpus_dir}/transcripts"
+    )
+    some = next(iter(m.doc["partitions"].values()))
+    assert "length(text)" in some["sketch"] and "conv_id" in some["distinct"]
+
+    q = merged_quantiles_from_manifest(m, "length(text)", (0.5,))
+    import pandas as pd
+
+    pdf = spark.read.parquet(f"{corpus_dir}/transcripts").toPandas()
+    exact_med = pdf.text.str.len().median()
+    assert abs(q[0] - exact_med) <= max(3.0, 0.1 * exact_med)
+    est = merged_distinct_from_manifest(spark, m, "conv_id")
+    exact = pdf.conv_id.nunique()
+    assert abs(est - exact) / exact < 0.05
