@@ -47,6 +47,17 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "rescanning finished partitions",
     )
     p.add_argument(
+        "--sketch-expr",
+        default="length(text)",
+        help="value expression for the stored t-digest quantile state",
+    )
+    p.add_argument(
+        "--sketch-distinct",
+        default="conv_id",
+        help="column for the stored HLL distinct state "
+        "(int/long/string/binary)",
+    )
+    p.add_argument(
         "--actions",
         choices=("auto", "concurrent", "sequential"),
         default="auto",
@@ -145,39 +156,55 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     "part"
                 ).parquet(os.path.join(args.output, name))
 
-            # The per-partition row counts come first (a cheap single-column
-            # aggregation) — they feed the manifest AND decide the action
-            # mode for the heavy phases: pipelining independent queries
-            # overlaps scheduler/AQE round-trips with compute while the
-            # combined working set stays cache-resident, but past the
-            # crossover (scale.concurrent_actions) the concurrent scans
-            # thrash shared bandwidth and sequential wins.
-            counts = {
-                r["p"]: r["n"]
-                for r in cdf.groupBy(part_str.alias("p"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            pipelined = cfg.resolve_concurrent_actions(sum(counts.values()))
+            # Action mode: pipelining independent queries overlaps
+            # scheduler/AQE round-trips with compute while the combined
+            # working set stays cache-resident, but past the crossover
+            # (scale.concurrent_actions) the concurrent scans thrash
+            # shared bandwidth and sequential wins. In AUTO mode the
+            # per-partition row counts (a cheap single-column aggregation,
+            # needed for the manifest anyway) run first to decide; when
+            # the mode is FORCED they are just metadata and overlap
+            # phase 1 instead of blocking it.
             from concurrent.futures import ThreadPoolExecutor
+
+            def _counts() -> dict:
+                return {
+                    r["p"]: r["n"]
+                    for r in cdf.groupBy(part_str.alias("p"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+
+            if cfg.concurrent_actions is None:
+                counts = _counts()
+                pipelined = cfg.resolve_concurrent_actions(sum(counts.values()))
+            else:
+                counts = None
+                pipelined = cfg.concurrent_actions
 
             stats_df = column_stats(cdf, cfg.partition_col)
             if pipelined:
                 # Phase 1: the violations write materializes the persisted
-                # battery; the stats scan is independent. Phase 2 (cache now
-                # warm): the verdict matrix is written and collected — both
-                # read the cached violation sliver.
-                with ThreadPoolExecutor(2) as pool:
+                # battery; the stats scan (and, in forced mode, the counts)
+                # are independent. Phase 2 (cache now warm): the verdict
+                # matrix is written and collected — both read the cached
+                # violation sliver.
+                with ThreadPoolExecutor(3) as pool:
                     f_viol = pool.submit(_write, res.violations, "violations")
                     f_stats = pool.submit(_write, stats_df, "stats")
+                    f_counts = pool.submit(_counts) if counts is None else None
                     f_viol.result()
                     f_stats.result()
+                    if f_counts is not None:
+                        counts = f_counts.result()
                 with ThreadPoolExecutor(2) as pool:
                     f_vw = pool.submit(_write, res.verdicts, "verdicts")
                     f_vc = pool.submit(res.verdicts.collect)
                     f_vw.result()
                     verdict_rows = f_vc.result()
             else:
+                if counts is None:
+                    counts = _counts()
                 _write(res.violations, "violations")
                 _write(stats_df, "stats")
                 _write(res.verdicts, "verdicts")
@@ -196,18 +223,47 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 )
             if args.record_sketches:
                 # AFTER record_partition (which rewrites each record):
-                # sketch state rides the same per-batch checkpoint
+                # sketch state rides the same per-batch checkpoint. Both
+                # recorders are skipped (with a note) when their column is
+                # absent from a non-transcript input — a missing optional
+                # artifact must not kill the batch after its heavy writes
+                # landed but before the manifest checkpoint. The two
+                # independent aggregations pipeline under the same
+                # crossover rule as the main phases.
                 from taco_toolbox_spark.checkpoint import (
                     record_distinct_state,
                     record_sketch_state,
                 )
 
-                record_sketch_state(
-                    manifest, cdf, "length(text)", cfg.partition_col
-                )
-                record_distinct_state(
-                    manifest, cdf, ["conv_id"], cfg.partition_col
-                )
+                jobs = []
+                cols = set(cdf.columns)
+                if args.sketch_distinct in cols:
+                    jobs.append(
+                        lambda: record_distinct_state(
+                            manifest, cdf, [args.sketch_distinct],
+                            cfg.partition_col,
+                        )
+                    )
+                else:
+                    print(f"sketch: no column {args.sketch_distinct!r}; "
+                          "skipping distinct state")
+                try:
+                    cdf.selectExpr(args.sketch_expr)  # analysis only
+                    jobs.append(
+                        lambda: record_sketch_state(
+                            manifest, cdf, args.sketch_expr, cfg.partition_col
+                        )
+                    )
+                except Exception:
+                    print(f"sketch: expr {args.sketch_expr!r} does not "
+                          "resolve on this input; skipping quantile state")
+                if pipelined and len(jobs) > 1:
+                    with ThreadPoolExecutor(len(jobs)) as pool:
+                        for f in [pool.submit(j) for j in jobs]:
+                            f.result()
+                else:
+                    for j in jobs:
+                        j()
             manifest.save()  # checkpoint AFTER the idempotent writes land
             total_rows += sum(counts.values())
             n_failed += sum(1 for r in verdict_rows if not r["passed"])

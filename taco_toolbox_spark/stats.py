@@ -155,11 +155,22 @@ def distinct_sketches(
     north_star's "sketch state" for distinct counts). One groupBy pass,
     map-side partial merge; shuffle carries one 2^lg_k-register sketch
     per (partition, column). Returns (part, column, sketch, approx_distinct).
+
+    ``hll_sketch_agg`` accepts int/long/string/binary only, so the
+    ``columns=None`` default sketches exactly those columns (a timestamp
+    or double column would raise DATATYPE_MISMATCH); pass columns
+    explicitly, with casts applied beforehand, to sketch anything else.
+    The partition key is cast to string to match every other manifest
+    surface (record_partition, column_stats) — mixed-type manifest keys
+    would collide after a JSON round-trip.
     """
+    sketchable = (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
     cols = columns or [
-        f.name for f in df.schema.fields if f.name != partition_col
+        f.name
+        for f in df.schema.fields
+        if f.name != partition_col and isinstance(f.dataType, sketchable)
     ]
-    wide = df.groupBy(F.col(partition_col).alias("part")).agg(
+    wide = df.groupBy(F.col(partition_col).cast("string").alias("part")).agg(
         *[F.hll_sketch_agg(c, lg_k).alias(f"_{c}_sk") for c in cols]
     )
     entries = F.array(

@@ -250,21 +250,31 @@ def transcript_violations_stateful(
                                 dup, byte_pos[key_dup], bit[key_dup]
                             )
 
-            if do_contig and not overflow and seen is not None:
+            if do_contig and not overflow and (seen is not None or n_rows > 0):
                 max_turn = int(
                     max(
                         idx.max() if len(idx) else -1,
                         last_turn if last_turn is not None else -1,
                     )
                 )
-                distinct = int(np.unpackbits(seen[: (max_turn >> 3) + 1]).sum())
-                # batch-identical invariant: min==0, max==n-1, distinct==n
-                # (duplicates break contiguity there too)
-                ok = (
-                    bool(seen[0] & 1)
-                    and distinct == max_turn + 1
-                    and n_rows == distinct
-                )
+                if seen is None:
+                    # every row so far had a null/negative key: zero valid
+                    # turns but n_rows > 0 — contiguity is broken, and the
+                    # status row below must say so (a consumer reading "no
+                    # turn_contiguous row = contiguous" would otherwise
+                    # pass this conversation)
+                    distinct, ok = 0, False
+                else:
+                    distinct = int(
+                        np.unpackbits(seen[: (max_turn >> 3) + 1]).sum()
+                    )
+                    # batch-identical invariant: min==0, max==n-1,
+                    # distinct==n (duplicates break contiguity there too)
+                    ok = (
+                        bool(seen[0] & 1)
+                        and distinct == max_turn + 1
+                        and n_rows == distinct
+                    )
                 if ok == contig_bad:  # status flip (incl. first bad batch)
                     contig_bad = not ok
                     frames.append(

@@ -323,3 +323,24 @@ def test_durable_battery_restart_exactly_once(tmp_path, spark):
     # idempotent restart with no new files: nothing re-emitted
     run_durable_battery(spark, inp, out, ckpt)
     assert spark.read.parquet(out).count() == len(got)
+
+
+def test_stateful_contiguity_verdict_for_all_bad_keys(tmp_path, spark):
+    """A conversation whose rows are ALL null/negative turn_idx must still
+    get a failing turn_contiguous status row — 'no row means contiguous'
+    would otherwise pass a conversation with zero valid turns."""
+    import datetime as dt
+
+    from taco_toolbox_spark.streaming.validate_stream import run_battery_smoke
+
+    t0 = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [("conv_x", None, t0), ("conv_x", -1, t0)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    path = str(tmp_path / "allbad_in")
+    df.repartition(1).write.mode("overwrite").parquet(path)
+    out = run_battery_smoke(spark, path, query_name="t_allbad").toPandas()
+    assert len(out[out.check_id == "turn_idx_nonneg"]) == 2
+    contig = out[out.check_id == "turn_contiguous"]
+    assert list(contig.conv_id) == ["conv_x"] and not contig.passed.any()
