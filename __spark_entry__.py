@@ -689,6 +689,70 @@ def q_engine_verdicts(spark, sf_dir):
     )
 
 
+def q_s1_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (md5 portability mode):
+    keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
+    per-event_type threshold. The oracle replicates the identical md5
+    arithmetic, so both engines keep EXACTLY the same rows — the property
+    that makes hash sampling resumable/retryable at 100 TB where rand()
+    sampling is not (operators/sampling.py)."""
+    from taco_toolbox_spark.operators.sampling import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_hash_sample(
+        ev,
+        "event_type",
+        {"click": 0.5, "view": 0.1, "purchase": 1.0},
+        ["event_id"],
+        default_fraction=0.05,
+        seed=7,
+        hash_fn="md5",
+    ).select("event_id", "event_type", "user_id")
+
+
+def q_j5_asof_join(spark, sf_dir):
+    """As-of join: each purchase event enriched with the latest prior (or
+    simultaneous) click value for the same user. Spark side is the
+    union-tag + running-window encoding (one shuffle, no row
+    amplification, operators/asof.py); the oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — two independent realizations of the backward-
+    inclusive semantics. The right side is pre-aggregated to one row per
+    (user, ts) via max_by/arg_max so both sides are tie-free."""
+    from taco_toolbox_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("prior_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["prior_value"], suffix="_m"
+    ).select(
+        "event_id",
+        F.col("prior_value_m").alias("prior_value"),
+        F.col("ts_m").alias("prior_ts"),
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: n-gram Jaccard pairs closed into
+    connected components (iterative hash-min label propagation,
+    dedup/cluster.py), then a keep/drop verdict for EVERY document. The
+    oracle recomputes the same closure with a DuckDB recursive CTE over
+    the identical pair SQL — transitivity (A~B, B~C => one cluster) is
+    independently verified, not assumed."""
+    from taco_toolbox_spark.dedup.cluster import canonical_docs
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return canonical_docs(pairs, d, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,
@@ -729,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_align_union": q_u1_align_union,
         "pivot_by_day": q_pivot_by_day,
         "skew_salted_agg": q_skew_salted_agg,
+        "s1_stratified_sample": q_s1_stratified_sample,
+        "j5_asof_join": q_j5_asof_join,
+        "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
 
@@ -1005,6 +1072,48 @@ def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str
             JOIN sizes sa ON p.id_a = sa.doc_id
             JOIN sizes sb ON p.id_b = sb.doc_id
             WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
+        """
+
+
+def _dedup_clusters_oracle(max_shingle_freq: int = 1000,
+                           threshold: float = 0.2) -> str:
+    """Transitive closure of the exact-Jaccard pair graph as a DuckDB
+    recursive CTE (min reachable id per node over the symmetrized edges),
+    left-joined back onto all documents so singletons cluster with
+    themselves — the independent recomputation of dedup/cluster.py's
+    hash-min fixpoint."""
+    return f"""
+            WITH RECURSIVE {_shingle_ctes(max_shingle_freq)},
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM shared p
+              JOIN sizes sa ON p.id_a = sa.doc_id
+              JOIN sizes sb ON p.id_b = sb.doc_id
+              WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
+            ),
+            ud AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS n FROM ud),
+            reach(n, r) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT ud.b, reach.r FROM reach JOIN ud ON ud.a = reach.n
+            ),
+            comp AS (SELECT n AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                     AS is_canonical
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """
 
 
@@ -1533,4 +1642,35 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS max_ts, max(value) AS max_value
             FROM events GROUP BY 1
         """,
+        # identical md5 keep-decision arithmetic as operators/sampling.py
+        # md5 mode: bucket = first-32-md5-bits("<id>\x1f<seed>") mod 1e6,
+        # kept iff bucket < round(fraction * 1e6) for the row's stratum
+        "s1_stratified_sample": """
+            SELECT event_id, event_type, user_id FROM events
+            WHERE ('0x' || substr(
+                     md5(event_id::VARCHAR || chr(31) || '7'), 1, 8)
+                  )::BIGINT % 1000000
+                  < CASE event_type
+                      WHEN 'click' THEN 500000
+                      WHEN 'purchase' THEN 1000000
+                      WHEN 'view' THEN 100000
+                      ELSE 50000
+                    END
+        """,
+        # DuckDB's native backward-inclusive ASOF LEFT JOIN vs the Spark
+        # union-tag/window encoding — independent realizations
+        "j5_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS prior_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, c.prior_value, c.ts AS prior_ts
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "dedup_clusters": _dedup_clusters_oracle(),
     }

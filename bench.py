@@ -46,6 +46,13 @@ HEADLINE = [
     "skew_salted_agg",
     "stats_quantiles",
     "j4_position_pattern",
+    "s1_stratified_sample",
+    "j5_asof_join",
+    # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
+    # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
+    # while the 100-TB candidate path is minhash; the closure itself
+    # (connected_components) adds ~2-4 sub-second iterations on top and is
+    # plan-asserted + chain-tested in tests/test_sampling_asof_cluster.py
 ]
 
 

@@ -1,0 +1,110 @@
+"""Deterministic hash-based sampling — reproducible corpus subsetting.
+
+A 100-TB training-data pipeline cannot use ``rand()`` sampling: a retried
+task re-rolls the dice, a resumed run samples a different subset, and two
+engines can never agree on what was kept. Hash sampling fixes all three:
+a row is kept iff ``h(key, seed) mod D < fraction * D``, a pure
+deterministic function of the row's key — stable across retries, resumes,
+engines, and cluster sizes, and consistent ACROSS TABLES (sampling two
+tables by the same join key keeps matching rows in both, so joins survive
+the sample).
+
+Scale shape: the predicate is a pure JVM column expression — no shuffle,
+no state, evaluated inside WholeStageCodegen right above the scan. At any
+data size the cost is one hash per row; the selectivity reaches Parquet
+row-group pruning only via stats on the key column (none for a hash), so
+the scan is full but the downstream pipeline sees ``fraction`` of rows.
+
+Two hash families, mirroring dedup/minhash.py's convention
+(minhash.py:16-29): ``xxhash64`` (library default, fastest, engine-
+specific) and ``md5`` (portable: the first 8 hex chars as a 32-bit int is
+reproducible in any engine — the DuckDB oracle replicates it verbatim).
+
+Reference parity: tacotoolbox exposes no sampler; this is one of the
+beyond-reference training-pipeline operators (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for the keep-threshold arithmetic. 1e6 buckets give sampling
+#: fractions a resolution of 1e-6 while keeping md5-mode arithmetic in
+#: 32-bit-safe range on every engine.
+SAMPLE_BUCKETS = 1_000_000
+
+#: Separator for multi-column keys — a control char that cannot appear in
+#: the id/text columns sampled here, so ("ab","c") never collides with
+#: ("a","bc").
+_SEP = "\x1f"
+
+
+def hash_bucket(
+    key_cols: list[str],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    buckets: int = SAMPLE_BUCKETS,
+) -> Column:
+    """Uniform bucket in [0, buckets) as a deterministic function of the
+    key columns + seed. ``xxhash64``: native 64-bit hash (fast path).
+    ``md5``: first-32-bits-of-md5 over the '\\x1f'-joined key string with
+    the seed appended — portable to any engine with md5."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    elif hash_fn == "md5":
+        key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+        h = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, selected by key hash.
+
+    The kept set is a function of (key, seed) only: rerunning, resuming,
+    or scaling the job keeps EXACTLY the same rows, and sampling another
+    table by the same key keeps the matching rows there too.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * SAMPLE_BUCKETS))
+    return df.filter(hash_bucket(key_cols, seed, hash_fn) < F.lit(thr))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-fraction (unlisted strata get ``default_fraction``). The
+    per-stratum threshold is a broadcast literal CASE expression — still
+    zero-shuffle, still WholeStageCodegen; this is ``df.sampleBy`` minus
+    the nondeterminism. Down-weighting over-represented sources (web crawl
+    vs books) is the canonical training-mix use."""
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1], got {frac}")
+    thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    for v, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(v),
+            F.lit(int(round(frac * SAMPLE_BUCKETS))),
+        ).otherwise(thr)
+    return df.filter(hash_bucket(key_cols, seed, hash_fn) < thr)

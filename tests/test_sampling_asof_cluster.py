@@ -1,0 +1,188 @@
+"""Tests for the three round-4 pipeline operators: deterministic hash
+sampling, as-of join, and duplicate-cluster connected components."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from taco_toolbox_spark.dedup.cluster import canonical_docs, connected_components
+from taco_toolbox_spark.operators.asof import asof_join
+from taco_toolbox_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumn(
+        "grp", (F.col("id") % 4).cast("string")
+    )
+
+
+def test_hash_sample_deterministic_and_close_to_fraction(ids):
+    a = hash_sample(ids, ["id"], 0.3, seed=1)
+    b = hash_sample(ids, ["id"], 0.3, seed=1)
+    na = a.count()
+    # exact same rows, not merely same count
+    assert a.exceptAll(b).count() == 0 and na == b.count()
+    assert 0.25 < na / 5000 < 0.35  # binomial-ish tolerance at n=5000
+    # a different seed samples a genuinely different subset
+    c = hash_sample(ids, ["id"], 0.3, seed=2)
+    assert a.exceptAll(c).count() > 0
+
+
+def test_hash_sample_consistent_across_tables(ids, spark):
+    """Sampling two tables by the same key keeps matching rows in both —
+    the property that keeps joins alive through a sample."""
+    other = spark.range(0, 5000).withColumn("payload", F.col("id") * 2)
+    ka = {r.id for r in hash_sample(ids, ["id"], 0.2, seed=9).collect()}
+    kb = {r.id for r in hash_sample(other, ["id"], 0.2, seed=9).collect()}
+    assert ka == kb
+
+
+def test_hash_sample_md5_matches_spark_and_portable_arith(ids):
+    # md5 mode exists for cross-engine reproducibility; spot-check one row's
+    # keep decision against hand-computed md5 arithmetic
+    import hashlib
+
+    kept = {r.id for r in hash_sample(ids, ["id"], 0.5, seed=7, hash_fn="md5").collect()}
+    for key in (0, 1, 4999):
+        h = int(hashlib.md5(f"{key}\x1f7".encode()).hexdigest()[:8], 16)
+        assert (h % 1_000_000 < 500_000) == (key in kept)
+
+
+def test_stratified_fractions_and_default(ids):
+    s = stratified_hash_sample(
+        ids, "grp", {"0": 1.0, "1": 0.0}, ["id"], default_fraction=0.5, seed=3
+    )
+    got = {r.grp: r.n for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got.get("0") == 1250  # fraction 1.0 keeps every row
+    assert "1" not in got  # fraction 0.0 keeps none
+    assert 450 < got.get("2", 0) < 800  # default 0.5 of 1250
+    assert 450 < got.get("3", 0) < 800
+
+
+def test_sampling_validates_fractions(ids):
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(ids, ["id"], 1.5)
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_hash_sample(ids, "grp", {"0": -0.1}, ["id"])
+
+
+def test_hash_sample_plan_is_scan_plus_filter(ids):
+    """Zero-shuffle: the sample predicate must not introduce an Exchange."""
+    plan = hash_sample(ids, ["id"], 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "a"), ("u1", _ts(20), "b"), ("u1", _ts(5), "c"),
+         ("u2", _ts(10), "d")],
+        "k string, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 1.0), ("u1", _ts(15), 2.0), ("u3", _ts(1), 9.0)],
+        "k string, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(asof_frames):
+    left, right = asof_frames
+    out = {
+        (r.k, r.lv): (r.rv_m, r.ts_m)
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"], suffix="_m").collect()
+    }
+    assert out[("u1", "a")] == (1.0, _ts(10))  # simultaneous row IS matched
+    assert out[("u1", "b")] == (2.0, _ts(15))  # latest prior, not just any
+    assert out[("u1", "c")] == (None, None)  # nothing precedes t=5
+    assert out[("u2", "d")] == (None, None)  # key with no right rows at all
+
+
+def test_asof_tolerance_nulls_stale_matches(asof_frames):
+    left, right = asof_frames
+    out = {
+        (r.k, r.lv): r.rv_m
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["rv"], suffix="_m", tolerance_s=4
+        ).collect()
+    }
+    assert out[("u1", "a")] == 1.0  # 0s old: kept
+    assert out[("u1", "b")] is None  # 5s old > 4s tolerance: nulled
+
+
+def test_asof_column_collision_raises(asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="collide"):
+        # right 'ts' carried as 'ts' collides with left's own 'ts'
+        asof_join(left, right, ["k"], "ts", "ts", ["rv"], suffix="")
+
+
+def test_asof_single_shuffle_plan(asof_frames):
+    """The union-tag encoding must cost ONE shuffle (the window's), with no
+    nested-loop join anywhere — the reason it survives 100 TB where the
+    inequality-join encoding does not."""
+    left, right = asof_frames
+    plan = (
+        asof_join(left, right, ["k"], "ts", "ts", ["rv"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# connected components / canonical docs
+# ---------------------------------------------------------------------------
+
+
+def test_components_transitive_chain(spark):
+    # 1-2, 2-3, 3-4 must merge though 1~4 was never emitted; 9-10 separate
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 10)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+
+
+def test_components_max_iter_bound(spark):
+    # a 6-node path needs ~4 hash-min rounds; max_iter=2 must refuse loudly
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(path, max_iter=2)
+    got = {r.node: r.cluster_id for r in connected_components(path).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_canonical_docs_covers_singletons(spark):
+    pairs = spark.createDataFrame([(3, 1), (5, 6)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in canonical_docs(pairs, docs).collect()}
+    assert rows[1] == (1, True) and rows[3] == (1, False)
+    assert rows[5] == (5, True) and rows[6] == (5, False)
+    # never-paired docs are their own canonical cluster
+    for d in (2, 4, 7):
+        assert rows[d] == (d, True)
+    # exactly one canonical per cluster
+    assert sum(1 for c, canon in rows.values() if canon) == 5
