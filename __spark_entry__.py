@@ -710,6 +710,19 @@ def q_s1_stratified_sample(spark, sf_dir):
     ).select("event_id", "event_type", "user_id")
 
 
+def q_s2_sample_k_per_group(spark, sf_dir):
+    """Fixed-size deterministic per-group sampling (md5 mode): the 5
+    events per event_type with the smallest md5 key hashes — the
+    rerun-stable reservoir-sample analog. The oracle replicates the hash
+    arithmetic and the (hash, key) tie-broken row_number ranking."""
+    from taco_toolbox_spark.operators.sampling import hash_sample_k_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_sample_k_per_group(
+        ev, ["event_type"], ["event_id"], k=5, seed=7, hash_fn="md5"
+    ).select("event_type", "event_id", "user_id")
+
+
 def q_j5_asof_join(spark, sf_dir):
     """As-of join: each purchase event enriched with the latest prior (or
     simultaneous) click value for the same user. Spark side is the
@@ -794,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_by_day": q_pivot_by_day,
         "skew_salted_agg": q_skew_salted_agg,
         "s1_stratified_sample": q_s1_stratified_sample,
+        "s2_sample_k_per_group": q_s2_sample_k_per_group,
         "j5_asof_join": q_j5_asof_join,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
@@ -1656,6 +1670,22 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'view' THEN 100000
                       ELSE 50000
                     END
+        """,
+        # same md5 bucket arithmetic, ranked per group with the identical
+        # (hash, key) tie-break the Spark window applies
+        "s2_sample_k_per_group": """
+            WITH h AS (
+              SELECT event_type, event_id, user_id,
+                     ('0x' || substr(
+                        md5(event_id::VARCHAR || chr(31) || '7'), 1, 8)
+                     )::BIGINT % 1000000 AS hb
+              FROM events
+            )
+            SELECT event_type, event_id, user_id FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY event_type ORDER BY hb, event_id) AS rn
+              FROM h
+            ) WHERE rn <= 5
         """,
         # DuckDB's native backward-inclusive ASOF LEFT JOIN vs the Spark
         # union-tag/window encoding — independent realizations

@@ -47,6 +47,7 @@ HEADLINE = [
     "stats_quantiles",
     "j4_position_pattern",
     "s1_stratified_sample",
+    "s2_sample_k_per_group",
     "j5_asof_join",
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —

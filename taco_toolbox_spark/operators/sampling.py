@@ -108,3 +108,35 @@ def stratified_hash_sample(
             F.lit(int(round(frac * SAMPLE_BUCKETS))),
         ).otherwise(thr)
     return df.filter(hash_bucket(key_cols, seed, hash_fn) < thr)
+
+
+def hash_sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic uniform without-replacement sample of (at most) ``k``
+    rows per group: rank each group's rows by key hash, keep the k
+    smallest. The distributed, rerun-stable analog of per-group reservoir
+    sampling — fixed OUTPUT SIZE per group where the fraction samplers fix
+    the rate, which is what eval-set carving and per-source caps need.
+
+    Scale shape: one shuffle on the group key + a per-group
+    row_number window (rank <= k prunes early under WholeStageCodegen);
+    no global sort, no driver state. Hash ties are broken by the key
+    columns themselves, so the kept set is total-order deterministic."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .topk import topk_per_group
+
+    h = hash_bucket(key_cols, seed, hash_fn)
+    return topk_per_group(
+        df.withColumn("_h", h),
+        group_cols,
+        [F.col("_h"), *[F.col(c) for c in key_cols]],
+        k,
+        rank_col="_rank",
+    ).drop("_h", "_rank")

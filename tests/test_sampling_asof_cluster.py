@@ -69,6 +69,22 @@ def test_stratified_fractions_and_default(ids):
     assert 450 < got.get("3", 0) < 800
 
 
+def test_sample_k_per_group_fixed_size_and_deterministic(ids):
+    from taco_toolbox_spark.operators.sampling import hash_sample_k_per_group
+
+    a = hash_sample_k_per_group(ids, ["grp"], ["id"], k=7, seed=1)
+    assert {r.n for r in a.groupBy("grp").agg(F.count("*").alias("n")).collect()} == {7}
+    b = hash_sample_k_per_group(ids, ["grp"], ["id"], k=7, seed=1)
+    assert a.exceptAll(b).count() == 0  # identical rows on rerun
+    # k larger than the group: the whole group survives, no padding
+    tiny = ids.filter(F.col("id") < 3)
+    assert hash_sample_k_per_group(tiny, ["grp"], ["id"], k=10).count() == 3
+    # helper columns must not leak into the output
+    assert set(a.columns) == {"id", "grp"}
+    with pytest.raises(ValueError, match="k must be"):
+        hash_sample_k_per_group(ids, ["grp"], ["id"], k=0)
+
+
 def test_sampling_validates_fractions(ids):
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(ids, ["id"], 1.5)
