@@ -751,6 +751,28 @@ def q_j5_asof_join(spark, sf_dir):
     )
 
 
+def q_j6_range_join(spark, sf_dir):
+    """Time-range join: clicks by the same user within the hour before
+    each purchase (inclusive bounds), counted per purchase. Spark side is
+    the bin-replication equi-join rewrite (operators/rangejoin.py — never
+    a nested loop); the oracle is DuckDB's direct inequality join — two
+    independent realizations of the window predicate."""
+    from taco_toolbox_spark.operators.rangejoin import time_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        time_range_join(
+            purchases, clicks, ["user_id"], "ts", "ts", -3600.0, 0.0
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: n-gram Jaccard pairs closed into
     connected components (iterative hash-min label propagation,
@@ -809,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_stratified_sample": q_s1_stratified_sample,
         "s2_sample_k_per_group": q_s2_sample_k_per_group,
         "j5_asof_join": q_j5_asof_join,
+        "j6_range_join": q_j6_range_join,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
@@ -1701,6 +1724,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, c.prior_value, c.ts AS prior_ts
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # direct inequality join — independent of the Spark side's
+        # bin-replication rewrite
+        "j6_range_join": """
+            SELECT p.event_id, count(*)::BIGINT AS n_clicks_1h
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch(c.ts) BETWEEN epoch(p.ts) - 3600 AND epoch(p.ts)
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
     }

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._time import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -97,7 +99,7 @@ def asof_join(
     ts_a = carried[right_ts]
     if tolerance_s is not None:
         stale = (
-            F.col("_ts").cast("double") - F.col(f"_f_{ts_a}").cast("double")
+            epoch_seconds(out, "_ts") - epoch_seconds(out, f"_f_{ts_a}")
         ) > F.lit(float(tolerance_s))
         keep = {
             a: F.when(stale, F.lit(None)).otherwise(F.col(f"_f_{a}")).alias(a)

@@ -166,6 +166,83 @@ def test_asof_single_shuffle_plan(asof_frames):
 
 
 # ---------------------------------------------------------------------------
+# time-range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive_filter(spark):
+    """Bin replication must reproduce the direct inequality-join result
+    exactly, including rows sitting on bin and window boundaries."""
+    from taco_toolbox_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [("k", i, float(t)) for i, t in enumerate([0, 5, 59, 60, 61, 3600])],
+        "k string, lid long, ts double",
+    )
+    right = spark.createDataFrame(
+        [("k", j, float(t)) for j, t in enumerate([0, 1, 59, 60, 61, 120, 3599])],
+        "k string, rid long, ts double",
+    )
+    got = {
+        (r.lid, r.rid_r)
+        for r in time_range_join(
+            left, right, ["k"], "ts", "ts", -60.0, 0.0, right_cols=["rid"]
+        ).collect()
+    }
+    want = {
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.ts - 60.0 <= r.ts <= l.ts
+    }
+    assert got == want and len(want) > 0
+    # boundary semantics: both ends inclusive
+    assert (3, 0) in got and (3, 2) in got and (3, 3) in got  # t=60: 0,59,60
+
+
+def test_temporal_ops_accept_parquet_ntz_timestamps(spark, tmp_path):
+    """Parquet reads yield TIMESTAMP_NTZ, which Spark refuses to cast
+    straight to double — both temporal operators must handle it (this
+    exact gap broke j6_range_join on the real events table)."""
+    from taco_toolbox_spark.operators.rangejoin import time_range_join
+
+    left, right = None, None
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [("k", 1, _ts(100))], "k string, lid long, ts timestamp"
+    ).write.parquet(lp)
+    spark.createDataFrame(
+        [("k", 2, _ts(95)), ("k", 3, _ts(10))],
+        "k string, rid long, ts timestamp",
+    ).write.parquet(rp)
+    ntz = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    left, right = ntz(spark.read.parquet(lp)), ntz(spark.read.parquet(rp))
+    assert dict(left.dtypes)["ts"] == "timestamp_ntz"
+    rj = time_range_join(left, right, ["k"], "ts", "ts", -10.0, 0.0,
+                         right_cols=["rid"])
+    assert {r.rid_r for r in rj.collect()} == {2}
+    aj = asof_join(left, right, ["k"], "ts", "ts", ["rid"], tolerance_s=4.0)
+    assert [r.rid_asof for r in aj.collect()] == [None]  # 5s old > 4s
+
+
+def test_range_join_validates_and_plans_equi_join(spark):
+    from taco_toolbox_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame([("k", 1, 10.0)], "k string, lid long, ts double")
+    right = spark.createDataFrame([("k", 2, 11.0)], "k string, rid long, ts double")
+    with pytest.raises(ValueError, match="lower_s"):
+        time_range_join(left, right, ["k"], "ts", "ts", 5.0, -5.0)
+    with pytest.raises(ValueError, match="collide"):
+        time_range_join(left, right, ["k"], "ts", "ts", 0.0, 5.0,
+                        right_cols=["ts"], suffix="")
+    plan = (
+        time_range_join(left, right, ["k"], "ts", "ts", 0.0, 5.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
 # connected components / canonical docs
 # ---------------------------------------------------------------------------
 
