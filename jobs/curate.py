@@ -1,0 +1,173 @@
+"""Corpus-curation job: the end-to-end training-data pipeline the
+library's operators exist for, composed into one spark-submit entry.
+
+    spark-submit --py-files taco_toolbox_spark.zip jobs/curate.py \
+        --input /data/documents --output /runs/curated \
+        --sample-by source --sample-fraction 0.5 \
+        --min-tokens 4 --max-shard-tokens 100000
+
+Stages (each a library operator; the funnel row counts land in
+<output>/manifest.json):
+
+  1. quality gate    — token/char stats as pure JVM expressions
+                       (functions/text.py), rows below --min-tokens drop;
+  2. hash sample     — deterministic stratified sampling
+                       (operators/sampling.py): rerun-stable, so a
+                       resumed/re-tried job keeps identical rows;
+  3. exact dedup     — normalized-fingerprint window (dedup/exact.py);
+  4. near dedup      — MinHash+LSH candidate pairs (dedup/minhash.py)
+                       closed into clusters (dedup/cluster.py), keep the
+                       min-id canonical per cluster;
+  5. shard packing   — greedy token-budget packing
+                       (operators/partitioning.py) into order-monotone
+                       shards of <= --max-shard-tokens tokens, written
+                       partitioned by shard.
+
+Scale notes: stages 1-3 are scan + one window; stage 4 is the banded LSH
+path (bucket-capped, candidate-restricted — the 100-TB dedup path, not
+the exact-Jaccard join); the survivors frame is persisted once because
+stages 4-5 both traverse it. Every stage's output is a deterministic
+function of (input, flags), so the whole job is idempotent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    p = argparse.ArgumentParser(description="corpus curation pipeline")
+    p.add_argument("--input", required=True, help="documents parquet dir")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--sample-by", default=None,
+                   help="strata column for sampling (default: unstratified)")
+    p.add_argument("--sample-fraction", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-tokens", type=int, default=1,
+                   help="quality gate: drop docs with fewer tokens")
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--max-shard-tokens", type=int, default=1_000_000)
+    p.add_argument("--skip-near-dedup", action="store_true",
+                   help="stop after exact dedup (stage 4 is the expensive one)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.dedup.cluster import connected_components
+    from taco_toolbox_spark.dedup.exact import drop_exact_duplicates
+    from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
+    from taco_toolbox_spark.functions.text import token_count
+    from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+    from taco_toolbox_spark.operators.sampling import hash_sample
+    from taco_toolbox_spark.session import get_spark
+
+    spark = get_spark("curate")
+    t0 = time.time()
+    funnel: dict[str, int] = {}
+    try:
+        docs = spark.read.parquet(args.input)
+        funnel["input"] = docs.count()
+
+        # 1. quality gate (JVM expressions; pushes into the scan stage)
+        gated = docs.withColumn(
+            "n_tokens", token_count(args.text_col)
+        ).filter(F.col("n_tokens") >= args.min_tokens)
+        funnel["quality_gate"] = gated.count()
+
+        # 2. deterministic sample — unstratified unless --sample-by
+        if args.sample_fraction < 1.0:
+            key = [args.id_col]
+            if args.sample_by:
+                from taco_toolbox_spark.operators.sampling import (
+                    stratified_hash_sample,
+                )
+
+                strata = [
+                    r[0]
+                    for r in gated.select(args.sample_by).distinct().collect()
+                ]
+                sampled = stratified_hash_sample(
+                    gated, args.sample_by,
+                    {s: args.sample_fraction for s in strata},
+                    key, seed=args.seed,
+                )
+            else:
+                sampled = hash_sample(
+                    gated, key, args.sample_fraction, seed=args.seed
+                )
+        else:
+            sampled = gated
+        funnel["sampled"] = sampled.count()
+
+        # 3. exact dedup
+        exact = drop_exact_duplicates(sampled, args.text_col, args.id_col)
+        funnel["exact_deduped"] = exact.count()
+
+        # 4. near dedup via minhash -> components -> canonical keep
+        if not args.skip_near_dedup:
+            exact = exact.persist()  # pairs + keep-join both traverse it
+            pairs = minhash_near_duplicates(
+                exact, args.text_col, args.id_col,
+                threshold=args.jaccard_threshold,
+            ).select(
+                F.col("id_a").cast("long"), F.col("id_b").cast("long")
+            )
+            comp = connected_components(pairs, "id_a", "id_b")
+            losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias(args.id_col)
+            )
+            survivors = exact.join(losers, args.id_col, "left_anti")
+        else:
+            survivors = exact
+        funnel["near_deduped"] = survivors.count()
+
+        # 5. token-budget shard packing + partitioned write; packing
+        # parallelism follows the data (scale.pack_bucket_count) so a
+        # small corpus gets one exact walk instead of 64 ragged shards
+        from taco_toolbox_spark.scale import pack_bucket_count
+
+        packed = greedy_pack_bins(
+            survivors,
+            "n_tokens",
+            [args.id_col],
+            max_bin_size=args.max_shard_tokens,
+            bin_col="shard",
+            n_buckets=pack_bucket_count(funnel["near_deduped"]),
+        )
+        packed.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(args.output, "shards")
+        )
+        n_shards = packed.select("shard").distinct().count()
+
+        manifest = {
+            "funnel": funnel,
+            "n_shards": n_shards,
+            "flags": {
+                k: v for k, v in vars(args).items() if not k.startswith("_")
+            },
+            "wall_s": round(time.time() - t0, 1),
+        }
+        with open(os.path.join(args.output, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        kept = funnel["near_deduped"]
+        print(
+            f"curated {funnel['input']:,} -> {kept:,} docs "
+            f"({n_shards} shards) in {manifest['wall_s']}s; "
+            f"funnel: {funnel}"
+        )
+        return 0
+    finally:
+        if stop_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

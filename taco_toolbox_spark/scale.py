@@ -54,3 +54,17 @@ def concurrent_actions(
     """True when independent actions over ``n_rows`` input rows should be
     pipelined concurrently rather than run sequentially (rule 2)."""
     return n_rows <= max_rows
+
+
+def pack_bucket_count(
+    n_rows: int, rows_per_bucket: int = ROWS_PER_BUCKET
+) -> int:
+    """Bucket count for distributed greedy packing (greedy_pack_bins).
+    Unlike ``bucket_count`` there is no MIN floor: packing buckets are
+    walked exactly and a bin never spans a bucket boundary, so every
+    bucket beyond what row count requires costs one potentially
+    under-filled bin — a 433-doc corpus packed across 64 buckets emits 64
+    ragged shards where 1 bucket emits the optimal walk. Scaling with
+    rows keeps each bucket's sequential pandas walk bounded (~250k rows)
+    while small corpora get the exact single-walk result."""
+    return max(1, -(-n_rows // rows_per_bucket))

@@ -102,6 +102,69 @@ def test_scale_rules():
         1
     ) is False
 
+    # packing buckets have NO 64-floor: each extra bucket can cost one
+    # under-filled shard, so small corpora pack in a single exact walk
+    from taco_toolbox_spark.scale import pack_bucket_count
+
+    assert pack_bucket_count(433) == 1
+    assert pack_bucket_count(250_000) == 1
+    assert pack_bucket_count(250_001) == 2
+    assert pack_bucket_count(63_000_000) == 252
+
+
+def test_curate_pipeline(tmp_path, spark):
+    """End-to-end corpus curation: quality gate -> deterministic sample ->
+    exact + near dedup -> token-budget shards, with a funnel manifest.
+    Built on a corpus with planted exact and near duplicates."""
+    import json
+
+    import jobs.curate as jc
+    from pyspark.sql import functions as F
+
+    base = [
+        (i, f"unique document number {i} with alpha beta gamma delta", "web")
+        for i in range(40)
+    ]
+    exact_dups = [(100 + i, base[i][1], "web") for i in range(5)]
+    near_dups = [
+        (200 + i, base[i][1] + " epsilon", "books") for i in range(5)
+    ]
+    short = [(300 + i, "tiny", "web") for i in range(3)]  # fails min-tokens
+    docs = spark.createDataFrame(
+        base + exact_dups + near_dups + short,
+        "doc_id long, text string, source string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated")
+
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "3",
+         "--jaccard-threshold", "0.5", "--max-shard-tokens", "40"],
+        stop_session=False,  # shared test session
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/manifest.json"))
+    f_ = m["funnel"]
+    assert f_["input"] == 53 and f_["quality_gate"] == 50  # 3 shorts dropped
+    assert f_["exact_deduped"] == 45  # 5 exact dups gone
+    assert f_["near_deduped"] <= 45 - 4  # near dups clustered away
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.count() == f_["near_deduped"]
+    per = shards.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+    assert per.filter(F.col("t") > 40).count() == 0  # cap respected
+    # deterministic: rerun produces the identical kept set
+    out2 = str(tmp_path / "curated2")
+    jc.main(
+        ["--input", inp, "--output", out2, "--min-tokens", "3",
+         "--jaccard-threshold", "0.5", "--max-shard-tokens", "40"],
+        stop_session=False,
+    )
+    a = {r.doc_id for r in shards.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         spark.read.parquet(f"{out2}/shards").select("doc_id").collect()}
+    assert a == b
+
 
 def test_write_bucketed_scales_bucket_count(spark, tmp_path):
     """write_bucketed(n_buckets=None) picks the data-scaled count."""
