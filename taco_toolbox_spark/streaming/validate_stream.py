@@ -575,3 +575,64 @@ def run_memory_smoke(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming exact deduplication: drop rows whose normalized-text
+    fingerprint (functions/text.py — same fingerprint as the batch path,
+    so batch and stream agree on what "duplicate" means) was already seen
+    within the watermark horizon.
+
+    Built on ``dropDuplicatesWithinWatermark``: Spark keeps one state-store
+    entry per fingerprint and EVICTS it once event time passes the
+    watermark — bounded state on an unbounded stream, the property a plain
+    ``dropDuplicates`` lacks (its state grows forever). The trade, stated
+    honestly: a duplicate arriving later than ``watermark`` after its
+    first occurrence is re-admitted; exact global dedup over an unbounded
+    horizon belongs to the batch path (dedup/exact.py) over the
+    accumulated corpus. ``key_cols`` scopes dedup (e.g. per-conversation);
+    empty = corpus-wide. The fingerprint is computed map-side before the
+    dedup exchange, so the state key is a fixed-width long, not the text.
+    """
+    from ..functions.text import fingerprint
+
+    fp = stream_df.withColumn("_fp", fingerprint(text_col))
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([*key_cols, "_fp"])
+        .drop("_fp")
+    )
+
+
+def run_stream_dedup_smoke(
+    spark,
+    parquet_dir: str,
+    query_name: str = "stream_dedup",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 8,
+):
+    """Drive stream_dedup over a bounded parquet dir with the memory
+    sink (append mode — dropDuplicatesWithinWatermark emits each survivor
+    exactly once)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_dedup(stream, watermark=watermark)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -344,3 +344,47 @@ def test_stateful_contiguity_verdict_for_all_bad_keys(tmp_path, spark):
     assert len(out[out.check_id == "turn_idx_nonneg"]) == 2
     contig = out[out.check_id == "turn_contiguous"]
     assert list(contig.conv_id) == ["conv_x"] and not contig.passed.any()
+
+
+def test_stream_dedup_drops_within_watermark_and_matches_batch(tmp_path, spark):
+    """Exact-dup texts across micro-batches are dropped within the
+    watermark horizon; the surviving fingerprint set equals the batch
+    drop_exact_duplicates result on the same bounded input."""
+    import datetime as dt
+
+    from taco_toolbox_spark.dedup.exact import drop_exact_duplicates
+    from taco_toolbox_spark.functions.text import fingerprint
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_dedup_smoke,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, "alpha beta gamma", t0),
+        (2, "alpha beta gamma", t0 + dt.timedelta(minutes=5)),  # dup, in horizon
+        (3, "ALPHA   beta Gamma", t0 + dt.timedelta(minutes=6)),  # normalized dup
+        (4, "delta epsilon", t0 + dt.timedelta(minutes=7)),
+        (5, "delta epsilon", t0 + dt.timedelta(hours=3)),  # past watermark: readmitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    inp = str(tmp_path / "stream_in")
+    # one file per row => one micro-batch each under maxFilesPerTrigger=1
+    df.repartition(5, "doc_id").write.parquet(inp)
+    got = run_stream_dedup_smoke(
+        spark, inp, query_name="t_sdedup", watermark="1 hour",
+        max_files_per_trigger=1,
+    ).toPandas()
+    # exactly one survivor per fingerprint within the horizon; the
+    # 3-hours-later repeat may be re-admitted (eviction) — both counts legal
+    fps = (
+        df.select("doc_id", fingerprint("text").alias("fp"))
+        .toPandas().set_index("doc_id").fp.to_dict()
+    )
+    surv_fps = [fps[d] for d in got.doc_id]
+    assert len([f for f in surv_fps if f == fps[1]]) == 1  # 1,2,3 collapse
+    assert fps[4] in surv_fps
+    # batch parity on the within-horizon subset (docs 1-4): same kept count
+    batch = drop_exact_duplicates(df.filter("doc_id <= 4"))
+    assert batch.count() == 2
+    assert len({f for f in surv_fps}) == len(set(fps.values()))
