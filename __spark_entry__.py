@@ -751,6 +751,21 @@ def q_j5_asof_join(spark, sf_dir):
     )
 
 
+def q_t1_quality_filter(spark, sf_dir):
+    """Per-group quality filtering: keep the longest 40% of documents per
+    language (ceil(0.4 * group size) rows, (n_chars desc, doc_id)
+    tie-broken — deterministic). The oracle replicates the count +
+    row_number windows."""
+    from taco_toolbox_spark.operators.distribution import (
+        top_fraction_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return top_fraction_per_group(
+        d, "n_chars", 0.4, ["lang"], tiebreak_cols=["doc_id"]
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_j6_range_join(spark, sf_dir):
     """Time-range join: clicks by the same user within the hour before
     each purchase (inclusive bounds), counted per purchase. Spark side is
@@ -832,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_sample_k_per_group": q_s2_sample_k_per_group,
         "j5_asof_join": q_j5_asof_join,
         "j6_range_join": q_j6_range_join,
+        "t1_quality_filter": q_t1_quality_filter,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
@@ -1736,6 +1752,18 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(c.ts) BETWEEN epoch(p.ts) - 3600 AND epoch(p.ts)
             WHERE p.event_type = 'purchase'
             GROUP BY 1
+        """,
+        # identical count + row_number windows, same (score desc, id)
+        # tie-break
+        "t1_quality_filter": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ) WHERE rn <= ceil(n * 0.4)
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
     }

@@ -50,6 +50,7 @@ HEADLINE = [
     "s2_sample_k_per_group",
     "j5_asof_join",
     "j6_range_join",
+    "t1_quality_filter",
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
     # while the 100-TB candidate path is minhash; the closure itself

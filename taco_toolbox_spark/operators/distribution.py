@@ -50,3 +50,44 @@ def top1_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.max_by(group_col, F.struct("total", group_col)).alias(group_col),
         F.max("total").alias("total"),
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    group_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the best ``keep_fraction`` of rows per group by score — the
+    "top 50% per language by quality" corpus-filter primitive. Exactly
+    ``ceil(fraction * group_size)`` rows survive per group (so every
+    non-empty group keeps at least one row — a rate threshold would
+    silently empty small groups), selected by (score, tiebreak...) under
+    ``row_number`` so the kept set is total-order deterministic, unlike a
+    ``percent_rank`` cut whose tie handling admits whole tie-blocks.
+
+    Scale shape: one shuffle on the group key; count + row_number share
+    the single window sort. Groups are corpus strata (language, source) —
+    few and fat, so per-group sorts dominate: for very hot groups the
+    same two-pass trick as approximate selection applies upstream
+    (pre-filter by a sampled score threshold), noted rather than built
+    because strata counts make this window the cheap part of a pipeline.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    g = [F.col(c) for c in (group_cols or [])]
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+    ]
+    w = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    return (
+        df.withColumn("_rn", F.row_number().over(w.orderBy(*order)))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(keep_fraction)))
+        .drop("_rn", "_n")
+    )

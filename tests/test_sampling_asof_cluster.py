@@ -165,6 +165,29 @@ def test_asof_single_shuffle_plan(asof_frames):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_top_fraction_per_group(spark):
+    from taco_toolbox_spark.operators.distribution import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("b", 100, 5.0)],
+        "g string, id long, score double",
+    )
+    out = top_fraction_per_group(df, "score", 0.3, ["g"], ["id"])
+    got = {(r.g, r.id) for r in out.collect()}
+    # ceil(0.3*10)=3 best of group a; singleton group b always survives
+    assert got == {("a", 9), ("a", 8), ("a", 7), ("b", 100)}
+    # ties broken by id: two equal scores, keep_fraction selects exactly one
+    tie = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 1.0)], "g string, id long, score double"
+    )
+    kept = top_fraction_per_group(tie, "score", 0.5, ["g"], ["id"]).collect()
+    assert [(r.g, r.id) for r in kept] == [("a", 1)]
+    with pytest.raises(ValueError, match="keep_fraction"):
+        top_fraction_per_group(df, "score", 0.0, ["g"])
+
+
 # ---------------------------------------------------------------------------
 # time-range join
 # ---------------------------------------------------------------------------
