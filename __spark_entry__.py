@@ -473,6 +473,19 @@ def q_sim_near_dup(spark, sf_dir):
     return embedding_near_duplicates(e, threshold=0.4)
 
 
+def q_sim_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup pairs closed into canonical clusters: the same
+    connected-components + keep/drop verdict as dedup_clusters, over the
+    LSH cosine pair graph. Oracle = recursive-CTE closure over the
+    pipeline-replica pair SQL."""
+    from taco_toolbox_spark.dedup.cluster import canonical_docs
+    from taco_toolbox_spark.similarity.ann import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(e, threshold=0.4).select("id_a", "id_b")
+    return canonical_docs(pairs, e, "vec_id")
+
+
 def q_text_stats(spark, sf_dir):
     """Text analysis: token counts + quality ratios (JVM expressions)."""
     d = _t(spark, sf_dir, "documents")
@@ -833,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup": q_sim_near_dup,
+        "sim_dedup_clusters": q_sim_dedup_clusters,
         "text_stats": q_text_stats,
         "text_lang_distribution": q_text_lang_distribution,
         "lang_id": q_lang_id,
@@ -906,9 +920,11 @@ def _sim_lsh_topk_oracle() -> str:
     """
 
 
-def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> str:
-    return f"""
-        WITH {_lsh_pipeline_sql()},
+def _sim_pair_ctes(threshold: float = 0.4, max_bucket: int = 10_000) -> str:
+    """Banded-LSH near-dup pair CTEs ending in ``sim_pairs`` (id_a, id_b,
+    cos) — shared by the sim_near_dup oracle and the sim_dedup_clusters
+    closure oracle."""
+    return f"""{_lsh_pipeline_sql()},
         kept AS (
           SELECT band, sig FROM sigs GROUP BY 1, 2
           HAVING count(*) <= {max_bucket}
@@ -918,19 +934,54 @@ def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> st
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM ksigs a JOIN ksigs b
             ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-        )
-        SELECT * FROM (
-          SELECT id_a, id_b,
-                 round(list_sum(list_transform(range(1, 65),
-                         i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
-                   / (sqrt(list_sum(list_transform(ea.embedding,
-                         x -> x::DOUBLE * x::DOUBLE)))
-                      * sqrt(list_sum(list_transform(eb.embedding,
-                         x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
-          FROM cand
-          JOIN embeddings ea ON ea.vec_id = id_a
-          JOIN embeddings eb ON eb.vec_id = id_b
-        ) WHERE cos >= {threshold}
+        ),
+        sim_pairs AS (
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   round(list_sum(list_transform(range(1, 65),
+                           i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(ea.embedding,
+                           x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(eb.embedding,
+                           x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+          ) WHERE cos >= {threshold}
+        )"""
+
+
+def _sim_near_dup_oracle(threshold: float = 0.4, max_bucket: int = 10_000) -> str:
+    return f"""
+        WITH {_sim_pair_ctes(threshold, max_bucket)}
+        SELECT id_a, id_b, cos FROM sim_pairs
+    """
+
+
+def _sim_dedup_clusters_oracle(
+    threshold: float = 0.4, max_bucket: int = 10_000
+) -> str:
+    """Recursive-CTE closure of the LSH near-dup pair graph, left-joined
+    onto all embeddings — the embedding-side twin of
+    _dedup_clusters_oracle."""
+    return f"""
+        WITH RECURSIVE {_sim_pair_ctes(threshold, max_bucket)},
+        ud AS (
+          SELECT id_a AS a, id_b AS b FROM sim_pairs
+          UNION SELECT id_b, id_a FROM sim_pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM ud),
+        reach(n, r) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT ud.b, reach.r FROM reach JOIN ud ON ud.a = reach.n
+        ),
+        comp AS (SELECT n AS vec_id, min(r) AS cluster_id
+                 FROM reach GROUP BY 1)
+        SELECT e.vec_id,
+               coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+               coalesce(c.cluster_id, e.vec_id) = e.vec_id AS is_canonical
+        FROM embeddings e LEFT JOIN comp c USING (vec_id)
     """
 
 
@@ -1505,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk = 1
         """,
         "sim_near_dup": _sim_near_dup_oracle(),
+        "sim_dedup_clusters": _sim_dedup_clusters_oracle(),
         "o1_zorder": _zorder_oracle(),
         "w1_row_position_global": _W1_GLOBAL_ORACLE,
         "w3_greedy_pack": _W3_GREEDY_PACK_ORACLE,
