@@ -47,9 +47,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--sample-fraction", type=float, default=1.0,
+                   help="uniform keep-fraction (and the default for strata "
+                   "not listed in --sample-fractions)")
     p.add_argument("--sample-by", default=None,
-                   help="strata column for sampling (default: unstratified)")
-    p.add_argument("--sample-fraction", type=float, default=1.0)
+                   help="strata column; requires --sample-fractions")
+    p.add_argument("--sample-fractions", default=None,
+                   help='per-stratum keep-fractions as JSON, e.g. '
+                   '\'{"web": 0.3, "books": 1.0, "null": 0.1}\' — the key '
+                   '"null" sets the fraction for NULL strata; unlisted '
+                   "strata get --sample-fraction")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--min-tokens", type=int, default=1,
                    help="quality gate: drop docs with fewer tokens")
@@ -73,53 +80,63 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     t0 = time.time()
     funnel: dict[str, int] = {}
     try:
+        if args.sample_by and args.sample_fractions is None:
+            p.error("--sample-by requires --sample-fractions (a uniform "
+                    "fraction needs no strata — drop --sample-by)")
+
         docs = spark.read.parquet(args.input)
         funnel["input"] = docs.count()
 
-        # 1. quality gate (JVM expressions; pushes into the scan stage)
+        # 1. quality gate (JVM expressions; pushes into the scan stage).
+        # Persisted: the funnel counts and every later stage re-traverse
+        # this frame — without the cache each count() is a full rescan of
+        # the input (scan + tokenize), ~3 extra corpus passes.
         gated = docs.withColumn(
             "n_tokens", token_count(args.text_col)
-        ).filter(F.col("n_tokens") >= args.min_tokens)
+        ).filter(F.col("n_tokens") >= args.min_tokens).persist()
         funnel["quality_gate"] = gated.count()
 
-        # 2. deterministic sample — unstratified unless --sample-by
-        if args.sample_fraction < 1.0:
-            key = [args.id_col]
-            if args.sample_by:
-                from taco_toolbox_spark.operators.sampling import (
-                    stratified_hash_sample,
-                )
+        # 2. deterministic sample
+        key = [args.id_col]
+        if args.sample_by:
+            import json as _json
 
-                strata = [
-                    r[0]
-                    for r in gated.select(args.sample_by).distinct().collect()
-                ]
-                sampled = stratified_hash_sample(
-                    gated, args.sample_by,
-                    {s: args.sample_fraction for s in strata},
-                    key, seed=args.seed,
-                )
-            else:
-                sampled = hash_sample(
-                    gated, key, args.sample_fraction, seed=args.seed
-                )
+            from taco_toolbox_spark.operators.sampling import (
+                stratified_hash_sample,
+            )
+
+            fracs = {
+                (None if k == "null" else k): float(v)
+                for k, v in _json.loads(args.sample_fractions).items()
+            }
+            sampled = stratified_hash_sample(
+                gated, args.sample_by, fracs, key,
+                default_fraction=args.sample_fraction, seed=args.seed,
+            )
+        elif args.sample_fraction < 1.0:
+            sampled = hash_sample(
+                gated, key, args.sample_fraction, seed=args.seed
+            )
         else:
             sampled = gated
         funnel["sampled"] = sampled.count()
 
-        # 3. exact dedup
-        exact = drop_exact_duplicates(sampled, args.text_col, args.id_col)
+        # 3. exact dedup; persisted BEFORE its count — the count, the
+        # minhash pair scan, and the keep-join all read it
+        exact = drop_exact_duplicates(
+            sampled, args.text_col, args.id_col
+        ).persist()
         funnel["exact_deduped"] = exact.count()
 
-        # 4. near dedup via minhash -> components -> canonical keep
+        # 4. near dedup via minhash -> components -> canonical keep.
+        # Pair ids keep the id column's own type: connected_components
+        # only needs orderable ids (a long cast would NULL out string
+        # ids and silently disable near-dedup).
         if not args.skip_near_dedup:
-            exact = exact.persist()  # pairs + keep-join both traverse it
             pairs = minhash_near_duplicates(
                 exact, args.text_col, args.id_col,
                 threshold=args.jaccard_threshold,
-            ).select(
-                F.col("id_a").cast("long"), F.col("id_b").cast("long")
-            )
+            ).select("id_a", "id_b")
             comp = connected_components(pairs, "id_a", "id_b")
             losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
                 F.col("node").alias(args.id_col)

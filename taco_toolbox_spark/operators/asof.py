@@ -69,6 +69,13 @@ def asof_join(
             f"output columns {sorted(clash)} collide with left columns; "
             "pick a different suffix"
         )
+    internal = {"_ts", "_side", *[f"_f_{a}" for a in carried.values()]}
+    reserved = internal & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with asof_join's internal "
+            "names; rename them first"
+        )
 
     r = right.select(
         *[F.col(k) for k in on],
@@ -89,7 +96,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_.unionByName(r, allowMissingColumns=True).select(
-        *l_.columns[: len(l_.columns)],
+        *l_.columns,
         *[
             F.last(a, ignorenulls=True).over(w).alias(f"_f_{a}")
             for a in carried.values()

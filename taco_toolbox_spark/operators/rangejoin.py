@@ -60,6 +60,12 @@ def time_range_join(
             f"output columns {sorted(clash)} collide with left columns; "
             "pick a different suffix"
         )
+    reserved = {"_bin", "_rsec"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with time_range_join's "
+            "internal names; rename them first"
+        )
     w = float(upper_s - lower_s) or 1.0
 
     lsec = epoch_seconds(left, left_ts)

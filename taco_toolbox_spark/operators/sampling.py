@@ -86,27 +86,31 @@ def hash_sample(
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,
-    fractions: dict[str, float],
+    fractions: dict[str | None, float],
     key_cols: list[str],
     default_fraction: float = 0.0,
     seed: int = 0,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling: each stratum value gets its own
-    keep-fraction (unlisted strata get ``default_fraction``). The
-    per-stratum threshold is a broadcast literal CASE expression — still
-    zero-shuffle, still WholeStageCodegen; this is ``df.sampleBy`` minus
-    the nondeterminism. Down-weighting over-represented sources (web crawl
-    vs books) is the canonical training-mix use."""
+    keep-fraction (unlisted strata get ``default_fraction``; a ``None``
+    key sets the fraction for NULL strata — a plain equality would
+    NULL-compare and silently drop them). The per-stratum threshold is a
+    broadcast literal CASE expression — still zero-shuffle, still
+    WholeStageCodegen; this is ``df.sampleBy`` minus the nondeterminism.
+    Down-weighting over-represented sources (web crawl vs books) is the
+    canonical training-mix use."""
     for v, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {v!r} must be in [0, 1], got {frac}")
     thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
-    for v, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(strata_col) == F.lit(v),
-            F.lit(int(round(frac * SAMPLE_BUCKETS))),
-        ).otherwise(thr)
+    for v, frac in sorted(fractions.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
+        cond = (
+            F.col(strata_col).isNull()
+            if v is None
+            else F.col(strata_col) == F.lit(v)
+        )
+        thr = F.when(cond, F.lit(int(round(frac * SAMPLE_BUCKETS)))).otherwise(thr)
     return df.filter(hash_bucket(key_cols, seed, hash_fn) < thr)
 
 

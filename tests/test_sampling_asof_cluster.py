@@ -85,6 +85,20 @@ def test_sample_k_per_group_fixed_size_and_deterministic(ids):
         hash_sample_k_per_group(ids, ["grp"], ["id"], k=0)
 
 
+def test_stratified_null_stratum_key(spark):
+    """A None key in fractions governs NULL strata (plain equality would
+    NULL-compare and silently drop them); unlisted strata still get the
+    default; None mixed with str keys must not break the CASE build."""
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "books"), (4, None)],
+        "id long, src string",
+    )
+    kept = stratified_hash_sample(
+        df, "src", {None: 1.0, "web": 1.0}, ["id"], default_fraction=0.0
+    )
+    assert {r.id for r in kept.collect()} == {1, 2, 4}
+
+
 def test_sampling_validates_fractions(ids):
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(ids, ["id"], 1.5)
@@ -150,6 +164,10 @@ def test_asof_column_collision_raises(asof_frames):
     with pytest.raises(ValueError, match="collide"):
         # right 'ts' carried as 'ts' collides with left's own 'ts'
         asof_join(left, right, ["k"], "ts", "ts", ["rv"], suffix="")
+    # internal helper names are guarded too, not silently shadowed
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(left.withColumn("_side", F.lit(0)), right,
+                  ["k"], "ts", "ts", ["rv"])
 
 
 def test_asof_single_shuffle_plan(asof_frames):
@@ -229,7 +247,6 @@ def test_temporal_ops_accept_parquet_ntz_timestamps(spark, tmp_path):
     exact gap broke j6_range_join on the real events table)."""
     from taco_toolbox_spark.operators.rangejoin import time_range_join
 
-    left, right = None, None
     lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
     spark.createDataFrame(
         [("k", 1, _ts(100))], "k string, lid long, ts timestamp"
@@ -258,6 +275,9 @@ def test_range_join_validates_and_plans_equi_join(spark):
     with pytest.raises(ValueError, match="collide"):
         time_range_join(left, right, ["k"], "ts", "ts", 0.0, 5.0,
                         right_cols=["ts"], suffix="")
+    with pytest.raises(ValueError, match="internal"):
+        time_range_join(left.withColumn("_bin", F.lit(9)), right,
+                        ["k"], "ts", "ts", 0.0, 5.0)
     plan = (
         time_range_join(left, right, ["k"], "ts", "ts", 0.0, 5.0)
         ._jdf.queryExecution().executedPlan().toString()
@@ -288,6 +308,17 @@ def test_components_max_iter_bound(spark):
         connected_components(path, max_iter=2)
     got = {r.node: r.cluster_id for r in connected_components(path).collect()}
     assert set(got.values()) == {1}
+
+
+def test_components_string_ids(spark):
+    """Ids only need to be orderable — string doc ids (UUIDs) must work,
+    with the lexicographic min as the cluster id (guards the curate-job
+    path, where a long cast would NULL string ids out silently)."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
 
 
 def test_canonical_docs_covers_singletons(spark):
