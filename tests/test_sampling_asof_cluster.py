@@ -170,6 +170,37 @@ def test_asof_column_collision_raises(asof_frames):
                   ["k"], "ts", "ts", ["rv"])
 
 
+def test_asof_matches_naive_on_random_frames(spark):
+    """Seeded random frames: the union-tag window encoding must equal the
+    naive per-left-row 'latest right at or before' definition, including
+    duplicate left timestamps and sparse keys."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        lrows = [
+            (f"k{rng.randint(0, 4)}", i, float(rng.randint(0, 50)))
+            for i in range(40)
+        ]
+        rrows = {
+            (f"k{rng.randint(0, 5)}", float(rng.randint(0, 50)))
+            for _ in range(30)
+        }
+        rrows = [(k, t, float(h)) for h, (k, t) in enumerate(sorted(rrows))]
+        left = spark.createDataFrame(lrows, "k string, lid long, ts double")
+        right = spark.createDataFrame(rrows, "k string, ts double, rv double")
+        got = {
+            r.lid: (r.rv_m, r.ts_m)
+            for r in asof_join(
+                left, right, ["k"], "ts", "ts", ["rv"], suffix="_m"
+            ).collect()
+        }
+        for k, lid, ts in lrows:
+            cands = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt <= ts]
+            want = (max(cands)[1], max(cands)[0]) if cands else (None, None)
+            assert got[lid] == want, (k, lid, ts)
+
+
 def test_asof_single_shuffle_plan(asof_frames):
     """The union-tag encoding must cost ONE shuffle (the window's), with no
     nested-loop join anywhere — the reason it survives 100 TB where the
