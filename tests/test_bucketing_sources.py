@@ -49,3 +49,30 @@ def test_load_table_and_snapshot(spark, corpus, tmp_path):
     assert snapshot_id(spark, path) != s1  # data version changed
     with pytest.raises(NotImplementedError, match="Iceberg"):
         load_table(spark, "iceberg:db.tbl")
+
+
+def test_jsonl_quarantine_split(tmp_path, spark):
+    """Parseable lines land schema-aligned in good (missing fields null,
+    extras dropped); unparseable lines land raw in quarantine — and are
+    NOT silently nulled into plausible-looking rows."""
+    from taco_toolbox_spark.sources.jsonl import read_jsonl_quarantined
+
+    lines = [
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi", '
+        '"tool": null, "ts": "2025-01-01T00:00:00Z", "part": "2025-01-01"}',
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo", '
+        '"extra_field": 42, "ts": "2025-01-01T00:00:01Z"}',  # extra + missing
+        '{not json at all',
+        '{"conv_id": "c2"',  # truncated
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, quar = read_jsonl_quarantined(spark, str(p))
+    g = good.orderBy("turn_idx").collect()
+    assert [r.conv_id for r in g] == ["c1", "c1"]
+    assert g[1].tool is None and "extra_field" not in good.columns
+    q = quar.collect()
+    assert sorted(r.raw for r in q) == ['{"conv_id": "c2"', "{not json at all"]
+    assert all(r.line_hash is not None for r in q)
+    # quarantined lines never leak into good as all-null rows
+    assert good.filter("conv_id IS NULL").count() == 0
