@@ -3,7 +3,7 @@ library's operators exist for, composed into one spark-submit entry.
 
     spark-submit --py-files taco_toolbox_spark.zip jobs/curate.py \
         --input /data/documents --output /runs/curated \
-        --sample-by source --sample-fraction 0.5 \
+        --sample-by source --sample-fractions '{"web": 0.3, "books": 1.0}' \
         --min-tokens 4 --max-shard-tokens 100000
 
 Stages (each a library operator; the funnel row counts land in
@@ -83,6 +83,9 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         if args.sample_by and args.sample_fractions is None:
             p.error("--sample-by requires --sample-fractions (a uniform "
                     "fraction needs no strata — drop --sample-by)")
+        if args.sample_fractions is not None and not args.sample_by:
+            p.error("--sample-fractions requires --sample-by naming the "
+                    "strata column (otherwise it would be silently ignored)")
 
         docs = spark.read.parquet(args.input)
         funnel["input"] = docs.count()
@@ -99,15 +102,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         # 2. deterministic sample
         key = [args.id_col]
         if args.sample_by:
-            import json as _json
-
             from taco_toolbox_spark.operators.sampling import (
                 stratified_hash_sample,
             )
 
             fracs = {
                 (None if k == "null" else k): float(v)
-                for k, v in _json.loads(args.sample_fractions).items()
+                for k, v in json.loads(args.sample_fractions).items()
             }
             sampled = stratified_hash_sample(
                 gated, args.sample_by, fracs, key,
@@ -127,6 +128,9 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             sampled, args.text_col, args.id_col
         ).persist()
         funnel["exact_deduped"] = exact.count()
+        # gated is dead once exact is materialized — free its storage
+        # before the memory-hungriest stage (shingle explode + LSH joins)
+        gated.unpersist()
 
         # 4. near dedup via minhash -> components -> canonical keep.
         # Pair ids keep the id column's own type: connected_components

@@ -26,6 +26,9 @@ not an exception.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,32 +38,57 @@ from ..schema import TRANSCRIPT_SCHEMA, align_to_schema
 _CORRUPT = "_corrupt_record"
 
 
+class IngestResult(NamedTuple):
+    """Split of a quarantined JSONL read. ``release()`` unpersists the
+    shared cached parse — call it once both splits are consumed, or each
+    directory batch of a long ingestion leaks one cached dataset into the
+    executor storage pool."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    release: Callable[[], None]
+
+
 def read_jsonl_quarantined(
     spark: SparkSession,
     path: str,
     schema: T.StructType = TRANSCRIPT_SCHEMA,
-) -> tuple[DataFrame, DataFrame]:
-    """Read JSONL at ``path`` against ``schema``; return (good, quarantine).
+) -> IngestResult:
+    """Read JSONL at ``path`` against ``schema``; return
+    (good, quarantine, release).
 
-    good: schema-aligned rows for every parseable line. quarantine:
-    (raw, line_hash) for every malformed line. A line that parses but
-    misses fields is GOOD with nulls — that is the validation engine's
-    job to flag, with check granularity; only unparseable text is
-    quarantined."""
-    read_schema = T.StructType(
-        [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
+    good: schema-aligned rows for every line that is well-formed JSON.
+    quarantine: (raw, line_hash) for every syntactically malformed line.
+    Atomic fields are READ AS STRINGS and cast by ``align_to_schema``, so
+    a parseable line with a type mismatch (a stringified int, "abc" where
+    a number belongs) stays GOOD — the bad value casts to NULL and the
+    validation engine flags it with check granularity; enforcing the
+    typed schema at parse time would instead dump every such line into
+    quarantine as if it were unparseable. Non-atomic fields (if the
+    schema has any) keep their typed parse, so their type mismatches do
+    quarantine — the lenient-string trick has no lossless equivalent for
+    nested values."""
+    lenient = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType()
+                if isinstance(f.dataType, T.AtomicType)
+                else f.dataType,
+            )
+            for f in schema.fields
+        ]
+        + [T.StructField(_CORRUPT, T.StringType())]
     )
     raw = (
-        spark.read.schema(read_schema)
+        spark.read.schema(lenient)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
         # Spark refuses filters that touch only the corrupt column on an
         # uncached raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
         # would otherwise prune every data column and never populate it);
-        # caching is the documented contract. One materialized pass feeds
-        # both splits; callers ingesting more than memory should write
-        # `good` out per directory batch.
+        # caching is the documented contract, released via release().
         .cache()
     )
     good = align_to_schema(
@@ -73,4 +101,4 @@ def read_jsonl_quarantined(
             F.xxhash64(_CORRUPT).alias("line_hash"),
         )
     )
-    return good, quarantine
+    return IngestResult(good, quarantine, lambda: raw.unpersist())

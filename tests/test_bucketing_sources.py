@@ -62,17 +62,24 @@ def test_jsonl_quarantine_split(tmp_path, spark):
         '"tool": null, "ts": "2025-01-01T00:00:00Z", "part": "2025-01-01"}',
         '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo", '
         '"extra_field": 42, "ts": "2025-01-01T00:00:01Z"}',  # extra + missing
+        # stringified int + non-numeric turn_idx: PARSEABLE, so they must
+        # stay good (cast: "2"→2, "bad"→NULL) — not be dumped in quarantine
+        '{"conv_id": "c1", "turn_idx": "2", "role": "user", "text": "k"}',
+        '{"conv_id": "c1", "turn_idx": "bad", "role": "user", "text": "m"}',
         '{not json at all',
         '{"conv_id": "c2"',  # truncated
     ]
     p = tmp_path / "in.jsonl"
     p.write_text("\n".join(lines) + "\n")
-    good, quar = read_jsonl_quarantined(spark, str(p))
+    good, quar, release = read_jsonl_quarantined(spark, str(p))
     g = good.orderBy("turn_idx").collect()
-    assert [r.conv_id for r in g] == ["c1", "c1"]
-    assert g[1].tool is None and "extra_field" not in good.columns
+    assert [r.turn_idx for r in g] == [None, 0, 1, 2]  # "bad"→NULL first
+    assert {r.conv_id for r in g} == {"c1"}
+    assert "extra_field" not in good.columns
+    assert dict(good.dtypes)["turn_idx"] == "int"  # aligned, not stringly
     q = quar.collect()
     assert sorted(r.raw for r in q) == ['{"conv_id": "c2"', "{not json at all"]
     assert all(r.line_hash is not None for r in q)
     # quarantined lines never leak into good as all-null rows
     assert good.filter("conv_id IS NULL").count() == 0
+    release()
