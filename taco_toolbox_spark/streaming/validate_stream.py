@@ -602,12 +602,25 @@ def stream_dedup(
     """
     from ..functions.text import fingerprint
 
-    fp = stream_df.withColumn("_fp", fingerprint(text_col))
+    fp = _event_time(stream_df, ts_col).withColumn(
+        "_fp", fingerprint(text_col)
+    )
     return (
         fp.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([*key_cols, "_fp"])
         .drop("_fp")
     )
+
+
+def _event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks demand TIMESTAMP, but parquet sources yield
+    TIMESTAMP_NTZ — re-interpret in the session timezone (UTC here,
+    session.py), which is the identity for corpora written under UTC."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream_df.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        )
+    return stream_df
 
 
 def run_stream_dedup_smoke(
@@ -629,6 +642,69 @@ def run_stream_dedup_smoke(
     out = stream_dedup(stream, watermark=watermark)
     q = (
         out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key session aggregates over an unbounded stream via Spark's
+    NATIVE session windows (dynamic-gap state store merging) — the
+    streaming realization of the batch lag+cumsum sessionizer
+    (w4_sessionize). Returns (key..., session_start, session_end,
+    n_events); state for a session is dropped once the watermark passes
+    its close, so state stays bounded.
+
+    Boundary semantics match the batch rule exactly: ``session_window``
+    merges an event at distance <= gap from the session's last event
+    (window end = last + gap, and coinciding start/end merge), which is
+    the same "``> gap`` starts a new session" cut as the lag+cumsum —
+    asserted boundary-for-boundary in tests/test_streaming.py."""
+    return (
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_sessionize_smoke(
+    spark,
+    parquet_dir: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    gap: str = "1800 seconds",
+    query_name: str = "stream_sessions",
+    max_files_per_trigger: int = 8,
+):
+    """Drive stream_sessionize over a bounded parquet dir with the memory
+    sink in complete mode (bounded input never advances the watermark past
+    the final sessions, so append mode would withhold them)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_sessionize(stream, key_cols, ts_col, gap)
+    q = (
+        out.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .start()

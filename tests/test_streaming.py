@@ -389,3 +389,56 @@ def test_stream_dedup_drops_within_watermark_and_matches_batch(tmp_path, spark):
     assert len(got) == 2
     # batch parity: same distinct-fingerprint count on the same input
     assert drop_exact_duplicates(df).count() == 2
+
+
+def test_stream_sessionize_matches_batch_cumsum(tmp_path, spark):
+    """Native session windows over the stream must produce the same
+    (user, session_start, size) multiset as the batch lag+cumsum rule
+    (gap > 1800s), using the same 1800s gap (session_window merges at distance <= gap)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_sessionize_smoke,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for u, offsets in {
+        7: [0, 100, 1800, 3601, 3700, 99999],  # 1800 in-session, 3601 new
+        8: [0, 1801, 3602],                    # 1801 > gap: all separate
+        9: [500],
+    }.items():
+        base = 0
+        for off in offsets:
+            rows.append((eid, u, t0 + dt.timedelta(seconds=off)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    inp = str(tmp_path / "sess_in")
+    df.repartition(3).write.parquet(inp)
+
+    got = run_stream_sessionize_smoke(spark, inp).toPandas()
+    stream_set = {
+        (r.user_id, r.session_start.to_pydatetime(), r.n_events)
+        for r in got.itertuples()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gap = F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0)
+    batch = (
+        df.withColumn(
+            "session_id",
+            F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    batch_set = {
+        (r.user_id, r.session_start, r.n_events) for r in batch.collect()
+    }
+    assert stream_set == batch_set
+    assert len(stream_set) == 3 + 3 + 1  # user7: 3 sessions, user8: 3, user9: 1
