@@ -764,6 +764,35 @@ def q_j5_asof_join(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """STREAMING query under the value oracle: the events table is staged
+    as a file-stream source, sessionized with native session windows
+    (micro-batched, watermarked, state-store merged), and the final
+    session aggregates must equal the batch lag+cumsum rule — which the
+    DuckDB oracle computes in SQL. A structured-streaming operator held
+    to the same rows+schema+hash gate as the batch queries."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_sessionize_smoke,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/events_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    out = run_stream_sessionize_smoke(
+        spark, staged, query_name=f"q_sessions_{tag}"
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_t1_quality_filter(spark, sf_dir):
     """Per-group quality filtering: keep the longest 40% of documents per
     language (ceil(0.4 * group size) rows, (n_chars desc, doc_id)
@@ -862,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_asof_join": q_j5_asof_join,
         "j6_range_join": q_j6_range_join,
         "t1_quality_filter": q_t1_quality_filter,
+        "stream_sessionize": q_stream_sessionize,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
@@ -1804,6 +1834,29 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(c.ts) BETWEEN epoch(p.ts) - 3600 AND epoch(p.ts)
             WHERE p.event_type = 'purchase'
             GROUP BY 1
+        """,
+        # the batch sessionization rule in SQL: lag + gap>1800 cumsum,
+        # session_end = last event + gap (the session-window close)
+        "stream_sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 1800 SECOND AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         # identical count + row_number windows, same (score desc, id)
         # tie-break
