@@ -51,6 +51,7 @@ HEADLINE = [
     "j5_asof_join",
     "j6_range_join",
     "t1_quality_filter",
+    "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
     # while the 100-TB candidate path is minhash; the closure itself
