@@ -778,9 +778,18 @@ def q_stream_sessionize(spark, sf_dir):
         run_stream_sessionize_smoke,
     )
 
+    src = os.path.join(sf_dir, "events.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     staged = f"/tmp/spark_graft_stream/events_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+    done = os.path.join(staged, "_SUCCESS")
+    # restage when the SOURCE is newer than the staged copy — a cached
+    # stale copy would silently diverge from the oracle's fresh read
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
         _t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
     out = run_stream_sessionize_smoke(
         spark, staged, query_name=f"q_sessions_{tag}"

@@ -68,6 +68,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
 
     from pyspark.sql import functions as F
 
+    # pure-CLI validation BEFORE the JVM spins up — a usage error must not
+    # pay multi-second session startup to print argparse usage
+    if args.sample_by and args.sample_fractions is None:
+        p.error("--sample-by requires --sample-fractions (a uniform "
+                "fraction needs no strata — drop --sample-by)")
+    if args.sample_fractions is not None and not args.sample_by:
+        p.error("--sample-fractions requires --sample-by naming the "
+                "strata column (otherwise it would be silently ignored)")
+
     from taco_toolbox_spark.dedup.cluster import connected_components
     from taco_toolbox_spark.dedup.exact import drop_exact_duplicates
     from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
@@ -80,13 +89,6 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     t0 = time.time()
     funnel: dict[str, int] = {}
     try:
-        if args.sample_by and args.sample_fractions is None:
-            p.error("--sample-by requires --sample-fractions (a uniform "
-                    "fraction needs no strata — drop --sample-by)")
-        if args.sample_fractions is not None and not args.sample_by:
-            p.error("--sample-fractions requires --sample-by naming the "
-                    "strata column (otherwise it would be silently ignored)")
-
         docs = spark.read.parquet(args.input)
         funnel["input"] = docs.count()
 

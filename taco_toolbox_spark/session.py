@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
+        # The engine's core stance: malformed values are DATA (violation
+        # rows), never exceptions. Spark 4 defaults ANSI on, where a bad
+        # cast (align_to_schema's type conformance, the JSONL lenient
+        # path, range checks on casted columns) throws CAST_INVALID_INPUT
+        # and kills the job on the first bad value — the tested semantics
+        # (every pytest + oracle run) are cast-to-NULL. Pin ansi off so
+        # production sessions match the tested contract; callers that
+        # want ANSI arithmetic checks can override via extra_conf.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -52,7 +52,8 @@ def windowed_verdicts(
     streaming analog of the per-partition verdict matrix. Late rows beyond
     the watermark are dropped by Spark's state eviction."""
     return (
-        violations.withWatermark(ts_col, watermark)
+        _event_time(violations, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col("check_id"))
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select(
@@ -458,7 +459,8 @@ def stream_drift(
     windowed verdict counts."""
     probes_arr = F.array(*[F.lit(float(p)) for p in probes])
     agg = (
-        stream_df.withWatermark(ts_col, watermark)
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window))
         .agg(
             F.percentile_approx(

@@ -412,7 +412,6 @@ def test_stream_sessionize_matches_batch_cumsum(tmp_path, spark):
         8: [0, 1801, 3602],                    # 1801 > gap: all separate
         9: [500],
     }.items():
-        base = 0
         for off in offsets:
             rows.append((eid, u, t0 + dt.timedelta(seconds=off)))
             eid += 1
