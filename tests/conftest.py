@@ -11,11 +11,13 @@ from taco_toolbox_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # no ansi override: session.py pins ansi off engine-wide, and the
+    # suite must validate the same config production sessions get
     s = get_spark(
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "8g", "spark.sql.ansi.enabled": "false"},
+        extra_conf={"spark.driver.memory": "8g"},
     )
     yield s
     s.stop()
