@@ -28,6 +28,15 @@ path (bucket-capped, candidate-restricted — the 100-TB dedup path, not
 the exact-Jaccard join); the survivors frame is persisted once because
 stages 4-5 both traverse it. Every stage's output is a deterministic
 function of (input, flags), so the whole job is idempotent.
+
+Measured scaling (tools/bench_curate_scaling.py, BENCH/BASELINE.md
+supplementary): 1->4 cores = 0.817 efficiency on a 100k-doc corpus.
+The wider 4->16 pair (0.456) exposes the job's sequential segments —
+the five funnel count() actions and the per-iteration CC barriers —
+as the Amdahl overhead to attack for a 100-TB deployment: replace the
+funnel counts with observed metrics riding the stage outputs, and batch
+connected-components label rounds (or switch to large-star/small-star)
+so fewer driver-synchronized iterations close the same graph.
 """
 
 from __future__ import annotations
