@@ -31,12 +31,13 @@ function of (input, flags), so the whole job is idempotent.
 
 Measured scaling (tools/bench_curate_scaling.py, BENCH/BASELINE.md
 supplementary): 1->4 cores = 0.817 efficiency on a 100k-doc corpus.
-The wider 4->16 pair (0.456) exposes the job's sequential segments —
-the five funnel count() actions and the per-iteration CC barriers —
-as the Amdahl overhead to attack for a 100-TB deployment: replace the
-funnel counts with observed metrics riding the stage outputs, and batch
-connected-components label rounds (or switch to large-star/small-star)
-so fewer driver-synchronized iterations close the same graph.
+The wider 4->16 pair first measured 0.456, exposing the job's
+sequential segments as Amdahl overhead; the stage-1-3 funnel counts
+(four count() actions) have since been collapsed into ONE aggregation
+pass of conditional counts + a distinct-fingerprint count. The
+remaining sequential cost is the per-iteration connected-components
+barrier — batching label rounds (large-star/small-star) is the next
+lever for a 100-TB deployment.
 """
 
 from __future__ import annotations
@@ -91,7 +92,6 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
     from taco_toolbox_spark.functions.text import token_count
     from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
-    from taco_toolbox_spark.operators.sampling import hash_sample
     from taco_toolbox_spark.session import get_spark
 
     spark = get_spark("curate")
@@ -99,49 +99,60 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     funnel: dict[str, int] = {}
     try:
         docs = spark.read.parquet(args.input)
-        funnel["input"] = docs.count()
 
-        # 1. quality gate (JVM expressions; pushes into the scan stage).
-        # Persisted: the funnel counts and every later stage re-traverse
-        # this frame — without the cache each count() is a full rescan of
-        # the input (scan + tokenize), ~3 extra corpus passes.
-        gated = docs.withColumn(
-            "n_tokens", token_count(args.text_col)
-        ).filter(F.col("n_tokens") >= args.min_tokens).persist()
-        funnel["quality_gate"] = gated.count()
+        # Stages 1-3 are predicates/expressions over one frame, so their
+        # funnel counts collapse into ONE aggregation pass (conditional
+        # counts + a distinct-fingerprint count) instead of four count()
+        # actions — the Amdahl overhead the 4->16 scaling run exposed
+        # (BENCH/BASELINE.md supplementary).
+        from taco_toolbox_spark.functions.text import fingerprint
 
-        # 2. deterministic sample
         key = [args.id_col]
+        gate_pred = F.col("n_tokens") >= args.min_tokens
         if args.sample_by:
             from taco_toolbox_spark.operators.sampling import (
-                stratified_hash_sample,
+                stratified_keep_predicate,
             )
 
             fracs = {
                 (None if k == "null" else k): float(v)
                 for k, v in json.loads(args.sample_fractions).items()
             }
-            sampled = stratified_hash_sample(
-                gated, args.sample_by, fracs, key,
+            samp_pred = stratified_keep_predicate(
+                args.sample_by, fracs, key,
                 default_fraction=args.sample_fraction, seed=args.seed,
             )
         elif args.sample_fraction < 1.0:
-            sampled = hash_sample(
-                gated, key, args.sample_fraction, seed=args.seed
+            from taco_toolbox_spark.operators.sampling import (
+                hash_keep_predicate,
+            )
+
+            samp_pred = hash_keep_predicate(
+                key, args.sample_fraction, seed=args.seed
             )
         else:
-            sampled = gated
-        funnel["sampled"] = sampled.count()
+            samp_pred = F.lit(True)
 
-        # 3. exact dedup; persisted BEFORE its count — the count, the
-        # minhash pair scan, and the keep-join all read it
+        feats = docs.withColumn("n_tokens", token_count(args.text_col))
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(gate_pred.cast("long")).alias("n_gate"),
+            F.sum((gate_pred & samp_pred).cast("long")).alias("n_samp"),
+            F.count_distinct(
+                F.when(gate_pred & samp_pred, fingerprint(args.text_col))
+            ).alias("n_exact"),
+        ).first()
+        funnel["input"] = row.n_input
+        funnel["quality_gate"] = int(row.n_gate or 0)
+        funnel["sampled"] = int(row.n_samp or 0)
+        funnel["exact_deduped"] = int(row.n_exact or 0)
+
+        # the actual surviving frame: same predicates, then one-per-
+        # fingerprint; persisted — the minhash pair scan and the keep-join
+        # both read it
         exact = drop_exact_duplicates(
-            sampled, args.text_col, args.id_col
+            feats.filter(gate_pred & samp_pred), args.text_col, args.id_col
         ).persist()
-        funnel["exact_deduped"] = exact.count()
-        # gated is dead once exact is materialized — free its storage
-        # before the memory-hungriest stage (shingle explode + LSH joins)
-        gated.unpersist()
 
         # 4. near dedup via minhash -> components -> canonical keep.
         # Pair ids keep the id column's own type: connected_components

@@ -64,6 +64,21 @@ def hash_bucket(
     return F.pmod(h, F.lit(buckets))
 
 
+def hash_keep_predicate(
+    key_cols: list[str],
+    fraction: float,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """The keep-decision of ``hash_sample`` as a standalone boolean Column
+    — composable into a single-pass funnel aggregation (count kept rows
+    without a separate filtered scan) or any other expression context."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * SAMPLE_BUCKETS))
+    return hash_bucket(key_cols, seed, hash_fn) < F.lit(thr)
+
+
 def hash_sample(
     df: DataFrame,
     key_cols: list[str],
@@ -77,10 +92,7 @@ def hash_sample(
     or scaling the job keeps EXACTLY the same rows, and sampling another
     table by the same key keeps the matching rows there too.
     """
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    thr = int(round(fraction * SAMPLE_BUCKETS))
-    return df.filter(hash_bucket(key_cols, seed, hash_fn) < F.lit(thr))
+    return df.filter(hash_keep_predicate(key_cols, fraction, seed, hash_fn))
 
 
 def stratified_hash_sample(
@@ -100,6 +112,23 @@ def stratified_hash_sample(
     WholeStageCodegen; this is ``df.sampleBy`` minus the nondeterminism.
     Down-weighting over-represented sources (web crawl vs books) is the
     canonical training-mix use."""
+    return df.filter(
+        stratified_keep_predicate(
+            strata_col, fractions, key_cols, default_fraction, seed, hash_fn
+        )
+    )
+
+
+def stratified_keep_predicate(
+    strata_col: str,
+    fractions: dict[str | None, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """``stratified_hash_sample``'s keep-decision as a boolean Column —
+    see ``hash_keep_predicate`` for why the predicate form exists."""
     for v, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {v!r} must be in [0, 1], got {frac}")
@@ -111,7 +140,7 @@ def stratified_hash_sample(
             else F.col(strata_col) == F.lit(v)
         )
         thr = F.when(cond, F.lit(int(round(frac * SAMPLE_BUCKETS)))).otherwise(thr)
-    return df.filter(hash_bucket(key_cols, seed, hash_fn) < thr)
+    return hash_bucket(key_cols, seed, hash_fn) < thr
 
 
 def hash_sample_k_per_group(
