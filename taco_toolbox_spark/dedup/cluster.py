@@ -8,15 +8,22 @@ A~B and B~C pairs must collapse into one {A,B,C} cluster even when A~C
 was never emitted. That closure is connected components on the pair
 graph.
 
-Algorithm: iterative hash-min. Each node's label starts as its own id;
-every iteration each node takes the min of its label and its neighbors'
-labels; fixpoint = every node carries the min id of its component.
+Algorithm: iterative hash-min with pointer jumping. Each node's label
+starts as its own id; every iteration each node takes the min of its
+label, its neighbors' labels, AND its label's label (the pointer jump —
+classic shortcutting); fixpoint = every node carries the min id of its
+component.
 
-Scale shape per iteration: one shuffle join (labels onto edges, keyed by
-node id — a well-distributed key) + one groupBy-min (map-side partial
-combine). Iterations needed = graph diameter, and duplicate-cluster
-graphs are shallow (near-clique blobs plus short chains), so 5-10
-iterations close real corpora; ``max_iter`` bounds pathological chains.
+Scale shape per iteration: two shuffle joins (labels onto edges, labels
+onto labels — both keyed by node id, a well-distributed key) + one
+groupBy-min (map-side partial combine). The jump makes chains collapse
+in O(log diameter) rounds rather than O(diameter), and duplicate-cluster
+graphs are shallow anyway (near-clique blobs plus short chains), so a
+handful of iterations close real corpora; ``max_iter`` bounds
+pathological chains. Each iteration costs one driver-synchronized
+convergence action, so fewer rounds = fewer barriers — measured as the
+residual Amdahl cost in the curation pipeline's 4->16 scaling
+(BENCH/BASELINE.md supplementary).
 Lineage is cut with an eager ``localCheckpoint`` every iteration —
 without it the plan doubles per iteration and the driver dies at
 iteration ~20 planning a 2^20-node tree (on a cluster, prefer
@@ -69,8 +76,20 @@ def connected_components(
             ),
             "b",
         ).select(F.col("a").alias("node"), F.col("nb_label").alias("label"))
+        # pointer jump: also propose label(label) — classic shortcutting
+        # that makes long chains converge in O(log diameter) rounds
+        # instead of O(diameter), i.e. fewer driver-synchronized
+        # barriers (each iteration costs one convergence-check action)
+        jumped = labels.join(
+            labels.select(
+                F.col("node").alias("label"),
+                F.col("label").alias("jump_label"),
+            ),
+            "label",
+        ).select("node", F.col("jump_label").alias("label"))
         new_labels = (
             labels.unionByName(proposed)
+            .unionByName(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)

@@ -341,6 +341,18 @@ def test_components_max_iter_bound(spark):
     assert set(got.values()) == {1}
 
 
+def test_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping must collapse a 33-node path well under its
+    diameter: max_iter=10 suffices where pure neighbor-min label
+    propagation needs ~32 rounds — the barrier-count property the
+    curation pipeline's scaling depends on."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "id_a long, id_b long"
+    )
+    got = connected_components(path, max_iter=10)
+    assert {r.cluster_id for r in got.collect()} == {1}
+
+
 def test_components_string_ids(spark):
     """Ids only need to be orderable — string doc ids (UUIDs) must work,
     with the lexicographic min as the cluster id (guards the curate-job
