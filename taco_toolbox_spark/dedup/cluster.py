@@ -1,5 +1,5 @@
 """Duplicate-pair → cluster resolution via distributed connected
-components (hash-min label propagation).
+components (alternating large-star / small-star).
 
 Every near-dup stage in this package (exact, ngram, minhash, simhash,
 embedding) emits PAIRS — but a dedup pipeline must finally pick one
@@ -8,33 +8,46 @@ A~B and B~C pairs must collapse into one {A,B,C} cluster even when A~C
 was never emitted. That closure is connected components on the pair
 graph.
 
-Algorithm: iterative hash-min with pointer jumping. Each node's label
-starts as its own id; every iteration each node takes the min of its
-label, its neighbors' labels, AND its label's label (the pointer jump —
-classic shortcutting); fixpoint = every node carries the min id of its
-component.
+Algorithm — the alternating star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14; public algorithm, no code
+consulted). Edges are kept directed large→small. Per round:
 
-Scale shape per iteration: two shuffle joins (labels onto edges, labels
-onto labels — both keyed by node id, a well-distributed key) + one
-groupBy-min (map-side partial combine). The jump makes chains collapse
-in O(log diameter) rounds rather than O(diameter), and duplicate-cluster
-graphs are shallow anyway (near-clique blobs plus short chains), so a
-handful of iterations close real corpora; ``max_iter`` bounds
-pathological chains. Each iteration costs one driver-synchronized
-convergence action, so fewer rounds = fewer barriers — measured as the
-residual Amdahl cost in the curation pipeline's 4->16 scaling
-(BENCH/BASELINE.md supplementary).
-Lineage is cut with an eager ``localCheckpoint`` every iteration —
-without it the plan doubles per iteration and the driver dies at
-iteration ~20 planning a 2^20-node tree (on a cluster, prefer
-``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-fault-tolerant truncation; localCheckpoint trades that for speed).
-Convergence is detected distributedly: a count of label changes per
-iteration (one lightweight action on the already-computed frame), no
-label collection to the driver. The alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond") halves iteration counts on long chains; hash-min is chosen for
-its 2-op inner loop since dup-graph diameters are small.
+  large-star(u): connect every strictly-larger neighbor of u to
+      m = min(Γ(u) ∪ {u})  — long chains fold toward small ids;
+  small-star(u): connect u and all its smaller neighbors to
+      m = min(Γ_<(u))       — partial stars contract onto their min.
+
+Fixpoint: the edge set is a union of disjoint depth-1 stars, each
+centered on its component's minimum id; rounds needed are
+O(log diameter) in practice (dup graphs are near-clique blobs plus
+short chains), ``max_iter`` bounds pathological inputs.
+
+Why this shape for 100 TB (vs the hash-min label propagation it
+replaced in round 5):
+
+* every groupBy/join in the loop is keyed by a NODE id — a
+  well-distributed key. The old pointer-jump step self-joined labels on
+  the LABEL key, which concentrates an entire giant component onto one
+  reducer once labels converge; here a giant component never shares a
+  join key (its members key by their own ids; the star hub is one group
+  whose min-aggregation is map-side combinable, and the hub-keyed join
+  is exactly the skew shape AQE skew-join splitting handles).
+* driver barriers are amortized: the convergence test runs every
+  ``check_every`` rounds (plus at the horizon) as ONE count action over
+  a union-of-violations frame — "some source has two distinct parents"
+  UNION "some parent is itself a source". Zero violations certifies
+  disjoint stars; both star ops preserve component connectivity, so
+  disjoint stars ⇒ one star per component, centered on its min.
+* lineage is cut with an eager ``localCheckpoint`` per round (without
+  it the plan doubles per round and the driver dies planning a 2^20
+  tree); each superseded checkpoint is explicitly ``unpersist``-ed once
+  its successor is materialized, so checkpointed blocks do NOT
+  accumulate across rounds or calls (on a cluster, prefer
+  ``setCheckpointDir`` + ``checkpoint()`` for fault-tolerant
+  truncation; localCheckpoint trades that for speed).
+* edge-set size never grows: each round emits at most one edge per
+  directed input edge before ``distinct()``, so the working set shrinks
+  monotonically toward one edge per non-min node.
 
 Beyond-reference training-pipeline operator (SURVEY.md §6); the oracle
 replicates the closure with a DuckDB recursive CTE over the same edges.
@@ -46,69 +59,138 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a large→small directed,
+    self-loop-free edge set. Returns the new directed edge set
+    (un-checkpointed, caller materializes)."""
+    # ---- large-star: for each node u, attach every neighbor v > u to
+    # m = min(Γ(u) ∪ {u}). Needs the symmetric view so u sees both
+    # smaller and larger neighbors.
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("m"))
+    )
+    # m <= u < v, so the emitted (v, m) stays strictly large→small
+    large = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    # ---- small-star: every edge already points large→small, so Γ_<(u)
+    # is exactly u's targets; attach u and each non-min target to the min
+    mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+    j = large.join(mins2, "u")
+    return (
+        j.select("u", F.col("m").alias("v"))
+        .unionAll(
+            j.filter(F.col("v") != F.col("m")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        )
+        .distinct()
+    )
+
+
+def _not_star_violations(edges: DataFrame) -> DataFrame:
+    """Rows witnessing that ``edges`` is NOT yet a disjoint-star forest:
+    a source with >1 distinct parents, or an edge whose parent is itself
+    a source (a chain). Empty ⟺ converged. Both branches evaluate in the
+    single count job the caller runs."""
+    multi_parent = (
+        edges.groupBy("u")
+        .agg(F.count_distinct("v").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select(F.lit(1).alias("_viol"))
+    )
+    chain = (
+        edges.join(
+            edges.select(F.col("u").alias("v")).distinct(), "v", "leftsemi"
+        ).select(F.lit(1).alias("_viol"))
+    )
+    return multi_parent.unionAll(chain)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
 
     Returns (node, cluster_id): one row per distinct node appearing in
-    ``pairs``, where cluster_id is the minimum node id reachable from it.
-    Raises RuntimeError if ``max_iter`` iterations don't reach fixpoint
-    (graph diameter > max_iter — raise it or pre-contract the graph).
+    ``pairs``, where cluster_id is the minimum node id reachable from
+    it. Pairs with a NULL endpoint are dropped at entry (a NULL id is
+    not a node and must not poison min-aggregations or the convergence
+    test). Raises RuntimeError if ``max_iter`` star rounds don't reach
+    fixpoint — raise it or pre-contract the graph.
+
+    ``check_every`` amortizes the driver-synchronized convergence
+    action over that many rounds (the final round always checks);
+    ``stats``, when a dict is passed, receives ``{"rounds": r,
+    "convergence_checks": c}`` for tests and telemetry.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint(eager=True)  # pairs plan evaluated once
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    # node universe includes self-paired ids (they are singletons)
+    nodes = (
+        p.select(F.col("a").alias("node"))
+        .unionAll(p.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # neighbor labels: edge (a,b) proposes b's current label to a
-        proposed = edges.join(
-            labels.withColumnRenamed("node", "b").withColumnRenamed(
-                "label", "nb_label"
-            ),
-            "b",
-        ).select(F.col("a").alias("node"), F.col("nb_label").alias("label"))
-        # pointer jump: also propose label(label) — classic shortcutting
-        # that makes long chains converge in O(log diameter) rounds
-        # instead of O(diameter), i.e. fewer driver-synchronized
-        # barriers (each iteration costs one convergence-check action)
-        jumped = labels.join(
-            labels.select(
-                F.col("node").alias("label"),
-                F.col("label").alias("jump_label"),
-            ),
-            "label",
-        ).select("node", F.col("jump_label").alias("label"))
-        new_labels = (
-            labels.unionByName(proposed)
-            .unionByName(jumped)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+    edges = (
+        p.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = checks = 0
+    converged = False
+    try:
+        for it in range(1, max_iter + 1):
+            new_edges = _star_round(edges).localCheckpoint(eager=True)
+            edges.unpersist()  # successor is materialized; block is dead
+            edges = new_edges
+            rounds = it
+            if it % check_every == 0 or it == max_iter:
+                checks += 1
+                if _not_star_violations(edges).count() == 0:
+                    converged = True
+                    break
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["convergence_checks"] = checks
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "star rounds"
+            )
+        labels = edges.select(
+            F.col("u").alias("node"), F.col("v").alias("cluster_id")
+        )
+        # centers and singletons carry their own id
+        return (
+            nodes.join(labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("cluster_id"), F.col("node")).alias(
+                    "cluster_id"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(
-                F.col("node"), F.col("label").alias("cluster_id")
-            )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def canonical_docs(
