@@ -201,6 +201,53 @@ def test_asof_matches_naive_on_random_frames(spark):
             assert got[lid] == want, (k, lid, ts)
 
 
+def test_asof_null_right_value_is_coherent(spark):
+    """A right row whose value column is legitimately NULL must be
+    matched AS THAT ROW: the left row gets (rv=NULL, ts=matched ts) —
+    never an older row's value under a newer matched timestamp (ADVICE
+    r4: per-column fill mixed rows; the struct fill may not)."""
+    left = spark.createDataFrame(
+        [("k", 3.0)], "k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("k", 1.0, 5.0), ("k", 2.0, None)], "k string, ts double, rv double"
+    )
+    row = asof_join(left, right, ["k"], "ts", "ts", ["rv"], suffix="_m") \
+        .collect()[0]
+    assert row.ts_m == 2.0 and row.rv_m is None
+
+
+def test_asof_chunked_parity_hot_key(spark):
+    """chunk_s path (skew-proof distributed prefix) must equal the plain
+    single-window path exactly, on a corpus dominated by one hot key with
+    right rows scattered across chunk boundaries."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [("hot", i, float(rng.randint(0, 400))) for i in range(300)] + [
+        (f"c{i}", 1000 + i, float(i)) for i in range(20)
+    ]
+    rrows = {("hot", float(rng.randint(0, 400))) for _ in range(60)} | {
+        (f"c{i}", float(i - 1)) for i in range(0, 20, 2)
+    }
+    rrows = [(k, t, float(h)) for h, (k, t) in enumerate(sorted(rrows))]
+    left = spark.createDataFrame(lrows, "k string, lid long, ts double")
+    right = spark.createDataFrame(rrows, "k string, ts double, rv double")
+    plain = asof_join(left, right, ["k"], "ts", "ts", ["rv"], suffix="_m")
+    chunked = asof_join(
+        left, right, ["k"], "ts", "ts", ["rv"], suffix="_m", chunk_s=50.0
+    )
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0
+    # tolerance composes with the chunked path too
+    tol_p = asof_join(left, right, ["k"], "ts", "ts", ["rv"],
+                      suffix="_m", tolerance_s=30)
+    tol_c = asof_join(left, right, ["k"], "ts", "ts", ["rv"],
+                      suffix="_m", tolerance_s=30, chunk_s=50.0)
+    assert tol_p.exceptAll(tol_c).count() == 0
+    assert tol_c.exceptAll(tol_p).count() == 0
+
+
 def test_asof_single_shuffle_plan(asof_frames):
     """The union-tag encoding must cost ONE shuffle (the window's), with no
     nested-loop join anywhere — the reason it survives 100 TB where the
