@@ -39,6 +39,14 @@ SAMPLE_BUCKETS = 1_000_000
 #: ("a","bc").
 _SEP = "\x1f"
 
+#: Sentinel standing in for a NULL key column in md5 mode. concat_ws
+#: SKIPS null inputs entirely, which would serialize ('a', NULL, 'b') and
+#: ('a', 'b', NULL) both as 'a\\x1fb' — breaking _SEP's injectivity
+#: guarantee. Coalescing each column to this control-char sentinel keeps
+#: every position present (control chars cannot appear in the id/text
+#: columns sampled here, so no real value collides with it).
+_NULL = "\x00"
+
 
 def hash_bucket(
     key_cols: list[str],
@@ -53,7 +61,11 @@ def hash_bucket(
     if hash_fn == "xxhash64":
         h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
     elif hash_fn == "md5":
-        key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+        key = F.concat_ws(
+            _SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+              for c in key_cols],
+        )
         h = F.conv(
             F.substring(F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, 8),
             16,
@@ -163,6 +175,12 @@ def hash_sample_k_per_group(
     columns themselves, so the kept set is total-order deterministic."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"_h", "_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with "
+            "hash_sample_k_per_group's internal names; rename them first"
+        )
     from .topk import topk_per_group
 
     h = hash_bucket(key_cols, seed, hash_fn)

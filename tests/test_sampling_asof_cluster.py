@@ -117,6 +117,39 @@ def test_hash_sample_plan_is_scan_plus_filter(ids):
 # ---------------------------------------------------------------------------
 
 
+def test_hash_bucket_md5_null_positions_distinct(spark):
+    """md5-mode multi-column keys must keep NULL positions apart:
+    ('a', NULL, 'b') and ('a', 'b', NULL) serialize differently (ADVICE
+    r4: concat_ws silently skips nulls)."""
+    from taco_toolbox_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None)],
+        "c1 string, c2 string, c3 string",
+    )
+    got = [
+        r.b
+        for r in df.select(
+            hash_bucket(["c1", "c2", "c3"], seed=3, hash_fn="md5").alias("b")
+        ).collect()
+    ]
+    assert got[0] != got[1]
+    # and both modes produce SOME bucket for null-keyed rows (no null-out)
+    for fn in ("md5", "xxhash64"):
+        vals = df.select(
+            hash_bucket(["c2"], seed=1, hash_fn=fn).alias("b")
+        ).collect()
+        assert all(v.b is not None for v in vals)
+
+
+def test_hash_sample_k_per_group_reserved_names(spark):
+    from taco_toolbox_spark.operators.sampling import hash_sample_k_per_group
+
+    df = spark.createDataFrame([("g", 1, 0)], "g string, id long, _h long")
+    with pytest.raises(ValueError, match="internal"):
+        hash_sample_k_per_group(df, ["g"], ["id"], k=1)
+
+
 def _ts(s):
     return dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
 
