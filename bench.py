@@ -1,9 +1,19 @@
 """Benchmark harness.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (kept short by contract — the driver
+captures a bounded tail of stdout):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
-   "validation": {"turns": N, "sec": s, "turns_per_sec": r}}
+   "validation": {"turns": N, "sec": s, "turns_per_sec": r, ...}}
+Full telemetry (per-query retry list with busy/steal cores, per-repeat
+validation evidence) lands in BENCH_DETAIL.json next to this script and
+on stderr.
+
+Storm discipline: this box suffers episodic HOST-side co-tenant storms
+(the same stage has measured 215 vs 2966 CPU-s). Every measurement
+samples /proc/stat busy+steal; a window stealing >= 0.5 cores is
+retried, and a headline is only ever reported from a quiet window — or
+carries an explicit poisoned flag when none was found.
 
 Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
@@ -14,6 +24,9 @@ Env:
                        (default 4_000_000)
   BENCH_DATA_DIR       where the synthetic corpus parquet is cached
                        (default /tmp/spark_graft_bench)
+  BENCH_QUERY_TRIES    max attempts to find a quiet window per query (3)
+  BENCH_EXTRA_QUIET_REPEATS  extra validation repeats allowed while no
+                       quiet repeat has been seen (3)
 """
 
 from __future__ import annotations
@@ -89,7 +102,14 @@ def _busy_steal_cores(
     return round(busy, 1), round(steal, 2)
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
+#: A repeat whose machine-wide steal exceeds this many cores was measured
+#: during a host-side co-tenant storm and under-represents the engine.
+STEAL_QUIET_CORES = 0.5
+
+
+def bench_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict, list[str]]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -99,23 +119,41 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     out = {}
     telemetry = {}
+    poisoned: list[str] = []
+    max_tries = int(os.environ.get("BENCH_QUERY_TRIES", "3"))
     for name in HEADLINE:
         # bench-only twins (no oracle possible) live as q_<name> functions
         # outside the queries() registry
         fn = qs.get(name) or getattr(entrymod, f"q_{name}")
-        cpu0 = _cpu_snapshot()
-        t0 = time.time()
-        _noop_write(fn(spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-        # (machine busy cores, stolen cores) during the query: a number
-        # inflated by a host-side co-tenant storm carries its own evidence
-        telemetry[name] = list(_busy_steal_cores(cpu0, _cpu_snapshot()))
+        best_quiet = best_any = None
+        tries = []
+        for attempt in range(max_tries):
+            cpu0 = _cpu_snapshot()
+            t0 = time.time()
+            _noop_write(fn(spark, sf_dir))
+            sec = round(time.time() - t0, 3)
+            busy, steal = _busy_steal_cores(cpu0, _cpu_snapshot())
+            tries.append([sec, busy, steal])
+            if best_any is None or sec < best_any:
+                best_any = sec
+            if steal < STEAL_QUIET_CORES:
+                # a quiet window: the measurement stands — no retry. The
+                # headline must never be a storm sample (VERDICT r4: the
+                # r4 artifact was recorded at loadavg 22.9 / 2.5 stolen
+                # cores and under-read the engine by 2-3x).
+                best_quiet = sec if best_quiet is None else min(best_quiet, sec)
+                break
+        if best_quiet is None:
+            poisoned.append(name)
+        out[name] = best_quiet if best_quiet is not None else best_any
+        telemetry[name] = tries
         print(
-            f"  bench {name}: {out[name]}s busy/steal={telemetry[name]}",
+            f"  bench {name}: {out[name]}s tries={tries}"
+            + (" POISONED" if best_quiet is None else ""),
             file=sys.stderr,
             flush=True,
         )
-    return out, telemetry
+    return out, telemetry, poisoned
 
 
 def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
@@ -259,7 +297,15 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
         concurrent = conc_env == "1"
     else:
         concurrent = EngineConfig().resolve_concurrent_actions(n_turns)
-    for _ in range(max(1, repeats)):
+    # storm discipline (VERDICT r4): the headline must come from a QUIET
+    # window — a repeat measured while a host-side co-tenant storm stole
+    # >0.5 cores under-reads the engine 2-3x and is kept only as
+    # disclosed evidence. If the minimum repeats all land in a storm,
+    # keep repeating (bounded) until one is quiet; if none ever is, the
+    # artifact says so explicitly instead of laundering a storm sample.
+    quiet_best = None
+    extra = int(os.environ.get("BENCH_EXTRA_QUIET_REPEATS", "3"))
+    for rep in range(max(1, repeats) + extra):
         load0 = os.getloadavg()[0]
         res.violations.persist()  # re-mark: unpersist below clears the flag
         cpu0 = _cpu_snapshot()
@@ -282,8 +328,15 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
         sec = t1 - t0
         all_secs.append(round(sec, 3))
         busy.append(_busy_steal_cores(cpu0, _cpu_snapshot()))
+        quiet = busy[-1][1] < STEAL_QUIET_CORES
+        headline_candidate = (quiet and (quiet_best is None or sec < quiet_best)) or (
+            quiet_best is None and (best is None or sec < best)
+        )
         if best is None or sec < best:
             best = sec
+        if quiet:
+            quiet_best = sec if quiet_best is None else min(quiet_best, sec)
+        if headline_candidate:
             best_stages = {
                 "plan_build_once": plan_sec,
                 "battery_plus_stats": round(sec, 3),
@@ -292,18 +345,25 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
                 "machine_busy_cores": busy[-1][0],
                 "machine_steal_cores": busy[-1][1],
             }
-        if n_turns / best > margin * target_tps:
+        if quiet_best is not None and (
+            n_turns / quiet_best > margin * target_tps
+            or rep + 1 >= max(1, repeats)
+        ):
+            # early exit only ever on a QUIET demonstration; past the
+            # minimum repeats, stop at the first quiet sample
             break
+    headline = quiet_best if quiet_best is not None else best
     med = sorted(all_secs)[len(all_secs) // 2]
     return {
         "turns": n_turns,
-        "sec": round(best, 3),
-        "turns_per_sec": round(n_turns / best, 1),
+        "sec": round(headline, 3),
+        "turns_per_sec": round(n_turns / headline, 1),
         "median_sec": round(med, 3),
         "median_turns_per_sec": round(n_turns / med, 1),
         "violations": summary["n_violations"],
         "failed_part_checks": summary["failed_part_checks"],
         "repeats": len(all_secs),
+        "poisoned": quiet_best is None,
         "repeat_secs": all_secs,
         "repeat_busy_steal_cores": busy,
         "stages": best_stages,
@@ -337,26 +397,54 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     q_telemetry: dict = {}
+    poisoned_queries: list[str] = []
     if only != "validation":
-        queries, q_telemetry = bench_queries(spark, sf_dir)
+        queries, q_telemetry, poisoned_queries = bench_queries(spark, sf_dir)
     validation = bench_validation(spark, data_dir, turns)
     total = round(sum(queries.values()) + validation["sec"], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_validation_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "queries_busy_steal_cores": q_telemetry,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "validation": validation,
-                "cpus": int(cpus),
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full telemetry (per-query tries with busy/steal, per-repeat repeat
+    # lists, stage breakdown) goes to a SIDE FILE + stderr: the driver
+    # captures only a bounded tail of stdout, and round 4's artifact was
+    # unparseable because the telemetry blew the final line past that
+    # window. The final stdout line is compact BY CONTRACT.
+    detail = {
+        "queries": queries,
+        "queries_tries_sec_busy_steal": q_telemetry,
+        "poisoned_queries": poisoned_queries,
+        "validation": validation,
+        "sf": sf_val,
+        "cpus": int(cpus),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    if only != "validation":  # scaling subprocesses must not clobber it
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    print("bench detail: " + json.dumps(detail), file=sys.stderr, flush=True)
+    compact_validation = {
+        k: validation[k]
+        for k in (
+            "turns", "sec", "turns_per_sec", "median_sec",
+            "median_turns_per_sec", "violations", "failed_part_checks",
+            "repeats", "poisoned",
+        )
+    }
+    line = {
+        "metric": "headline_queries_plus_validation_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "validation": compact_validation,
+        "cpus": int(cpus),
+    }
+    if poisoned_queries:
+        line["poisoned_queries"] = poisoned_queries
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 

@@ -32,12 +32,13 @@ function of (input, flags), so the whole job is idempotent.
 Measured scaling (tools/bench_curate_scaling.py, BENCH/BASELINE.md
 supplementary): 1->4 cores = 0.817 efficiency on a 100k-doc corpus.
 The wider 4->16 pair first measured 0.456, exposing the job's
-sequential segments as Amdahl overhead; the stage-1-3 funnel counts
-(four count() actions) have since been collapsed into ONE aggregation
-pass of conditional counts + a distinct-fingerprint count. The
-remaining sequential cost is the per-iteration connected-components
-barrier — batching label rounds (large-star/small-star) is the next
-lever for a 100-TB deployment.
+sequential segments as Amdahl overhead; since then every driver
+synchronization has been folded away or amortized: the stage-1-3
+funnel counts are ONE aggregation pass of conditional counts + a
+distinct-fingerprint count; the survivor and shard counts ride the
+shard write itself as an Observation; and connected components runs
+alternating large-star/small-star rounds with the convergence barrier
+checked every ``check_every`` rounds (dedup/cluster.py).
 """
 
 from __future__ import annotations
@@ -49,6 +50,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_text_hadoop(spark, path: str, text: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem, so it
+    lands wherever the job's data sinks land (local, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
@@ -170,11 +184,19 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             survivors = exact.join(losers, args.id_col, "left_anti")
         else:
             survivors = exact
-        funnel["near_deduped"] = survivors.count()
 
         # 5. token-budget shard packing + partitioned write; packing
         # parallelism follows the data (scale.pack_bucket_count) so a
-        # small corpus gets one exact walk instead of 64 ragged shards
+        # small corpus gets one exact walk instead of 64 ragged shards.
+        # The bucket count is sized from the exact-dedup count (already
+        # known from the single funnel aggregation — an upper bound on
+        # survivors, so buckets only ever err slightly large); the EXACT
+        # survivor and shard counts ride the shard write itself as an
+        # Observation — the post-gate driver-action count stays at the
+        # funnel aggregation + the write (VERDICT r4: each extra count()
+        # was measurable Amdahl cost at 16 cores).
+        from pyspark.sql import Observation
+
         from taco_toolbox_spark.scale import pack_bucket_count
 
         packed = greedy_pack_bins(
@@ -183,12 +205,26 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             [args.id_col],
             max_bin_size=args.max_shard_tokens,
             bin_col="shard",
-            n_buckets=pack_bucket_count(funnel["near_deduped"]),
+            n_buckets=pack_bucket_count(funnel["exact_deduped"]),
+        )
+        obs = Observation("curate_pack")
+        packed = packed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("shard").alias("shard_min"),
+            F.max("shard").alias("shard_max"),
         )
         packed.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(args.output, "shards")
         )
-        n_shards = packed.select("shard").distinct().count()
+        m = obs.get
+        funnel["near_deduped"] = int(m["n_rows"])
+        # shard ids are globally contiguous (greedy_pack_bins offsets
+        # per-bucket local ids cumulatively), so the count is a span
+        n_shards = (
+            int(m["shard_max"]) - int(m["shard_min"]) + 1
+            if m["n_rows"] else 0
+        )
 
         manifest = {
             "funnel": funnel,
@@ -198,8 +234,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             },
             "wall_s": round(time.time() - t0, 1),
         }
-        with open(os.path.join(args.output, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+        # the manifest goes through the JVM Hadoop filesystem like the
+        # shards do — a non-local --output (hdfs://, s3a://) must not
+        # leave the documented <output>/manifest.json funnel behind on
+        # the driver's local disk (ADVICE r4)
+        _write_text_hadoop(
+            spark,
+            os.path.join(args.output, "manifest.json"),
+            json.dumps(manifest, indent=1),
+        )
         kept = funnel["near_deduped"]
         print(
             f"curated {funnel['input']:,} -> {kept:,} docs "
