@@ -802,6 +802,62 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup under the full value oracle (VERDICT r4 #7):
+    the documents table plus deterministically-injected normalized
+    duplicates (every 10th doc re-emitted upper-cased with extra
+    whitespace) is staged as a file-stream source and run through
+    ``dropDuplicatesWithinWatermark`` on the normalized-text fingerprint
+    (streaming/validate_stream.py:stream_dedup). All event times sit
+    inside one watermark horizon, so the surviving FINGERPRINT SET is
+    independent of micro-batch file order; the query returns the
+    survivors' normalized text — which the DuckDB oracle reproduces as
+    the distinct normalized text of the documents table (the injected
+    rows are dups by construction). WHICH raw duplicate survives is
+    arrival-order dependent and deliberately not part of the contract."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_dedup_smoke,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/docs_dedup_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        base_ts = F.to_timestamp(F.lit("2025-03-01 00:00:00"))
+        orig = d.select(
+            "doc_id", "text",
+            (base_ts + F.make_interval(
+                mins=(F.col("doc_id") % 300).cast("int"))).alias("ts"),
+        )
+        dups = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("\t ")).alias("text"),
+            (base_ts + F.make_interval(
+                mins=(F.col("doc_id") % 300).cast("int"), secs=F.lit(30.0)
+            )).alias("ts"),
+        )
+        orig.unionByName(dups).write.mode("overwrite").parquet(staged)
+    out = run_stream_dedup_smoke(
+        spark, staged, query_name=f"q_sdedup_{tag}", watermark="24 hours",
+        max_files_per_trigger=4,
+    )
+    return out.select(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias(
+            "norm_text"
+        )
+    )
+
+
 def q_t1_quality_filter(spark, sf_dir):
     """Per-group quality filtering: keep the longest 40% of documents per
     language (ceil(0.4 * group size) rows, (n_chars desc, doc_id)
@@ -901,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_range_join": q_j6_range_join,
         "t1_quality_filter": q_t1_quality_filter,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
@@ -1843,6 +1900,15 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(c.ts) BETWEEN epoch(p.ts) - 3600 AND epoch(p.ts)
             WHERE p.event_type = 'purchase'
             GROUP BY 1
+        """,
+        # streaming dedup: survivors' normalized text == distinct
+        # normalized text of the base table (the staged stream only adds
+        # rows that normalize to existing texts)
+        "stream_dedup": """
+            SELECT DISTINCT
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                AS norm_text
+            FROM documents
         """,
         # the batch sessionization rule in SQL: lag + gap>1800 cumsum,
         # session_end = last event + gap (the session-window close)
