@@ -238,6 +238,56 @@ def ivf_topk(
     return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> None:
+    """Materialize the IVF structure ``ivf_topk``'s docstring promises at
+    scale: assign every vector its coarse cell and write parquet
+    PARTITIONED BY the cell id. Probing then becomes partition pruning —
+    a query's scan touches only n_probe/n_centroids of the files, which
+    is the difference between reading 100 TB and reading 25 GB at
+    n_probe=4/n_centroids=16... ×1000 executors. Write once, probe
+    forever; re-write to change n_centroids/seed (the cell assignment is
+    a pure function of (vector, centroids))."""
+    C = ivf_centroids(dim, n_centroids, seed)
+    (
+        df.withColumn("cell", ivf_cell_col(vec_col, C))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe-pruned top-k over an ``ivf_write_index`` layout: the cell
+    membership filter lands in the scan's PartitionFilters (locked by
+    tests/test_plan_assertions.py), so non-probed cells are never read —
+    the at-scale realization of ``ivf_topk``, bit-identical to it for the
+    same (n_centroids, n_probe, seed). The session reads partition values
+    as strings (partitionColumnTypeInference disabled — session.py), so
+    probes are compared as string literals, keeping the filter a pure
+    partition predicate."""
+    C = ivf_centroids(len(query_vec), n_centroids, seed)
+    probes = [str(c) for c in ivf_probe_cells(query_vec, C, n_probe)]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand.drop("cell"), query_vec, k, vec_col, id_col)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
