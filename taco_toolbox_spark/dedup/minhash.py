@@ -141,6 +141,67 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_signature_col(
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> F.Column:
+    """Per-ROW minhash signature as a pure column expression — the same
+    values ``minhash_signatures`` computes (min over the doc's shingle
+    hashes; min is duplicate-invariant, so the exploded-groupBy and the
+    in-row array_min agree exactly), but with NO aggregation in the plan.
+    That is what lets a STREAMING frame carry signatures: a projection
+    streams, a groupBy would demand watermark/state machinery. NULL for
+    docs shorter than one shingle (no signature in the batch path
+    either). Cost: num_hashes array traversals per row, all inside
+    WholeStageCodegen."""
+    from ..functions.text import tokens
+
+    toks = tokens(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_structs(
+    sig_col: str, bands: int, rows_per_band: int
+) -> F.Column:
+    """Array of (band, bucket) structs for a signature column — the ONE
+    definition of LSH banding, shared by the batch pair generator and the
+    streaming candidate emitter so both sides bucket identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -151,24 +212,8 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket_size`` are dropped before pairing — a
     degenerate bucket of k near-identical docs makes k^2 candidates, and at
     the default cap that is already 10^8 pairs from one bucket."""
-    band_rows = []
-    for b in range(bands):
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-        )
     buckets = signatures.select(
-        "id", F.explode(F.array(*band_rows)).alias("bb")
+        "id", F.explode(band_structs("sig", bands, rows_per_band)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         ok = (

@@ -714,3 +714,117 @@ def run_stream_sessionize_smoke(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def minhash_bucket_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Static LSH bucket store (band, bucket, id) for a reference corpus —
+    the right side of ``stream_minhash_candidates``. Built with the SAME
+    signature aggregation and banding as the batch pair generator
+    (dedup/minhash.py), so a bucket collision means exactly what it means
+    batch-side. Oversized buckets are dropped here, at store-build time
+    (a stream cannot count across micro-batches; capping the store bounds
+    every future probe's fan-out instead). In production: persist this
+    frame bucketed by (band, bucket) and broadcast- or bucket-join it."""
+    from ..dedup.minhash import band_structs, minhash_signatures
+
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    buckets = sig.select(
+        "id", F.explode(band_structs("sig", bands, rows_per_band)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
+    return buckets
+
+
+def stream_minhash_candidates(
+    stream_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dedup candidates: each incoming document's minhash
+    band buckets (computed per-row by ``minhash_signature_col`` — a pure
+    projection, so it streams without state) are equi-joined against a
+    static signature ``store``; every collision emits a candidate pair
+    (id_a < id_b, plus the colliding band). Completes the batch↔stream
+    matrix: exact dedup streams via ``stream_dedup``, near-dedup streams
+    here, and both agree with their batch twins on bounded input
+    (tests/test_streaming.py locks key-set parity with
+    ``lsh_candidate_pairs``).
+
+    Scale shape: stream-static equi-join on (band, bucket) — Spark
+    re-plans the static side per micro-batch; with the store persisted
+    bucketed by (band, bucket) the join is exchange-free on the static
+    side, and the stream side shuffles only the micro-batch. Candidate
+    VERIFICATION (exact Jaccard) and pair-dedup across batches stay
+    downstream: verification needs the shingle sets (join the candidates
+    against the corpus — a batch concern), and exactly-once pair
+    emission would need unbounded state; consumers dedupe by (id_a,
+    id_b) or window it with a watermark."""
+    from ..dedup.minhash import band_structs, minhash_signature_col
+
+    sig = minhash_signature_col(text_col, n, num_hashes)
+    s = stream_df.select(
+        F.col(id_col).alias("_sid"), sig.alias("_sig")
+    ).filter(F.element_at("_sig", 1).isNotNull())
+    bb = s.select(
+        "_sid",
+        F.explode(band_structs("_sig", bands, rows_per_band)).alias("bb"),
+    ).select("_sid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        bb.join(store, ["band", "bucket"])
+        .filter(F.col("id") != F.col("_sid"))
+        .select(
+            F.least("_sid", "id").alias("id_a"),
+            F.greatest("_sid", "id").alias("id_b"),
+            "band",
+        )
+    )
+
+
+def run_stream_minhash_smoke(
+    spark,
+    parquet_dir: str,
+    store: DataFrame,
+    query_name: str = "stream_minhash",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive stream_minhash_candidates over a bounded parquet dir with
+    the memory sink (append mode — each micro-batch's collisions emit
+    once; cross-batch pair dedup is the consumer's, see operator doc)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_minhash_candidates(stream, store, **kwargs)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

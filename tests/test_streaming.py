@@ -441,3 +441,68 @@ def test_stream_sessionize_matches_batch_cumsum(tmp_path, spark):
     }
     assert stream_set == batch_set
     assert len(stream_set) == 3 + 3 + 1  # user7: 3 sessions, user8: 3, user9: 1
+
+
+def test_stream_minhash_candidates_match_batch(tmp_path, spark):
+    """Streaming near-dedup candidate emission vs a static signature
+    store must surface exactly the batch LSH candidate pair set on the
+    same bounded corpus (VERDICT r4 #4: the batch↔stream matrix), and
+    the per-row signature column must equal the batch aggregation's
+    signatures value-for-value."""
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.dedup.minhash import (
+        lsh_candidate_pairs,
+        minhash_signature_col,
+        minhash_signatures,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        minhash_bucket_store,
+        run_stream_minhash_smoke,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "pack my box with five dozen liquor jugs before the night ends",
+        "sphinx of black quartz judge my vow said the old librarian now",
+        "how vexingly quick daft zebras jump over the sleeping brown dog",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        # exact-text twin under a different id: Jaccard 1, so every
+        # band collides DETERMINISTICALLY (a one-word edit leaves the
+        # 4-row band collision a coin flip at these text lengths)
+        rows.append((i * 10 + 1, t))
+    rows.append((999, "completely unrelated tiny text here with nothing shared at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "docs_in")
+    df.repartition(4, "doc_id").write.parquet(inp)
+
+    # per-row signature column == batch groupBy signature, exactly
+    got_sig = {
+        r.doc_id: list(r.s)
+        for r in df.select(
+            "doc_id", minhash_signature_col("text").alias("s")
+        ).collect()
+    }
+    want_sig = {
+        r.id: list(r.sig) for r in minhash_signatures(df).collect()
+    }
+    assert got_sig == want_sig
+
+    store = minhash_bucket_store(df, max_bucket_size=None)
+    out = run_stream_minhash_smoke(
+        spark, inp, store, query_name="t_sminhash"
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(df), max_bucket_size=None
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    # the planted near-dups collide; the unrelated doc pairs with nobody
+    assert all((i * 10, i * 10 + 1) in got_pairs for i in range(len(base)))
+    assert not any(999 in p for p in got_pairs)
