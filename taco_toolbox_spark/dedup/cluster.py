@@ -74,12 +74,16 @@ def _star_round(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least("_mn", "u").alias("m"))
     )
-    # m <= u < v, so the emitted (v, m) stays strictly large→small
+    # m <= u < v, so the emitted (v, m) stays strictly large→small.
+    # NOT distinct-ed here: the small-star min-agg and the final
+    # distinct dedupe anyway, and each undirected edge emits exactly one
+    # candidate (only its smaller endpoint's group passes the v > u
+    # filter), so duplicate inflation is bounded by node fan-in — a
+    # shuffle saved per round beats rare duplicate rows.
     large = (
         sym.filter(F.col("v") > F.col("u"))
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
     # ---- small-star: every edge already points large→small, so Γ_<(u)
     # is exactly u's targets; attach u and each non-min target to the min
@@ -120,7 +124,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    check_every: int = 2,
+    check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
@@ -132,10 +136,14 @@ def connected_components(
     test). Raises RuntimeError if ``max_iter`` star rounds don't reach
     fixpoint — raise it or pre-contract the graph.
 
-    ``check_every`` amortizes the driver-synchronized convergence
-    action over that many rounds (the final round always checks);
-    ``stats``, when a dict is passed, receives ``{"rounds": r,
-    "convergence_checks": c}`` for tests and telemetry.
+    ``check_every`` trades the driver-synchronized convergence action
+    against wasted rounds: a star ROUND is several shuffles while the
+    structural check is one cheap count over the checkpointed edges, and
+    dup graphs (near-clique blobs) usually converge in 1-2 rounds — so
+    the default checks every round; raise it for deep-chain graphs where
+    many rounds are certain and the barrier dominates (the final round
+    always checks). ``stats``, when a dict is passed, receives
+    ``{"rounds": r, "convergence_checks": c}`` for tests and telemetry.
     """
     p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
