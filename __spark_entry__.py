@@ -858,6 +858,51 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_stream_minhash_cands(spark, sf_dir):
+    """STREAMING near-dedup candidates under the full pipeline-replica
+    oracle: documents staged as a bounded file stream; each micro-batch
+    row's md5-mode minhash signature (dedup/minhash.py:
+    minhash_signature_col — a pure projection, no streaming state) is
+    banded and equi-joined against a static LSH bucket store built from
+    the same corpus with the same hash family
+    (streaming/validate_stream.py:stream_minhash_candidates). The
+    distinct (id_a, id_b) set equals the batch md5-mode LSH candidate
+    stage exactly — a kept bucket contains both endpoints of every pair
+    it certifies, a capped bucket contains neither, so probing a capped
+    store from the same corpus reproduces the batch pair set — and the
+    oracle replicates that stage CTE-for-CTE (_minhash_cand_ctes: ONE
+    md5 per shingle split into 32-bit halves, the same 2-universal
+    permutation minima, band-concat buckets, bucket cap, pairs
+    id_a < id_b)."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        minhash_bucket_store,
+        run_stream_minhash_smoke,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/docs_minhash_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        _t(spark, sf_dir, "documents").select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(staged)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = minhash_bucket_store(docs, hash_fn="md5")
+    out = run_stream_minhash_smoke(
+        spark, staged, store, query_name=f"q_sminhash_{tag}", hash_fn="md5"
+    )
+    return out.select("id_a", "id_b").distinct()
+
+
 def q_t1_quality_filter(spark, sf_dir):
     """Per-group quality filtering: keep the longest 40% of documents per
     language (ceil(0.4 * group size) rows, (n_chars desc, doc_id)
@@ -958,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_quality_filter": q_t1_quality_filter,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
+        "stream_minhash_cands": q_stream_minhash_cands,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
@@ -1108,21 +1154,17 @@ def _shingle_ctes(max_shingle_freq: int | None) -> str:
     """
 
 
-def _minhash_oracle(
+def _minhash_cand_ctes(
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.2,
     max_bucket: int = 10_000,
 ) -> str:
-    """Full pipeline replica of dedup.minhash.minhash_near_duplicates in
-    md5 hash mode: ONE md5 per shingle split into 32-bit halves, the same
-    2-universal permutation family (identical inlined constants, p=2^31-1,
-    all arithmetic in BIGINT), per-doc minima, band buckets (band-value
-    concat — equal iff Spark's xxhash64-of-the-same-concat is equal),
-    bucket-size cap, candidate pairing, exact-Jaccard verification
-    restricted to candidates. Unlike an exact-Jaccard oracle, this checks
-    the banding's actual recall and precision with no corpus-dependent
-    collision assumption."""
+    """DuckDB CTE chain replicating the md5-mode minhash CANDIDATE stage
+    (shingles -> one-md5 halves -> permutation minima -> band buckets ->
+    bucket cap -> distinct candidate pairs id_a < id_b) — shared by the
+    batch pipeline oracle (which appends exact-Jaccard verification) and
+    the streaming candidate-emitter oracle (which stops at `cand`, the
+    exact surface stream_minhash_candidates emits)."""
     from taco_toolbox_spark.dedup.minhash import (
         MINHASH_A,
         MINHASH_B,
@@ -1143,8 +1185,7 @@ def _minhash_oracle(
         + ") AS bucket FROM mins"
         for b in range(bands)
     )
-    return f"""
-            WITH {_shingle_ctes(None)},
+    return f"""{_shingle_ctes(None)},
             shh AS (
               SELECT doc_id,
                      ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
@@ -1169,7 +1210,22 @@ def _minhash_oracle(
               FROM bk a JOIN bk b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id
-            ),
+            )"""
+
+
+def _minhash_oracle(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    max_bucket: int = 10_000,
+) -> str:
+    """Full pipeline replica of dedup.minhash.minhash_near_duplicates in
+    md5 hash mode: the shared candidate CTE chain (_minhash_cand_ctes)
+    plus exact-Jaccard verification restricted to candidates. Unlike an
+    exact-Jaccard oracle, this checks the banding's actual recall and
+    precision with no corpus-dependent collision assumption."""
+    return f"""
+            WITH {_minhash_cand_ctes(num_hashes, bands, max_bucket)},
             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
             shared AS (
               SELECT c.id_a, c.id_b, count(*) AS shared
@@ -1183,8 +1239,7 @@ def _minhash_oracle(
             FROM shared p
             JOIN sizes sa ON p.id_a = sa.doc_id
             JOIN sizes sb ON p.id_b = sb.doc_id
-            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
-        """
+            WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}"""
 
 
 def _simhash_oracle(max_hamming: int = 3, max_bucket: int = 10_000) -> str:
@@ -1782,6 +1837,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _jaccard_oracle(max_shingle_freq=1000),
         "dedup_minhash": _minhash_oracle(),
+        # the streaming emitter's contract IS the batch candidate stage:
+        # the shared CTE chain stopped at `cand`
+        "stream_minhash_cands": (
+            f"WITH {_minhash_cand_ctes()}\n"
+            "            SELECT id_a, id_b FROM cand"
+        ),
         "dedup_simhash": _simhash_oracle(),
         "sim_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

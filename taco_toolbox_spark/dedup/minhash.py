@@ -128,13 +128,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]): per-doc minhash signature.
     One explode + ONE aggregation computing all k minima (map-side combine
-    shrinks the shuffle to k longs per doc)."""
+    shrinks the shuffle to k longs per doc). ``hash_fn="md5"`` switches to
+    the engine-portable family (see :func:`shingle_hash`)."""
     sh = shingles(df, text_col, id_col, n)
+    if hash_fn == "md5":
+        _ensure_perm_constants(num_hashes)
+        sh = add_portable_hash(sh)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(shingle_hash(i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*mins)
@@ -145,6 +150,7 @@ def minhash_signature_col(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> F.Column:
     """Per-ROW minhash signature as a pure column expression — the same
     values ``minhash_signatures`` computes (min over the doc's shingle
@@ -154,7 +160,10 @@ def minhash_signature_col(
     streams, a groupBy would demand watermark/state machinery. NULL for
     docs shorter than one shingle (no signature in the batch path
     either). Cost: num_hashes array traversals per row, all inside
-    WholeStageCodegen."""
+    WholeStageCodegen. ``hash_fn="md5"`` computes the engine-portable
+    family — ONE md5 per shingle into (h1, h2) halves, then the
+    permutation per hash function, mirroring :func:`add_portable_hash` +
+    :func:`shingle_hash` value-for-value."""
     from ..functions.text import tokens
 
     toks = tokens(text_col)
@@ -167,10 +176,42 @@ def minhash_signature_col(
             )
         ),
     )
+    if hash_fn == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    if hash_fn != "md5":
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    _ensure_perm_constants(num_hashes)
+    p = F.lit(MINHASH_P)
+
+    def _halves(s: F.Column) -> F.Column:
+        m = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+
+    hs = F.transform(sh, _halves)  # one md5 per shingle, all k reuse it
     return F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(
+                    hs,
+                    lambda x: (
+                        (F.lit(MINHASH_A[i]) * x["h1"]) % p
+                        + (F.lit(MINHASH_B[i]) * x["h2"]) % p
+                        + F.lit(MINHASH_C[i])
+                    )
+                    % p,
+                )
             )
             for i in range(num_hashes)
         ]

@@ -725,6 +725,7 @@ def minhash_bucket_store(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Static LSH bucket store (band, bucket, id) for a reference corpus —
     the right side of ``stream_minhash_candidates``. Built with the SAME
@@ -736,7 +737,7 @@ def minhash_bucket_store(
     frame bucketed by (band, bucket) and broadcast- or bucket-join it."""
     from ..dedup.minhash import band_structs, minhash_signatures
 
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     buckets = sig.select(
         "id", F.explode(band_structs("sig", bands, rows_per_band)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
@@ -760,6 +761,7 @@ def stream_minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Streaming NEAR-dedup candidates: each incoming document's minhash
     band buckets (computed per-row by ``minhash_signature_col`` — a pure
@@ -782,7 +784,7 @@ def stream_minhash_candidates(
     id_b) or window it with a watermark."""
     from ..dedup.minhash import band_structs, minhash_signature_col
 
-    sig = minhash_signature_col(text_col, n, num_hashes)
+    sig = minhash_signature_col(text_col, n, num_hashes, hash_fn)
     s = stream_df.select(
         F.col(id_col).alias("_sid"), sig.alias("_sig")
     ).filter(F.element_at("_sig", 1).isNotNull())

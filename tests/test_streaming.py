@@ -491,6 +491,22 @@ def test_stream_minhash_candidates_match_batch(tmp_path, spark):
     }
     assert got_sig == want_sig
 
+    # ...and in the engine-portable md5 mode too (the mode the streaming
+    # oracle runs under): per-row permutation-over-md5-halves must equal
+    # the batch aggregation value-for-value
+    got_md5 = {
+        r.doc_id: list(r.s)
+        for r in df.select(
+            "doc_id",
+            minhash_signature_col("text", hash_fn="md5").alias("s"),
+        ).collect()
+    }
+    want_md5 = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(df, hash_fn="md5").collect()
+    }
+    assert got_md5 == want_md5
+
     store = minhash_bucket_store(df, max_bucket_size=None)
     out = run_stream_minhash_smoke(
         spark, inp, store, query_name="t_sminhash"
