@@ -383,6 +383,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
 
 
+def q_dedup_ngram_prefix(spark, sf_dir):
+    """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin
+    family: rarest-first prefixes + length + positional filters +
+    candidate-restricted exact verification — dedup/ngram.py:
+    jaccard_pairs_prefix). NO frequency cap: unlike dedup_ngram_jaccard
+    (the capped brute anchor), this is exact against the uncapped
+    definition while hot shingles stay out of candidate generation. The
+    oracle is DuckDB's direct capless shingle join — a fully independent
+    realization (no prefix machinery), so candidate completeness of the
+    three filters is checked end-to-end on real data."""
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(d, "text", "doc_id", n=3, threshold=0.5)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dups in md5 hash mode: the oracle replicates the
     ENTIRE pipeline (2-universal permutations mod 2^31-1 over the two
@@ -979,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_greedy_pack": q_w3_greedy_pack,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
@@ -1836,6 +1853,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": _jaccard_oracle(max_shingle_freq=1000),
+        # independent realization: DuckDB computes the CAPLESS exact join
+        # directly; the Spark side gets there through prefix + length +
+        # positional filters — completeness of all three is on trial
+        "dedup_ngram_prefix": _jaccard_oracle(
+            max_shingle_freq=None, threshold=0.5
+        ),
         "dedup_minhash": _minhash_oracle(),
         # the streaming emitter's contract IS the batch candidate stage:
         # the shared CTE chain stopped at `cand`

@@ -54,6 +54,109 @@ def jaccard_pairs(
     return pairs_from_shingles(sh, threshold, max_shingle_freq)
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08; public
+    algorithms, no code consulted). Same result set as
+    ``jaccard_pairs(..., max_shingle_freq=None)`` — exact, NO frequency
+    cap — but candidate generation joins only each document's PREFIX:
+    its first ``L - ceil(t*L) + 1`` shingles in a global
+    rarest-first order.
+
+    Why this is the 100-TB shape for EXACT joins (the capped brute join
+    stays the oracle anchor; minhash stays the approximate path):
+
+    * A shingle shared by f docs emits C(f,2) pairs in the brute join —
+      super-linear in duplicate density. Here a hot shingle sits at the
+      END of the rarest-first order, so it enters a doc's prefix only
+      when the doc consists almost entirely of hot shingles: candidate
+      fan-out concentrates on RARE shingles, which is where near-dup
+      signal lives. Exactness is preserved (the frequency cap is not).
+    * Prefix theorem: J(A,B) >= t implies |A∩B| >= t*|A| (since the
+      length filter gives |B| >= t*|A|), so A's shared elements cannot
+      all hide in its last ceil(t*|A|) - 1 positions — every qualifying
+      pair collides on some prefix element of BOTH sides under the
+      common total order.
+    * Candidates are then pruned by the LENGTH filter
+      (t*|A| <= |B| <= |A|/t, necessary for J >= t) and a POSITIONAL
+      bound: with (pa, pb) the earliest matching prefix positions,
+      |A∩B| <= least(pa, pb) - 1 + 1 + least(|A|-pa, |B|-pb); pairs
+      whose bound falls below ceil(t/(1+t)*(|A|+|B|)) are dropped
+      before exact verification. Both filters are necessary conditions,
+      so the survivor set still contains every true pair.
+    * Exact Jaccard is computed ONLY for survivors via
+      ``verify_pairs_exact`` — linear in candidate fan-out, never the
+      all-shared-shingle-pairs blowup.
+
+    Shuffles: freq count (shingle key), rank window (id key), prefix
+    self-join (shingle key, rare keys by construction), verification
+    joins (pair/id keys). All well-distributed; nothing quadratic in a
+    hot shingle's document frequency.
+
+    Columns: id_a, id_b, jaccard (>= threshold).
+    """
+    from pyspark.sql import Window
+
+    from .minhash import verify_pairs_exact  # late: minhash imports us
+
+    sh = shingles(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    w_rank = Window.partitionBy("id").orderBy("_f", "shingle")
+    w_all = Window.partitionBy("id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .select(
+            "id",
+            "shingle",
+            F.row_number().over(w_rank).alias("_p"),
+            F.count(F.lit(1)).over(w_all).alias("_l"),
+        )
+    )
+    t = float(threshold)
+    prefix = ranked.filter(
+        F.col("_p") <= F.col("_l") - F.ceil(F.lit(t) * F.col("_l")) + 1
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("_p").alias("_pa"),
+        F.col("_l").alias("_la"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("_p").alias("_pb"),
+        F.col("_l").alias("_lb"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t*|A| <= |B| and t*|B| <= |A|
+            & (F.col("_lb") >= F.lit(t) * F.col("_la"))
+            & (F.col("_la") >= F.lit(t) * F.col("_lb"))
+        )
+        .groupBy("id_a", "id_b", "_la", "_lb")
+        .agg(F.min("_pa").alias("_pam"), F.min("_pb").alias("_pbm"))
+        # positional overlap upper bound vs the required overlap
+        .filter(
+            F.least("_pam", "_pbm")
+            + F.least(
+                F.col("_la") - F.col("_pam"), F.col("_lb") - F.col("_pbm")
+            )
+            >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("_la") + F.col("_lb")))
+        )
+        .select("id_a", "id_b")
+    )
+    return verify_pairs_exact(cand, sh, threshold)
+
+
 def pairs_from_shingles(
     sh: DataFrame,
     threshold: float = 0.2,

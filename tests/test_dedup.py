@@ -61,6 +61,91 @@ def test_jaccard_pairs_exact(docs, spark):
             assert (a, b) not in pairs
 
 
+def _prefix_corpus(spark):
+    """60 docs: 12 planted near-dup pairs at varying overlap, a HOT
+    shingle run shared by every doc (the brute join's worst case — the
+    prefix filter must exclude it from candidate generation), filler
+    docs, and length-mismatched decoys that only the length filter
+    prunes."""
+    hot = "the agent said it would run the tool now"
+    rows = []
+    for i in range(12):
+        body = f"unique payload {i} alpha beta gamma delta epsilon zeta eta theta iota kappa word{i}"
+        rows.append((2 * i, f"{body} {hot}"))
+        # twin with one word changed — high but sub-1.0 jaccard
+        rows.append((2 * i + 1, f"{body.replace('gamma', 'GAMMA')} {hot}"))
+    for i in range(24, 54):
+        rows.append((i * 10, f"filler doc {i} " + " ".join(f"tok{i}_{j}" for j in range(10)) + f" {hot}"))
+    # a short doc fully contained in a long one: Jaccard small, must be
+    # pruned by the length filter, never returned
+    rows.append((9001, "alpha beta gamma delta epsilon"))
+    rows.append((9002, "alpha beta gamma delta epsilon " + " ".join(f"pad{j}" for j in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    """Prefix-filtered exact join (AllPairs/PPJoin) returns EXACTLY the
+    capless brute-force pair set — same pairs, same jaccard values — on
+    a corpus with a universally-shared hot shingle and length decoys."""
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs_prefix
+
+    docs = _prefix_corpus(spark)
+    for t in (0.3, 0.5, 0.8):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(
+                docs, threshold=t, max_shingle_freq=None
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == pytest.approx(brute), f"threshold {t}"
+        if t == 0.3:
+            assert brute, "corpus must actually contain qualifying pairs"
+
+
+def test_jaccard_prefix_prunes_hot_shingle_candidates(spark):
+    """The hot shingle shared by EVERY doc must not drive candidate
+    generation: the prefix self-join's candidate count stays near the
+    true pair count, orders of magnitude below the brute join's
+    every-doc-pairs-with-every-doc blowup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.dedup.ngram import shingles
+
+    docs = _prefix_corpus(spark)
+    t = 0.5
+    sh = shingles(docs, "text", "doc_id", 3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = sh.join(freq, "shingle").select(
+        "id",
+        "shingle",
+        F.row_number()
+        .over(Window.partitionBy("id").orderBy("_f", "shingle"))
+        .alias("_p"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("_l"),
+    )
+    prefix = ranked.filter(
+        F.col("_p") <= F.col("_l") - F.ceil(F.lit(t) * F.col("_l")) + 1
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), "shingle")
+    n_cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    n_docs = docs.count()
+    # brute candidate blowup would be ~C(n_docs, 2) thanks to the hot
+    # shingle; prefix candidates must stay far below it
+    assert n_cand < (n_docs * (n_docs - 1) // 2) * 0.2
+
+
 def test_minhash_recall_vs_bruteforce(spark):
     # 20 distinct base docs, each with a near-duplicate (one word swapped:
     # pair jaccard ~0.8); cross-pairs share almost nothing
