@@ -98,42 +98,64 @@ def main():
             check=True, capture_output=True,
         )
 
+    # storm discipline (same contract as bench.py): this box suffers
+    # episodic host-side co-tenant storms; a run that measured >= 0.5
+    # stolen cores is kept as DISCLOSED evidence but retried (bounded) —
+    # the efficiency headline is computed from quiet runs when any exist
+    max_tries = int(os.environ.get("CURATE_QUIET_TRIES", "3"))
     results = {lo: [], hi: []}
+    stormy = {lo: [], hi: []}
     for r in range(rounds):
         for cpus in (lo, hi):
-            out = f"{CORPUS}/out_{cpus}_{r}"
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            a = _cpu()
-            t0 = time.time()
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 RUN.format(repo=REPO, corpus=CORPUS, out=out)],
-                env=env, capture_output=True, text=True,
-            )
-            wall_total = time.time() - t0
-            busy, steal = _busy_steal(a, _cpu())
-            if p.returncode != 0:
-                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
-                raise SystemExit(1)
-            m = json.load(open(f"{out}/manifest.json"))
-            # the manifest's wall_s starts AFTER session creation — JVM
-            # startup is a fixed per-process cost identical at both
-            # levels, and folding it in dilutes the scaling signal
-            wall = m["wall_s"]
-            kept = m["funnel"]["input"]
-            results[cpus].append(
-                {"wall_s": wall, "jvm_overhead_s": round(wall_total - wall, 1),
-                 "docs_per_s": round(kept / wall, 1),
-                 "busy": busy, "steal": steal}
-            )
+            for attempt in range(max_tries):
+                out = f"{CORPUS}/out_{cpus}_{r}_{attempt}"
+                a = _cpu()
+                t0 = time.time()
+                p = subprocess.run(
+                    [sys.executable, "-c",
+                     RUN.format(repo=REPO, corpus=CORPUS, out=out)],
+                    env=env, capture_output=True, text=True,
+                )
+                wall_total = time.time() - t0
+                busy, steal = _busy_steal(a, _cpu())
+                if p.returncode != 0:
+                    print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                    raise SystemExit(1)
+                m = json.load(open(f"{out}/manifest.json"))
+                # the manifest's wall_s starts AFTER session creation — JVM
+                # startup is a fixed per-process cost identical at both
+                # levels, and folding it in dilutes the scaling signal
+                wall = m["wall_s"]
+                kept = m["funnel"]["input"]
+                rec = {
+                    "wall_s": wall,
+                    "jvm_overhead_s": round(wall_total - wall, 1),
+                    "docs_per_s": round(kept / wall, 1),
+                    "busy": busy, "steal": steal,
+                }
+                if steal < 0.5:
+                    results[cpus].append(rec)
+                    break
+                stormy[cpus].append(rec)
+                print(f"stormy run (steal={steal}) at local[{cpus}], "
+                      f"attempt {attempt + 1}/{max_tries}", file=sys.stderr)
 
-    best = {c: max(r["docs_per_s"] for r in results[c]) for c in results}
+    # headline from quiet runs; fall back (flagged) if a level never got one
+    poisoned = any(not results[c] for c in (lo, hi))
+    pool = {c: results[c] or stormy[c] for c in (lo, hi)}
+    best = {c: max(r["docs_per_s"] for r in pool[c]) for c in pool}
     eff = round(best[hi] / best[lo] / (hi / lo), 3)
-    print(json.dumps({
+    line = {
         "metric": "curate_pipeline_scaling", "docs": n_docs,
         "pair": f"{lo}:{hi}", "docs_per_s": best,
         "efficiency": eff, "runs": results,
-    }))
+    }
+    if poisoned:
+        line["poisoned"] = True
+    if stormy[lo] or stormy[hi]:
+        line["stormy_runs"] = stormy
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
