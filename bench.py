@@ -48,6 +48,7 @@ HEADLINE = [
     "stats_profile",
     "a9_distribution",
     "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",     # capless EXACT path (AllPairs/PPJoin prefixes)
     "dedup_minhash",          # md5 portability mode — the oracled pipeline
     "dedup_minhash_default",  # library-default xxhash64 — the 100-TB path
     "sim_topk",
