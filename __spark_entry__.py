@@ -516,6 +516,34 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py:
+    repetition_features) — duplicate-line fractions and repeated
+    bigram/trigram char coverage, all per-row JVM array expressions
+    (no shuffle, no Python). The corpus text is single-line, so the
+    query first splits it into lines by a deterministic literal
+    replacement (every ' data ' becomes a line break) applied
+    IDENTICALLY in the oracle — giving the line metrics real work.
+    Every fraction is one int/int double division, so DuckDB's
+    unnest+groupBy realization must match bit-for-bit."""
+    from taco_toolbox_spark.functions.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    ml = F.replace(F.col("text"), F.lit(" data "), F.lit("\ndata\n"))
+    # five field projections off one struct expression: interpreted
+    # subexpression elimination shares the underlying scans (measured
+    # FASTER than an inline()-generator single evaluation)
+    rf = repetition_features(ml)
+    return d.select(
+        "doc_id",
+        rf["n_lines"].alias("n_lines"),
+        rf["dup_line_frac"].alias("dup_line_frac"),
+        rf["dup_line_char_frac"].alias("dup_line_char_frac"),
+        rf["top_bigram_frac"].alias("top_bigram_frac"),
+        rf["dup_trigram_frac"].alias("dup_trigram_frac"),
+    )
+
+
 def q_text_lang_distribution(spark, sf_dir):
     """Categorical distribution over the documents.lang column."""
     from taco_toolbox_spark.operators.distribution import categorical_distribution
@@ -1004,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "sim_dedup_clusters": q_sim_dedup_clusters,
         "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
         "text_lang_distribution": q_text_lang_distribution,
         "lang_id": q_lang_id,
         "w4_sessionize": q_w4_sessionize,
@@ -1890,6 +1919,83 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(len(string_split(text, ' ')), 1)
                      AS mean_token_len
             FROM documents
+        """,
+        # independent realization: the Spark side computes everything as
+        # per-row array expressions; DuckDB recomputes via unnest + groupBy
+        # + window argmax over the SAME line/token/gram definitions
+        "text_repetition": """
+            WITH d AS (
+              SELECT doc_id,
+                     replace(text, ' data ', chr(10) || 'data' || chr(10)) AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, t, length(t) AS n_chars FROM d),
+            lns AS (
+              SELECT doc_id, l
+              FROM d, unnest(string_split(t, chr(10))) AS u(l)
+              WHERE length(l) > 0
+            ),
+            line_grp AS (
+              SELECT doc_id, l, count(*) AS c, length(l) AS ll
+              FROM lns GROUP BY doc_id, l
+            ),
+            line_stats AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_lines,
+                     count(*)::BIGINT AS n_dist,
+                     sum(c * ll)::BIGINT AS tot_chars,
+                     sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END)::BIGINT
+                       AS dup_chars
+              FROM line_grp GROUP BY doc_id
+            ),
+            tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS toks
+              FROM d
+            ),
+            g2 AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+              FROM tok, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+            ),
+            g2c AS (
+              SELECT doc_id, g, count(*) AS c, length(g) AS gl
+              FROM g2 GROUP BY doc_id, g
+            ),
+            top2 AS (
+              SELECT doc_id, c * gl AS chars,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, gl DESC, g DESC)
+                       AS rn
+              FROM g2c
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+              FROM tok, unnest(generate_series(1, len(toks) - 2)) AS s(i)
+            ),
+            g3c AS (
+              SELECT doc_id, g, count(*) AS c, length(g) AS gl
+              FROM g3 GROUP BY doc_id, g
+            ),
+            dup3 AS (
+              SELECT doc_id, sum(c * gl)::BIGINT AS chars
+              FROM g3c WHERE c > 1 GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+                   (coalesce(ls.n_lines, 0) - coalesce(ls.n_dist, 0))::DOUBLE
+                     / greatest(coalesce(ls.n_lines, 0), 1) AS dup_line_frac,
+                   coalesce(ls.dup_chars, 0)::DOUBLE
+                     / greatest(coalesce(ls.tot_chars, 0), 1)
+                     AS dup_line_char_frac,
+                   coalesce(t2.chars, 0)::DOUBLE / greatest(b.n_chars, 1)
+                     AS top_bigram_frac,
+                   coalesce(d3.chars, 0)::DOUBLE / greatest(b.n_chars, 1)
+                     AS dup_trigram_frac
+            FROM base b
+            LEFT JOIN line_stats ls ON b.doc_id = ls.doc_id
+            LEFT JOIN (SELECT doc_id, chars FROM top2 WHERE rn = 1) t2
+              ON b.doc_id = t2.doc_id
+            LEFT JOIN dup3 d3 ON b.doc_id = d3.doc_id
         """,
         "text_lang_distribution": """
             SELECT lang, count(*) AS n,

@@ -54,6 +54,7 @@ HEADLINE = [
     "sim_topk",
     "sim_near_dup",
     "text_stats",
+    "text_repetition",
     "lang_id",
     "w3_size_bins",
     "w4_sessionize",

@@ -113,3 +113,139 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0x9E3779B97F4A7C15 - (1 << 64)).cast("long"),  # signed 64-bit
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def _run_scan(arr: Column) -> Column:
+    """Single-pass run-length scan over a SORTED string array: one
+    ``aggregate`` whose struct state carries distinct count, total chars,
+    chars belonging to values that occur more than once (every instance
+    counted), and the best (count, char-length, value) run under
+    lexicographic (cnt, len, value) maximization.
+
+    This is the scale-critical shape for per-row repetition stats: the
+    obvious formulation — for each distinct value, ``filter`` the array
+    for equality — re-evaluates the array-construction subtree per probe
+    (higher-order-function lambdas inline their argument expression), so
+    an L-element array costs O(L^2) evaluations of an O(L) expression:
+    cubic per row. One sort + one linear fold keeps it O(L log L) with
+    the array built once.
+    """
+    start = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("n_dist"),
+        F.lit(0).alias("chars"),
+        F.lit(0).alias("dup_chars"),
+        F.lit(0).alias("best_cnt"),
+        F.lit(0).alias("best_len"),
+        F.lit("").alias("best_val"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        ln = F.length(x)
+        is_dup = x == acc["prev"]
+        run = F.when(is_dup, acc["run"] + 1).otherwise(F.lit(1))
+        dup_chars = acc["dup_chars"] + (
+            F.when(run == 2, ln + ln)  # first instance counts too
+            .when(run > 2, ln)
+            .otherwise(F.lit(0))
+        )
+        better = (run > acc["best_cnt"]) | (
+            (run == acc["best_cnt"])
+            & ((ln > acc["best_len"]) | ((ln == acc["best_len"]) & (x > acc["best_val"])))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["n_dist"] + F.when(is_dup, 0).otherwise(1)).alias("n_dist"),
+            (acc["chars"] + ln).alias("chars"),
+            dup_chars.alias("dup_chars"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"),
+            F.when(better, x).otherwise(acc["best_val"]).alias("best_val"),
+        )
+
+    return F.aggregate(F.array_sort(arr), start, step)
+
+
+def repetition_features(col: Column | str) -> Column:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters —
+    public paper, formulas reimplemented; no code consulted). Struct of:
+
+    * ``n_lines``            — non-empty lines (text split on ``\\n``)
+    * ``dup_line_frac``      — (n_lines - n_distinct_lines) / n_lines
+    * ``dup_line_char_frac`` — chars in line INSTANCES whose line occurs
+      more than once / total line chars
+    * ``top_bigram_frac``    — occurrences x char-length of the most
+      frequent word 2-gram / n_chars (ties: longer gram, then
+      lexicographically larger gram — deterministic)
+    * ``dup_trigram_frac``   — sum over distinct word 3-grams occurring
+      more than once of occurrences x char-length / n_chars (overlaps
+      counted per occurrence, so > 1.0 is possible on degenerate text;
+      callers threshold well below that)
+
+    Grams join tokens with a single space, so char-lengths count the
+    separator; every fraction is a SINGLE int/int double division,
+    making it bit-reproducible in any engine that follows IEEE-754 (the
+    DuckDB oracle matches exactly).
+
+    Everything is a per-row JVM column expression — no shuffle, no
+    Python, no explode: each array is scanned by ``_run_scan``'s single
+    sorted fold, O(L log L) per document. For book-length texts where
+    even that per-row cost dominates, an explode + groupBy variant
+    distributes the work instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(l) > 0)
+    n_lines = F.size(lines)
+    lsc = _run_scan(lines)
+    dup_line_frac = (n_lines - lsc["n_dist"]).cast("double") / F.greatest(
+        n_lines, F.lit(1)
+    )
+    dup_line_char_frac = lsc["dup_chars"].cast("double") / F.greatest(
+        lsc["chars"], F.lit(1)
+    )
+
+    # Build grams by zipping shifted slices of the token array, NOT by
+    # transform(sequence, i -> element_at(toks, i)): a lambda inlines its
+    # captured expression, so element_at-style indexing re-tokenizes the
+    # whole text per gram (measured 8s vs <1s on 5k web-sized docs).
+    # zip_with's ARGUMENT arrays are evaluated once per row.
+    def grams(n: int) -> Column:
+        out = F.zip_with(
+            F.slice(toks, 1, F.greatest(n_tokens - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_tokens - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        if n == 3:
+            out = F.zip_with(
+                F.slice(out, 1, F.greatest(n_tokens - 2, F.lit(0))),
+                F.slice(toks, 3, F.greatest(n_tokens - 2, F.lit(0))),
+                lambda ab, c2: F.concat(ab, F.lit(" "), c2),
+            )
+        return F.when(n_tokens < n, F.array().cast("array<string>")).otherwise(
+            out
+        )
+
+    g2 = _run_scan(grams(2))
+    top_bigram_frac = (g2["best_cnt"] * g2["best_len"]).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1))
+
+    g3 = _run_scan(grams(3))
+    dup_trigram_frac = g3["dup_chars"].cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    )
+
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+    )

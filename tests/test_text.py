@@ -68,3 +68,64 @@ def test_rolling_fingerprint_order_sensitive(spark):
     )
     assert out[0] == out[2]
     assert out[0] != out[1]  # order matters (unlike a set fingerprint)
+
+
+def test_repetition_features_hand_computed(spark):
+    """Every metric against hand-computed values on crafted docs:
+    duplicated lines, a dominant bigram, repeated trigrams, and the
+    degenerate all-same-token text where overlap-counting legitimately
+    exceeds 1.0."""
+    from taco_toolbox_spark.functions.text import repetition_features
+
+    rows = [
+        # lines: ["a b a b", "x", "x"] -> 3 lines, 2 distinct;
+        # dup line instances: both "x" rows = 2 chars of 9 line chars.
+        # tokens [a b a b x x]: bigrams {"a b":2,"b a":1,"b x":1,"x x":1}
+        # top = "a b" (2 occ x 3 chars = 6) over n_chars=11;
+        # trigrams all distinct -> 0.
+        (0, "a b a b\nx\nx"),
+        # 4 identical tokens, n_chars=7: bigram "t t" 3x3=9/7 (>1),
+        # trigram "t t t" 2x5=10/7 (>1) -- documented overlap behavior
+        (1, "t t t t"),
+        # single token: no grams, one line, all zeros
+        (2, "hello"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", repetition_features("text").alias("rf")
+        ).select("doc_id", "rf.*").collect()
+    }
+    r0 = out[0]
+    assert r0["n_lines"] == 3
+    assert r0["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r0["dup_line_char_frac"] == pytest.approx(2 / 9)
+    assert r0["top_bigram_frac"] == pytest.approx(6 / 11)
+    assert r0["dup_trigram_frac"] == 0.0
+    r1 = out[1]
+    assert r1["n_lines"] == 1
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["top_bigram_frac"] == pytest.approx(9 / 7)
+    assert r1["dup_trigram_frac"] == pytest.approx(10 / 7)
+    r2 = out[2]
+    assert (
+        r2["n_lines"],
+        r2["dup_line_frac"],
+        r2["dup_line_char_frac"],
+        r2["top_bigram_frac"],
+        r2["dup_trigram_frac"],
+    ) == (1, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_repetition_features_plan_is_python_free(spark):
+    """The whole struct stays JVM-side: no BatchEvalPython / ArrowEval
+    in the plan (per-row array higher-order functions only)."""
+    from taco_toolbox_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = df.select(
+        repetition_features("text").alias("rf")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEval" not in plan
