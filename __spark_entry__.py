@@ -399,6 +399,30 @@ def q_dedup_ngram_prefix(spark, sf_dir):
     return jaccard_pairs_prefix(d, "text", "doc_id", n=3, threshold=0.5)
 
 
+def q_d1_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Pile style): corpus
+    docs sharing >= 3 distinct word 3-grams with an eval set (here: every
+    17th document stands in as the benchmark; self-pairs excluded so only
+    genuine cross-document contamination — planted duplicates/near-dups of
+    benchmark items — is flagged). Benchmark shingles are BROADCAST, so
+    the corpus side is one narrow scan -> explode -> broadcast join ->
+    count: linear in corpus size, the 100-TB shape
+    (dedup/decontaminate.py)."""
+    from taco_toolbox_spark.dedup.decontaminate import contamination_matches
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = contamination_matches(d, bench, n=3, min_overlap=3).filter(
+        F.col("doc_id") != F.col("bench_id")  # benchmark ⊂ corpus here: drop self-matches
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dups in md5 hash mode: the oracle replicates the
     ENTIRE pipeline (2-universal permutations mod 2^31-1 over the two
@@ -1024,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "d1_decontaminate": q_d1_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
@@ -1888,6 +1913,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_prefix": _jaccard_oracle(
             max_shingle_freq=None, threshold=0.5
         ),
+        "d1_decontaminate": f"""
+            WITH {_shingle_ctes(None)},
+            bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 17 = 0),
+            m AS (
+              SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+              FROM sh c JOIN bench b USING (s)
+              WHERE c.doc_id <> b.bench_id
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT doc_id, count(*) AS n_bench_hits, max(n_shared) AS max_shared
+            FROM m GROUP BY doc_id
+        """,
         "dedup_minhash": _minhash_oracle(),
         # the streaming emitter's contract IS the batch candidate stage:
         # the shared CTE chain stopped at `cand`

@@ -19,16 +19,20 @@ from ..functions.text import tokens
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Precondition: ``id_col`` is a document key (one row per id). Per-doc
+    distinctness comes from ``array_distinct`` BEFORE the explode, so the
+    output needs no row-level ``.distinct()`` — each (id, shingle) row is
+    unique by construction and the operator is a pure narrow map (scan →
+    project → explode), no shuffle."""
     toks = tokens(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.filter(F.size(toks) >= n)  # docs shorter than one shingle: no output
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
+    return df.filter(F.size(toks) >= n).select(  # docs shorter than one shingle: no output
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 

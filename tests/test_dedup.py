@@ -247,3 +247,70 @@ def test_minhash_md5_mode_beyond_precomputed_family(spark):
     assert list(MINHASH_A[:64]) == a64
     a100, _, _ = _perm_constants(100)
     assert a100[:64] == a64
+
+
+def test_decontaminate_flags_and_drops(spark):
+    """A corpus doc copying a benchmark item (or sharing >= min_overlap
+    distinct n-grams) is flagged with the right overlap count and removed
+    by decontaminate(); disjoint docs survive untouched."""
+    from taco_toolbox_spark.dedup.decontaminate import (
+        contamination_matches,
+        contamination_report,
+        decontaminate,
+    )
+
+    bench_text = "question about the capital of france and its population"
+    corpus = spark.createDataFrame(
+        [
+            (0, bench_text),  # verbatim copy of benchmark item 100
+            (1, "partial leak question about the capital of france appears here"),
+            (2, "totally unrelated text on spark shuffle partitions and joins"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+
+    m = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_matches(corpus, bench, n=3, min_overlap=1).collect()
+    }
+    # doc 0: all 7 distinct 3-grams of the 9-token benchmark text
+    assert m[(0, 100)] == 7
+    # doc 1 shares exactly the 3-grams inside "question about the capital
+    # of france": question-about-the, about-the-capital, the-capital-of,
+    # capital-of-france = 4
+    assert m[(1, 100)] == 4
+    assert not any(d in (2, 3) for d, _ in m)
+
+    rep = {r["doc_id"]: (r["n_bench_hits"], r["max_shared"])
+           for r in contamination_report(corpus, bench, min_overlap=6).collect()}
+    assert rep == {0: (1, 7)}  # min_overlap=6 keeps only the verbatim copy
+
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=3, min_overlap=1).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_decontaminate_broadcast_plan(spark):
+    """The benchmark side must reach the join as a broadcast (no corpus
+    shuffle by shingle) and shingles() itself must be shuffle-free."""
+    from taco_toolbox_spark.dedup.decontaminate import contamination_matches
+
+    corpus = spark.range(0, 50).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta token', id) AS text",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "bench_id long, text string"
+    )
+    plan = contamination_matches(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only exchange on the corpus side is the final (doc,bench) agg:
+    # shingles() contributes none
+    sh_plan = shingles(corpus, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sh_plan
