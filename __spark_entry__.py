@@ -804,6 +804,43 @@ def q_s2_sample_k_per_group(spark, sf_dir):
     ).select("event_type", "event_id", "user_id")
 
 
+def q_m1_mixture_sample(spark, sf_dir):
+    """Data mixing (md5 portability mode): subsample documents so the
+    output targets 60 rows at proportions src0:0.5 / src1:0.3 / src2:0.2
+    (src0 saturates at rate 1 — quota larger than the source). Per-source
+    rates come from a broadcast count aggregation; the keep decision is
+    the deterministic md5 bucket under a floor-truncated float64
+    threshold, replicated verbatim by the oracle
+    (operators/sampling.py:mixture_sample)."""
+    from taco_toolbox_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        d,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_target=60,
+        key_cols=["doc_id"],
+        seed=11,
+        hash_fn="md5",
+    ).select("doc_id", "source")
+
+
+def q_m2_weighted_sample(spark, sf_dir):
+    """Per-row quality-weighted deterministic sampling (md5 mode): keep
+    probability = min(1, n_chars/400) — longer docs kept with higher
+    probability, the quality-resampling shape. Zero shuffle: one hash +
+    one float threshold per row inside WholeStageCodegen
+    (operators/sampling.py:weighted_hash_sample)."""
+    from taco_toolbox_spark.operators.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / F.lit(400.0)
+    return weighted_hash_sample(d, w, ["doc_id"], seed=11, hash_fn="md5").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_j5_asof_join(spark, sf_dir):
     """As-of join: each purchase event enriched with the latest prior (or
     simultaneous) click value for the same user. Spark side is the
@@ -1069,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "s1_stratified_sample": q_s1_stratified_sample,
         "s2_sample_k_per_group": q_s2_sample_k_per_group,
+        "m1_mixture_sample": q_m1_mixture_sample,
+        "m2_weighted_sample": q_m2_weighted_sample,
         "j5_asof_join": q_j5_asof_join,
         "j6_range_join": q_j6_range_join,
         "t1_quality_filter": q_t1_quality_filter,
@@ -2084,6 +2123,34 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'view' THEN 100000
                       ELSE 50000
                     END
+        """,
+        # mixture rates = min(1, prop*T/n) with floor-truncated float64
+        # thresholds — arithmetic order mirrors mixture_sample exactly
+        "m1_mixture_sample": """
+            WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            rates AS (
+              SELECT source,
+                     floor(least(1.0,
+                       CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.2
+                                   ELSE 0.0 END * 60.0 / n) * 1000000.0
+                     )::BIGINT AS thr
+              FROM cnt
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates USING (source)
+            WHERE ('0x' || substr(
+                     md5(d.doc_id::VARCHAR || chr(31) || '11'), 1, 8)
+                  )::BIGINT % 1000000 < thr
+        """,
+        "m2_weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(
+                     md5(doc_id::VARCHAR || chr(31) || '11'), 1, 8)
+                  )::BIGINT % 1000000
+                  < floor(least(greatest(n_chars / 400.0, 0.0), 1.0)
+                          * 1000000.0)::BIGINT
         """,
         # same md5 bucket arithmetic, ranked per group with the identical
         # (hash, key) tie-break the Spark window applies

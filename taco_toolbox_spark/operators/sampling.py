@@ -155,6 +155,109 @@ def stratified_keep_predicate(
     return hash_bucket(key_cols, seed, hash_fn) < thr
 
 
+def weighted_keep_predicate(
+    weight: Column,
+    key_cols: list[str],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Per-row weighted deterministic sampling: keep a row with
+    probability ``weight`` (a per-row Column in [0, 1] — e.g. a quality
+    score), decided by the same key hash the uniform samplers use, so the
+    kept set stays a pure function of (key, seed, weight expression).
+
+    Weights are clamped into [0, 1]; NULL weights keep nothing (NULL
+    comparison is falsy). The threshold uses ``floor`` (truncation), not
+    ``round``, so any engine replaying the same float64 arithmetic lands
+    on the identical bucket cutoff. Quality-weighted corpus thinning
+    ("keep good docs with p≈1, boilerplate with p≈0.05") is the canonical
+    use — the DoReMi/quality-resampling shape."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(w * F.lit(float(SAMPLE_BUCKETS))).cast("long")
+    return hash_bucket(key_cols, seed, hash_fn) < thr
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key_cols: list[str],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with probability = its ``weight`` column (clamped to
+    [0, 1]), deterministically — see ``weighted_keep_predicate``. Still a
+    pure zero-shuffle JVM predicate above the scan."""
+    return df.filter(weighted_keep_predicate(weight, key_cols, seed, hash_fn))
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    target_props: dict[str, float],
+    total_target: int,
+    key_cols: list[str],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Data mixing: subsample each source so the output approximates
+    ``total_target`` rows in the given per-source proportions.
+
+    Each source's keep-rate is ``min(1, target_props[s] * total_target /
+    n_s)`` — the plain mixing rule (a source too small to fill its quota
+    saturates at rate 1 and the realized mix under-represents it; callers
+    who need exact proportions must shrink ``total_target`` to the
+    binding source). Sources absent from ``target_props`` get rate 0.
+
+    Fully declarative, no driver round-trip: per-source counts come from
+    one cheap low-cardinality aggregation that is **broadcast** back onto
+    the corpus scan, and the keep decision is the same deterministic hash
+    predicate as ``hash_sample`` with a per-source float64 threshold
+    (``floor`` truncation — engine-replayable). At 100 TB this is two
+    corpus scans (count pass + filter pass) with no corpus-side shuffle;
+    persist the counts frame to make the second scan the only full one."""
+    if total_target < 0:
+        raise ValueError(f"total_target must be >= 0, got {total_target}")
+    for s, p in target_props.items():
+        if p < 0:
+            raise ValueError(f"target proportion for {s!r} must be >= 0, got {p}")
+    if "_n" in df.columns:
+        raise ValueError("column '_n' collides with mixture_sample's internal name")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    prop = F.lit(0.0)
+    for s, p in sorted(target_props.items()):
+        prop = F.when(F.col(source_col) == F.lit(s), F.lit(float(p))).otherwise(prop)
+    rate = F.least(
+        F.lit(1.0), prop * F.lit(float(total_target)) / F.col("_n").cast("double")
+    )
+    thr = F.floor(rate * F.lit(float(SAMPLE_BUCKETS))).cast("long")
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .filter(hash_bucket(key_cols, seed, hash_fn) < thr)
+        .select(*df.columns)  # drop _n, restore the input column order
+    )
+
+
+def temperature_rates(counts: dict[str, int], alpha: float, total_target: int) -> dict[str, float]:
+    """Temperature-based mixing rates (multilingual-LM style): target
+    proportions ∝ ``n_s ** alpha`` (alpha < 1 flattens the source
+    distribution, alpha = 1 is proportional = no reweighting), scaled so
+    the expected output is ``total_target`` rows, each rate capped at 1.
+
+    Driver-side pure function over the per-source count dict (sources are
+    few); feed the result to ``stratified_hash_sample`` /
+    ``stratified_keep_predicate``. ``pow`` keeps this out of the exact
+    cross-engine oracle path — covered by tolerance tests instead."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if min(counts.values(), default=1) < 1:
+        raise ValueError("per-source counts must be >= 1")
+    w = {s: float(n) ** alpha for s, n in counts.items()}
+    z = sum(w.values())
+    return {
+        s: min(1.0, (w[s] / z) * total_target / counts[s]) for s in counts
+    }
+
+
 def hash_sample_k_per_group(
     df: DataFrame,
     group_cols: list[str],

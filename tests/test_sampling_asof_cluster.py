@@ -142,6 +142,63 @@ def test_hash_bucket_md5_null_positions_distinct(spark):
         assert all(v.b is not None for v in vals)
 
 
+def test_weighted_sample_tracks_weight(ids):
+    from taco_toolbox_spark.operators.sampling import weighted_hash_sample
+
+    # weight 0 keeps nothing; weight 1 keeps everything; NULL keeps nothing
+    assert weighted_hash_sample(ids, F.lit(0.0), ["id"]).count() == 0
+    assert weighted_hash_sample(ids, F.lit(1.0), ["id"]).count() == 5000
+    assert weighted_hash_sample(ids, F.lit(None).cast("double"), ["id"]).count() == 0
+    # out-of-range weights clamp rather than corrupt the threshold
+    assert weighted_hash_sample(ids, F.lit(7.0), ["id"]).count() == 5000
+    assert weighted_hash_sample(ids, F.lit(-3.0), ["id"]).count() == 0
+    # a per-row ramp keeps ~ E[w] of rows and is rerun-identical
+    w = F.col("id") / F.lit(5000.0)
+    a = {r["id"] for r in weighted_hash_sample(ids, w, ["id"], seed=3).collect()}
+    b = {r["id"] for r in weighted_hash_sample(ids, w, ["id"], seed=3).collect()}
+    assert a == b
+    assert abs(len(a) / 5000 - 0.5) < 0.05
+    # kept set is biased toward high weights: mean kept id > mean overall
+    assert sum(a) / len(a) > 2500
+
+
+def test_mixture_sample_rates_and_saturation(ids):
+    from taco_toolbox_spark.operators.sampling import mixture_sample
+
+    # 4 groups of 1250; target 1000 rows at 50/30/20 over grp 0/1/2:
+    # grp0 rate=min(1,500/1250)=0.4, grp1 0.24, grp2 0.16, grp3 dropped
+    out = mixture_sample(
+        ids, "grp", {"0": 0.5, "1": 0.3, "2": 0.2}, 1000, ["id"], seed=5
+    )
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == {"0", "1", "2"}
+    assert abs(got["0"] - 500) < 60 and abs(got["1"] - 300) < 50 and abs(got["2"] - 200) < 40
+    # saturation: a quota bigger than the source caps at rate 1 (all 1250)
+    sat = mixture_sample(ids, "grp", {"0": 1.0}, 10_000, ["id"], seed=5)
+    assert sat.count() == 1250
+    # schema untouched (internal _n dropped)
+    assert out.columns == ids.columns
+    with pytest.raises(ValueError):
+        mixture_sample(ids.withColumn("_n", F.lit(1)), "grp", {"0": 1.0}, 10, ["id"])
+
+
+def test_temperature_rates_flatten():
+    from taco_toolbox_spark.operators.sampling import temperature_rates
+
+    counts = {"web": 90_000, "books": 9_000, "code": 1_000}
+    r1 = temperature_rates(counts, alpha=1.0, total_target=10_000)
+    # alpha=1 is proportional: every source keeps the same rate
+    assert len({round(v, 12) for v in r1.values()}) == 1
+    r5 = temperature_rates(counts, alpha=0.5, total_target=10_000)
+    # alpha<1 flattens: rare sources keep a LARGER fraction
+    assert r5["code"] > r5["books"] > r5["web"]
+    # expected output size == total_target when nothing saturates
+    exp = sum(r5[s] * counts[s] for s in counts)
+    assert abs(exp - 10_000) < 1e-6
+    with pytest.raises(ValueError):
+        temperature_rates(counts, alpha=0.0, total_target=100)
+
+
 def test_hash_sample_k_per_group_reserved_names(spark):
     from taco_toolbox_spark.operators.sampling import hash_sample_k_per_group
 
