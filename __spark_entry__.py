@@ -513,6 +513,40 @@ def q_sim_near_dup(spark, sf_dir):
     return embedding_near_duplicates(e, threshold=0.4)
 
 
+def q_sim_kmeans(spark, sf_dir):
+    """Seeded k-means (k=8, 2 Lloyd rounds) over the embedding table with
+    the engine-portable determinism contract: smallest-id init, sequential
+    float64 distance folds, FIXED-POINT centroid means (1e-9-scaled BIGINT
+    sums — exact, order-independent, so the result is identical across
+    partition counts, reruns, and engines). The oracle unrolls both Lloyd
+    rounds in SQL CTEs with the identical arithmetic
+    (similarity/cluster.py)."""
+    from taco_toolbox_spark.similarity.cluster import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, n_iter=2)
+    return kmeans_assign(e, centroids).select(
+        "vec_id", "cluster", F.round(F.col("sq_dist"), 4).alias("sq_dist")
+    )
+
+
+def q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al.): k-means-cluster the embeddings, then emit
+    near-duplicate pairs ONLY within a cluster (cosine >= 0.4 here so the
+    sf0.01 gaussians yield signal) — the quadratic all-pairs search
+    becomes k bounded within-cluster joins. Oracle = the same unrolled
+    k-means plus a within-cluster pairwise cosine in SQL
+    (similarity/cluster.py:semantic_dedup_pairs)."""
+    from taco_toolbox_spark.similarity.cluster import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, n_iter=2)
+    return semantic_dedup_pairs(e, centroids, threshold=0.4)
+
+
 def q_sim_dedup_clusters(spark, sf_dir):
     """Embedding near-dup pairs closed into canonical clusters: the same
     connected-components + keep/drop verdict as dedup_clusters, over the
@@ -1092,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup": q_sim_near_dup,
+        "sim_kmeans": q_sim_kmeans,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
         "sim_dedup_clusters": q_sim_dedup_clusters,
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
@@ -1117,6 +1153,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
     }
+
+
+def _kmeans_assign_cte(src_e: str, src_c: str, name: str, keep_d: bool = False) -> str:
+    """One k-means assignment round in DuckDB SQL: argmin of the same
+    sequential squared-distance fold similarity/cluster.py computes, ties
+    to the smaller cluster index."""
+    d = (
+        f"list_sum(list_transform(range(1,65), "
+        f"i -> ({src_e}.v[i] - {src_c}.c[i]) * ({src_e}.v[i] - {src_c}.c[i])))"
+    )
+    dcol = ", d" if keep_d else ""
+    inner_d = f", {d} AS d" if keep_d else ""
+    return f"""{name} AS (
+      SELECT vec_id, v, cl{dcol} FROM (
+        SELECT {src_e}.vec_id, {src_e}.v, {src_c}.cl{inner_d},
+               row_number() OVER (PARTITION BY {src_e}.vec_id
+                 ORDER BY {d}, {src_c}.cl) AS rn
+        FROM {src_e} CROSS JOIN {src_c}) WHERE rn = 1)"""
+
+
+def _kmeans_update_cte(src_a: str, src_c: str, name: str) -> str:
+    """One fixed-point centroid update in DuckDB SQL: per-dim 1e-9-scaled
+    floored BIGINT sums (exact, order-independent — the cross-engine
+    determinism trick), divided back in float64; empty clusters keep the
+    previous centroid via the LEFT JOIN coalesce."""
+    return f"""{name} AS (
+      SELECT {src_c}.cl, coalesce(u.c, {src_c}.c) AS c
+      FROM {src_c} LEFT JOIN (
+        SELECT cl, list(cd ORDER BY pos) AS c FROM (
+          SELECT cl, pos, (s::DOUBLE / 1000000000.0) / n::DOUBLE AS cd FROM (
+            SELECT cl, pos, sum(floor(v[pos] * 1000000000.0)::BIGINT) AS s,
+                   count(*) AS n
+            FROM {src_a}, range(1, 65) t(pos) GROUP BY cl, pos))
+        GROUP BY cl) u ON u.cl = {src_c}.cl)"""
+
+
+def _kmeans_ctes() -> str:
+    """Both Lloyd rounds of q_sim_kmeans unrolled (k=8, n_iter=2,
+    smallest-vec_id init), ending at `a2` = final assignment with its
+    squared distance."""
+    return f"""
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        {_kmeans_assign_cte('e', 'c0', 'a0')},
+        {_kmeans_update_cte('a0', 'c0', 'c1')},
+        {_kmeans_assign_cte('e', 'c1', 'a1')},
+        {_kmeans_update_cte('a1', 'c1', 'c2')},
+        {_kmeans_assign_cte('e', 'c2', 'a2', keep_d=True)}
+    """
 
 
 def _lsh_pipeline_sql(bands: int = 8, rows_per_band: int = 8, seed: int = 42,
@@ -1817,6 +1904,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk = 1
         """,
         "sim_near_dup": _sim_near_dup_oracle(),
+        "sim_kmeans": f"""
+            WITH {_kmeans_ctes()}
+            SELECT vec_id, cl AS cluster, round(d, 4) AS sq_dist FROM a2
+        """,
+        "sim_semantic_dedup": f"""
+            WITH {_kmeans_ctes()}
+            SELECT id_a, id_b, cluster, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
+                     round(list_sum(list_transform(range(1,65),
+                             i -> a.v[i] * b.v[i]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                       4) AS cos
+              FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.4
+        """,
         "sim_dedup_clusters": _sim_dedup_clusters_oracle(),
         "o1_zorder": _zorder_oracle(),
         "w1_row_position_global": _W1_GLOBAL_ORACLE,

@@ -1,0 +1,165 @@
+"""Seeded k-means over embedding columns + SemDeDup-style semantic dedup.
+
+Corpus-curation use (Abbas et al., SemDeDup): cluster embeddings with
+k-means, then search for near-duplicate pairs ONLY within a cluster —
+turning the quadratic all-pairs cosine search into k independent
+within-cluster searches. At 100 TB, k is chosen so clusters are small
+(n/k rows each) and the pairwise stage is bounded per cluster; the
+assignment pass is a pure scan (k×dim JVM-side FLOPs per row, no Python).
+
+Determinism contract (what makes this oracle-able across engines):
+
+- **Init**: the k vectors with the smallest ids — no RNG.
+- **Assignment**: argmin of the squared euclidean distance computed as a
+  sequential left-to-right fold in float64 (``F.aggregate`` with 0.0
+  init ≡ DuckDB ``list_sum``), ties broken by the smaller cluster index.
+  IEEE arithmetic over identical inputs → bit-identical everywhere.
+- **Update**: centroid means are computed in FIXED POINT — per-dimension
+  values are scaled by 1e9 and floored to BIGINT, summed exactly
+  (integer addition is order-independent, unlike float sums, so the mean
+  does not depend on partition count or merge order), then divided back
+  in float64. Resolution loss below 1e-9 is the documented price for a
+  bit-reproducible, cluster-size-independent algorithm. (A float-sum
+  mean would differ between runs of the SAME job when partial
+  aggregates merge in a different order.)
+
+The reference has no clustering operator; this is part of the
+beyond-reference LLM-pipeline surface (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for centroid-mean accumulation (see module doc).
+CENTROID_SCALE = 1_000_000_000.0
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    """Sequential float64 fold of the squared euclidean distance between a
+    vector column and one literal centroid (deterministic order)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "sq_dist",
+) -> DataFrame:
+    """Assign each row to its nearest centroid (squared euclidean, ties →
+    smaller cluster index). Pure JVM expression over broadcast literal
+    centroids: no shuffle, no UDF — a scan-shaped pass at any data size."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    v = F.col(vec_col)
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(_sq_dist(v, c).alias("d"), F.lit(j).alias("cl"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )[0]
+    return df.withColumn(cluster_col, best["cl"]).withColumn(dist_col, best["d"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's algorithm with the determinism contract above. Returns the
+    centroids after ``n_iter`` update rounds (list of k float lists).
+
+    Per iteration: one assignment scan + one (cluster, dim) aggregation
+    whose map-side partial sums are exact BIGINTs; the driver collects
+    k×dim tiny rows to build the next round's literal centroids (the same
+    sketch-sized collect the stats/profile operators use). Empty clusters
+    keep their previous centroid."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init_rows)}")
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, centroids, vec_col, "_cl", "_d")
+        sums = (
+            assigned.select(
+                "_cl", F.posexplode(F.col(vec_col)).alias("_pos", "_val")
+            )
+            .groupBy("_cl", "_pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_val").cast("double") * F.lit(CENTROID_SCALE))
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cluster: keep previous
+        for r in sums:
+            new_c[r["_cl"]][r["_pos"]] = (float(r["_s"]) / CENTROID_SCALE) / float(
+                r["_n"]
+            )
+        centroids = new_c
+    return centroids
+
+
+def cosine_pair(a: Column, b: Column) -> Column:
+    """Cosine similarity between two vector columns, all three folds
+    sequential float64 (same idiom as similarity/ann.py:_dot/_norm)."""
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup candidate pairs: rows assigned to the SAME k-means cluster
+    whose cosine ≥ threshold. Columns: (id_a, id_b, cluster, cos) with
+    id_a < id_b and cos rounded to 4 decimals (hash-stable output).
+
+    The self-join is keyed on the cluster id, so the pairwise cosine work
+    is bounded per cluster (~(n/k)² rows each) instead of n² global — the
+    whole point of clustering first. Scale k with the corpus to keep
+    cluster sizes bounded; hot (oversized) clusters are visible in the
+    assignment histogram and can be re-clustered recursively."""
+    a = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_pair(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cluster", "cos")
+    )

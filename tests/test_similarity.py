@@ -163,3 +163,109 @@ def test_ivf_indexed_parity_and_partition_pruning(vectors, tmp_path, spark):
 
     n_cells = len(glob.glob(path + "/cell=*"))
     assert n_cells == 8  # every cell materialized for this corpus
+
+
+def test_kmeans_deterministic_across_partitioning(spark):
+    """The fixed-point centroid update must make the fit bit-identical
+    regardless of partition count (a float-sum mean would not be)."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.cluster import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(3, 8) * 5
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.randn(8) * 0.1])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_fit(df.coalesce(1), k=3, n_iter=3)
+    c4 = kmeans_fit(df.repartition(7), k=3, n_iter=3)
+    assert c1 == c4  # bit-exact, not approximately
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """On well-separated blobs, 3 Lloyd rounds put every point with its
+    own blob-mates (cluster ids are arbitrary; the partition must match)."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 20
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(16) * 0.2])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=4, n_iter=3)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, cents).collect()
+    }
+    # every blob lands in exactly one k-means cluster and vice versa
+    blob_to_cl = {}
+    for vid, cl in got.items():
+        blob = vid % 4
+        assert blob_to_cl.setdefault(blob, cl) == cl
+    assert len(set(blob_to_cl.values())) == 4
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """If a centroid captures no points, its coordinates must survive the
+    update round unchanged (k=3 over 2 tight far-apart blobs: the loser
+    of the two same-blob init points goes empty)."""
+    from taco_toolbox_spark.similarity.cluster import kmeans_fit
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.05, 0.05]),
+        (3, [100.0, 100.0]), (4, [100.1, 100.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=3, n_iter=2)
+    assert len(cents) == 3
+    # init = vecs 0,1,2; all of blob A splits between clusters 0/1/2 but
+    # blob B is nearest to... all three inits are in blob A, so B joins
+    # the nearest init too; after round 1 some centroid owns B. No
+    # centroid may become NaN/None:
+    assert all(all(x == x for x in c) for c in cents)
+
+
+def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
+    """semantic_dedup_pairs = brute-force cosine pairs INTERSECTED with
+    same-cluster co-membership (SemDeDup semantics, verified directly)."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.cluster import (
+        cosine_pair,
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 12) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.randn(12) * 0.5])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=3, n_iter=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, cents, threshold=0.9).collect()
+    }
+    # brute force in numpy
+    X = np.array([r[1] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cl = {
+        r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if cl[a] == cl[b] and round(float(X[a] @ X[b]), 4) >= 0.9
+    }
+    assert got == want
+    assert len(want) > 50  # real signal, not an empty-set pass
