@@ -838,6 +838,40 @@ def q_s2_sample_k_per_group(spark, sf_dir):
     ).select("event_type", "event_id", "user_id")
 
 
+def q_p1_pii_redact(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): portable Java∩RE2
+    regexes counted and redacted over text synthesized deterministically
+    from customer columns (the corpus tables carry no real PII, so both
+    engines build the same PII-bearing string first — the regex parity and
+    the fixed redaction order are what's on trial). Pure regexp column
+    expressions: scan-shaped, zero Python, zero shuffle."""
+    from taco_toolbox_spark.functions.pii import pii_count, redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    text = F.concat_ws(
+        "",
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+    )
+    d = c.select(F.col("c_custkey"), text.alias("t"))
+    return d.select(
+        "c_custkey",
+        pii_count(F.col("t"), "email").alias("n_email"),
+        pii_count(F.col("t"), "phone").alias("n_phone"),
+        pii_count(F.col("t"), "ipv4").alias("n_ipv4"),
+        pii_count(F.col("t"), "ssn").alias("n_ssn"),
+        redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
 def q_m1_mixture_sample(spark, sf_dir):
     """Data mixing (md5 portability mode): subsample documents so the
     output targets 60 rows at proportions src0:0.5 / src1:0.3 / src2:0.2
@@ -1144,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_sample_k_per_group": q_s2_sample_k_per_group,
         "m1_mixture_sample": q_m1_mixture_sample,
         "m2_weighted_sample": q_m2_weighted_sample,
+        "p1_pii_redact": q_p1_pii_redact,
         "j5_asof_join": q_j5_asof_join,
         "j6_range_join": q_j6_range_join,
         "t1_quality_filter": q_t1_quality_filter,
@@ -2226,6 +2261,37 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'view' THEN 100000
                       ELSE 50000
                     END
+        """,
+        # the patterns below are string-identical to functions/pii.py's
+        # PII_PATTERNS (portable Java∩RE2 dialect); redaction order is the
+        # module's canonical email → ipv4 → ssn → phone
+        "p1_pii_redact": r"""
+            WITH d AS (
+              SELECT c_custkey,
+                     'reach ' || c_name || ' at user' || c_custkey
+                       || '@mail.example.com or +1-555-'
+                       || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+                       || ' ip 10.0.' || (c_custkey % 256)::VARCHAR
+                       || '.' || c_nationkey::VARCHAR AS t
+              FROM customer
+            )
+            SELECT c_custkey,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+                     AS n_email,
+                   len(regexp_extract_all(t,
+                     '\+?\d{1,3}(-\d{3,4}){2,3}\b'))::INT AS n_phone,
+                   len(regexp_extract_all(t,
+                     '\b(\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ipv4,
+                   len(regexp_extract_all(t,
+                     '\b\d{3}-\d{2}-\d{4}\b'))::INT AS n_ssn,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[email]', 'g'),
+                     '\b(\d{1,3}\.){3}\d{1,3}\b', '[ipv4]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[ssn]', 'g'),
+                     '\+?\d{1,3}(-\d{3,4}){2,3}\b', '[phone]', 'g') AS redacted
+            FROM d
         """,
         # mixture rates = min(1, prop*T/n) with floor-truncated float64
         # thresholds — arithmetic order mirrors mixture_sample exactly

@@ -129,3 +129,53 @@ def test_repetition_features_plan_is_python_free(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEval" not in plan
+
+
+def test_pii_counts_and_redaction(spark):
+    from taco_toolbox_spark.functions.pii import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail me at jane.doe+spam@sub.example.co.uk or bob@x.io"),
+        (1, "server 192.168.1.254 talked to 10.0.0.1 on port 443"),
+        (2, "ssn 123-45-6789 phone +44-207-946-0958"),
+        (3, "no pii here, just 42 and v1.2 and a@b"),  # a@b: TLD too short
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["p"]["email"], r["p"]["ipv4"], r["p"]["ssn"], r["p"]["phone"])
+        for r in df.select("id", pii_counts("text").alias("p")).collect()
+    }
+    assert got[0] == (2, 0, 0, 0)
+    assert got[1] == (0, 2, 0, 0)
+    assert got[2] == (0, 0, 1, 1)
+    assert got[3] == (0, 0, 0, 0)
+    assert got[4] == (None, None, None, None)  # null text -> null counts
+
+    red = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii("text").alias("r")).collect()
+    }
+    assert red[0] == "mail me at [email] or [email]"
+    assert red[1] == "server [ipv4] talked to [ipv4] on port 443"
+    assert red[2] == "ssn [ssn] phone [phone]"
+    assert red[3] == rows[3][1]  # untouched
+
+    # kind subset + custom token
+    only_ip = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", redact_pii("text", kinds=["ipv4"], token="<PII>").alias("r")
+        ).collect()
+    }
+    assert only_ip[2] == rows[2][1]  # ssn/phone untouched when only ipv4 asked
+    assert only_ip[1] == "server <PII> talked to <PII> on port 443"
+
+
+def test_pii_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from taco_toolbox_spark.functions.pii import pii_count
+
+    with _pytest.raises(ValueError, match="unknown PII kind"):
+        pii_count("text", "iban")
