@@ -15,10 +15,20 @@ Stages (each a library operator; the funnel row counts land in
                        (operators/sampling.py): rerun-stable, so a
                        resumed/re-tried job keeps identical rows;
   3. exact dedup     — normalized-fingerprint window (dedup/exact.py);
-  4. near dedup      — MinHash+LSH candidate pairs (dedup/minhash.py)
+  4. decontamination — optional (--decontaminate-against BENCH_DIR):
+                       drop docs sharing >= --decontam-min-overlap word
+                       n-grams with a benchmark/eval parquet, via a
+                       BROADCAST of the benchmark shingle set
+                       (dedup/decontaminate.py) — the GPT-3 appendix-C
+                       eval-leak gate;
+  5. near dedup      — MinHash+LSH candidate pairs (dedup/minhash.py)
                        closed into clusters (dedup/cluster.py), keep the
                        min-id canonical per cluster;
-  5. shard packing   — greedy token-budget packing
+  6. PII redaction   — optional (--redact-pii): emails/IPs/SSNs/phones
+                       replaced by kind tokens, pure regexp expressions
+                       (functions/pii.py), applied after dedup so
+                       fingerprints see the original bytes;
+  7. shard packing   — greedy token-budget packing
                        (operators/partitioning.py) into order-monotone
                        shards of <= --max-shard-tokens tokens, written
                        partitioned by shard.
@@ -87,7 +97,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--max-shard-tokens", type=int, default=1_000_000)
     p.add_argument("--skip-near-dedup", action="store_true",
-                   help="stop after exact dedup (stage 4 is the expensive one)")
+                   help="stop after exact dedup (near dedup is the expensive one)")
+    p.add_argument("--decontaminate-against", default=None,
+                   help="parquet dir of benchmark/eval items; docs sharing "
+                   ">= --decontam-min-overlap word n-grams with any item "
+                   "are dropped (broadcast shingle join)")
+    p.add_argument("--bench-id-col", default="doc_id",
+                   help="id column of the benchmark parquet")
+    p.add_argument("--decontam-ngram", type=int, default=3)
+    p.add_argument("--decontam-min-overlap", type=int, default=3)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="redact emails/IPv4/SSN/phone spans in the text "
+                   "column after dedup, before sharding")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -168,22 +189,62 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             feats.filter(gate_pred & samp_pred), args.text_col, args.id_col
         ).persist()
 
-        # 4. near dedup via minhash -> components -> canonical keep.
+        # 4. optional decontamination: benchmark shingles broadcast against
+        # the (persisted) exact frame; the flagged-id set is tiny and is
+        # persisted + counted once (one extra driver action, opt-in and
+        # cached) so the funnel reports the stage and the anti-join below
+        # reuses the materialized ids instead of re-running the join.
+        if args.decontaminate_against:
+            from taco_toolbox_spark.dedup.decontaminate import (
+                contamination_matches,
+            )
+
+            bench = spark.read.parquet(args.decontaminate_against)
+            flagged = (
+                contamination_matches(
+                    exact,
+                    bench,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    bench_text_col=args.text_col,
+                    bench_id_col=args.bench_id_col,
+                    n=args.decontam_ngram,
+                    min_overlap=args.decontam_min_overlap,
+                )
+                .select(F.col("doc_id").alias(args.id_col))
+                .distinct()
+                .persist()
+            )
+            funnel["decontaminated"] = funnel["exact_deduped"] - flagged.count()
+            clean = exact.join(flagged, args.id_col, "left_anti")
+        else:
+            clean = exact
+
+        # 5. near dedup via minhash -> components -> canonical keep.
         # Pair ids keep the id column's own type: connected_components
         # only needs orderable ids (a long cast would NULL out string
         # ids and silently disable near-dedup).
         if not args.skip_near_dedup:
             pairs = minhash_near_duplicates(
-                exact, args.text_col, args.id_col,
+                clean, args.text_col, args.id_col,
                 threshold=args.jaccard_threshold,
             ).select("id_a", "id_b")
             comp = connected_components(pairs, "id_a", "id_b")
             losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
                 F.col("node").alias(args.id_col)
             )
-            survivors = exact.join(losers, args.id_col, "left_anti")
+            survivors = clean.join(losers, args.id_col, "left_anti")
         else:
-            survivors = exact
+            survivors = clean
+
+        # 6. optional PII redaction — after dedup (fingerprints and
+        # minhash shingles see original bytes), before packing
+        if args.redact_pii:
+            from taco_toolbox_spark.functions.pii import redact_pii
+
+            survivors = survivors.withColumn(
+                args.text_col, redact_pii(args.text_col)
+            )
 
         # 5. token-budget shard packing + partitioned write; packing
         # parallelism follows the data (scale.pack_bucket_count) so a

@@ -166,6 +166,48 @@ def test_curate_pipeline(tmp_path, spark):
     assert a == b
 
 
+def test_curate_decontaminate_and_redact(tmp_path, spark):
+    """--decontaminate-against drops docs overlapping the benchmark set
+    (funnel reports the stage); --redact-pii strips PII from shard text
+    while dedup still saw the original bytes."""
+    import json
+
+    import jobs.curate as jc
+    from pyspark.sql import functions as F
+
+    bench_text = "which team won the world cup final in nineteen sixty six"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text + " extra words to vary it", "web"),  # leaked
+            (1, "clean doc with email a@b.com inside alpha beta gamma", "web"),
+            (2, "another clean doc zeta eta theta iota kappa", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+    inp, bdir, out = (str(tmp_path / d) for d in ("docs", "bench", "out"))
+    docs.write.parquet(inp)
+    bench.write.parquet(bdir)
+
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "2",
+         "--decontaminate-against", bdir, "--decontam-min-overlap", "3",
+         "--redact-pii", "--max-shard-tokens", "1000"],
+        stop_session=False,
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["funnel"]["exact_deduped"] == 3
+    assert m["funnel"]["decontaminated"] == 2  # leaked doc dropped
+    shards = spark.read.parquet(f"{out}/shards")
+    kept = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert kept == {1, 2}
+    redacted = shards.filter(F.col("doc_id") == 1).select("text").first()["text"]
+    assert "[email]" in redacted and "a@b.com" not in redacted
+
+
 def test_write_bucketed_scales_bucket_count(spark, tmp_path):
     """write_bucketed(n_buckets=None) picks the data-scaled count."""
     from taco_toolbox_spark.operators.bucketing import write_bucketed
