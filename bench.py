@@ -66,6 +66,11 @@ HEADLINE = [
     "j5_asof_join",
     "j6_range_join",
     "t1_quality_filter",
+    "d1_decontaminate",     # broadcast benchmark-shingle overlap
+    "m1_mixture_sample",    # data mixing to target proportions
+    "p1_pii_redact",        # regexp PII counts + redaction
+    "sim_kmeans",           # 2 Lloyd rounds (incl. fit collects) + assign
+    "sim_semantic_dedup",   # within-cluster pairwise cosine
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
