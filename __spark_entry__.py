@@ -423,6 +423,56 @@ def q_d1_decontaminate(spark, sf_dir):
     )
 
 
+def q_dedup_substring_run(spark, sf_dir):
+    """Shared-verbatim-substring pairs (Lee et al. 2022 decision rule in
+    relational form — dedup/substring.py): pairs sharing a run of >= 5
+    consecutive tokens, found as gaps-and-islands over POSITIONAL 3-gram
+    shingles (island id = pos - row_number over the (pair, diagonal)
+    window). Complements Jaccard: catches one verbatim paragraph inside
+    two otherwise-different documents (tiny set overlap, long run). The
+    oracle replays the identical capped join + island computation in
+    DuckDB — pure integer arithmetic, exact."""
+    from taco_toolbox_spark.dedup.substring import substring_run_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_run_pairs(
+        d, "text", "doc_id", n=3, min_tokens=5, max_shingle_freq=100
+    )
+
+
+def q_i1_incremental_dedup(spark, sf_dir):
+    """Incremental corpus-update dedup (dedup/incremental.py): docs with
+    doc_id % 3 == 0 arrive as the NEW batch against the rest as the
+    EXISTING corpus; each new doc gets a verdict — exact_dup (normalized
+    md5 matches existing or an earlier batch doc), near_dup (3-gram
+    Jaccard >= 0.3 vs some existing doc), else keep. The existing corpus
+    is touched only through key joins (fingerprint semi-join + shingle
+    join), never rescanned quadratically — the corpus-append shape at
+    100 TB."""
+    from taco_toolbox_spark.dedup.incremental import incremental_dedup_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup_verdicts(
+        new, existing, "text", "doc_id", n=3, threshold=0.3, portable_key=True
+    )
+
+
+def q_text_distinctive_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document (operators/terms.py): TF-IDF
+    preference structure with the oracle-exact integer score
+    (tf * 1e6) DIV df — monotone in tf, anti-monotone in document
+    frequency, pure BIGINT so DuckDB reproduces it bit-for-bit. Two hash
+    aggs (doc-term, term) + term-keyed join + one per-doc window; hot
+    terms have high df hence LOW scores, so skew and relevance
+    anti-correlate by construction."""
+    from taco_toolbox_spark.operators.terms import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, "text", "doc_id", k=3)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dups in md5 hash mode: the oracle replicates the
     ENTIRE pipeline (2-universal permutations mod 2^31-1 over the two
@@ -1153,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "dedup_substring_run": q_dedup_substring_run,
+        "i1_incremental_dedup": q_i1_incremental_dedup,
+        "text_distinctive_terms": q_text_distinctive_terms,
         "d1_decontaminate": q_d1_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -2101,6 +2154,104 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_bench_hits, max(n_shared) AS max_shared
             FROM m GROUP BY doc_id
+        """,
+        # positional shingles (repeats kept), identical doc-frequency cap,
+        # identical island arithmetic — exact integer replay
+        "dedup_substring_run": """
+            WITH tokp AS (
+              SELECT doc_id, string_split(text, ' ') w FROM documents
+              WHERE len(string_split(text, ' ')) >= 3
+            ),
+            psh0 AS (
+              SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM tokp, unnest(generate_series(1, len(w) - 2)) AS t(i)
+            ),
+            psh AS (
+              SELECT psh0.* FROM psh0
+              JOIN (SELECT s FROM psh0 GROUP BY s
+                    HAVING count(DISTINCT doc_id) <= 100) keep USING (s)
+            ),
+            matched AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pa, a.pos - b.pos AS diff
+              FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT id_a, id_b, diff,
+                     pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, diff ORDER BY pa) AS island
+              FROM matched
+            ),
+            runs AS (
+              SELECT id_a, id_b, count(*) AS run_len
+              FROM isl GROUP BY id_a, id_b, diff, island
+              HAVING count(*) >= 3
+            )
+            SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS max_run_tokens,
+                   count(*) AS n_runs
+            FROM runs GROUP BY id_a, id_b
+        """,
+        # batch split replayed on the shared shingle CTEs; md5 key matches
+        # the Spark portable_key path (same normalization, same hex)
+        "i1_incremental_dedup": f"""
+            WITH {_shingle_ctes(None)},
+            newd AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+            nk AS (
+              SELECT doc_id AS id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            ek AS (
+              SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k
+              FROM documents WHERE doc_id % 3 <> 0
+            ),
+            exact_ids AS (
+              SELECT id FROM nk WHERE k IN (SELECT k FROM ek)
+              UNION
+              SELECT id FROM (
+                SELECT id, row_number() OVER (PARTITION BY k ORDER BY id) rn
+                FROM nk) WHERE rn > 1
+            ),
+            shn AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+            she AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+            nn AS (SELECT doc_id, count(*) na FROM shn GROUP BY 1),
+            ne AS (SELECT doc_id, count(*) nb FROM she GROUP BY 1),
+            shr AS (
+              SELECT a.doc_id idn, b.doc_id ide, count(*) AS shared
+              FROM shn a JOIN she b USING (s) GROUP BY 1, 2
+            ),
+            near_ids AS (
+              SELECT DISTINCT idn AS id FROM shr
+              JOIN nn ON nn.doc_id = idn
+              JOIN ne ON ne.doc_id = ide
+              WHERE shared::DOUBLE / (na + nb - shared) >= 0.3
+            )
+            SELECT n.doc_id AS id,
+                   CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+                        WHEN r.id IS NOT NULL THEN 'near_dup'
+                        ELSE 'keep' END AS verdict
+            FROM newd n
+            LEFT JOIN exact_ids e ON e.id = n.doc_id
+            LEFT JOIN near_ids r ON r.id = n.doc_id
+        """,
+        "text_distinctive_terms": """
+            WITH tf AS (
+              SELECT id, term, count(*) AS tf FROM (
+                SELECT doc_id AS id,
+                       lower(unnest(string_split(text, ' '))) AS term
+                FROM documents)
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT id, term, tf.tf AS tf, dfq.df AS df,
+                     (tf.tf * 1000000) // dfq.df AS score
+              FROM tf JOIN dfq USING (term)
+            )
+            SELECT id, term, tf, df, score, rank FROM (
+              SELECT *, (row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, term))::INT AS rank
+              FROM sc) WHERE rank <= 3
         """,
         "dedup_minhash": _minhash_oracle(),
         # the streaming emitter's contract IS the batch candidate stage:

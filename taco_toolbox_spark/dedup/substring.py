@@ -1,0 +1,115 @@
+"""Shared-substring near-duplicate detection via positional shingle runs.
+
+Jaccard (ngram.py) and MinHash (minhash.py) measure SET overlap — they miss
+the classic contamination shape where two long documents share one verbatim
+paragraph (tiny Jaccard, huge verbatim run). Exact-substring dedup over a
+corpus-wide suffix array (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better" — public paper, method re-derived here in
+relational form) is the reference technique; a suffix array is not a Spark
+shape, but its decision rule — "flag pairs sharing a token run of length
+>= L" — IS expressible as a gaps-and-islands computation over positional
+shingles:
+
+  a run of R CONSECUTIVE matching n-gram shingle positions (A[p+j..] ==
+  B[q+j..] for j = 0..R-1) is exactly a shared verbatim window of
+  R + n - 1 tokens.
+
+Distributed shape (all well-keyed, nothing quadratic in corpus size):
+
+1. positional shingles (id, pos, shingle) — a pure narrow map (no
+   ``array_distinct``: positions matter here, repeats stay).
+2. optional document-frequency cap on the shingle key — the same fan-out
+   bound as ngram.py: a shingle in f docs emits O(f^2) joined rows. Hot
+   shingles (stopword runs) are dropped; a verbatim run passing through a
+   dropped shingle splits into two shorter runs, so with a cap the
+   reported run length is a LOWER bound (conservative: may miss, never
+   overstates). cap=None is exact.
+3. self-equi-join on the shingle key; each matched position pair lies on
+   the diagonal ``diff = pos_a - pos_b``. Within one (pair, diff) group a
+   given pos_a appears at most once (pos_b is determined), so
+4. the island id ``pos_a - row_number() over (pair, diff order by pos_a)``
+   groups maximal consecutive runs — one shuffle keyed by the pair, which
+   is well-distributed (duplicate pairs, not hot shingles, carry the
+   weight).
+
+At 100 TB the frequency cap is mandatory (step 2) and the shingle join is
+the same key-distribution story as ngram.py — this operator adds no new
+scale risk over the Jaccard path it complements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, pos, shingle) with pos the 1-based token index of the shingle
+    start. Unlike ngram.shingles this keeps EVERY occurrence — repeats and
+    their positions are the signal for run detection. Pure narrow map."""
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("id"), F.posexplode(sh).alias("pos0", "shingle"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    )
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_tokens: int = 8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b) sharing a verbatim token run of >= ``min_tokens``
+    whitespace tokens. Columns: id_a, id_b, max_run_tokens (longest shared
+    verbatim window, in tokens), n_runs (distinct maximal qualifying runs).
+
+    ``min_tokens`` must be >= n; a run of R consecutive shingle matches
+    attests R + n - 1 shared tokens, so the shingle-run threshold is
+    ``min_tokens - n + 1``.
+    """
+    if min_tokens < n:
+        raise ValueError(f"min_tokens ({min_tokens}) must be >= n ({n})")
+    min_run = min_tokens - n + 1
+
+    sh = positional_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("id").alias("_f"))
+            .filter(F.col("_f") <= max_shingle_freq)
+        )
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "shingle")
+    matched = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diff"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diff").orderBy("pa")
+    islands = matched.withColumn("island", F.col("pa") - F.row_number().over(w))
+    runs = (
+        islands.groupBy("id_a", "id_b", "diff", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= min_run)
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + F.lit(n - 1)).alias("max_run_tokens"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+    )
