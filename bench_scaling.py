@@ -42,6 +42,30 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _cpu():
+    t = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(t), (t[7] if len(t) > 7 else 0)
+
+
+def wait_for_quiet(probe_s: float = 6.0, max_wait_s: float = 900.0) -> None:
+    """Pre-probe host steal before LAUNCHING a level run: bench.py retries
+    stormy windows internally, but its retries are bounded — launching
+    into a known storm just burns them. Storms are episodic (minutes);
+    sleep through, then launch. Proceeds (disclosed by bench.py's own
+    per-repeat steal telemetry) if the storm outlasts the wait budget."""
+    deadline = time.time() + max_wait_s
+    n = os.cpu_count() or 1
+    while time.time() < deadline:
+        a = _cpu()
+        time.sleep(probe_s)
+        b = _cpu()
+        steal = n * (b[1] - a[1]) / max(b[0] - a[0], 1)
+        if steal < 0.5:
+            return
+        print(f"pre-probe stormy (steal={steal:.2f}); waiting", file=sys.stderr)
+        time.sleep(25)
+
+
 def run_at(cpus: int, turns: int) -> dict:
     env = dict(
         os.environ,
@@ -86,6 +110,7 @@ def main() -> None:
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for cpus in levels:
+            wait_for_quiet()
             runs[cpus].append(run_at(cpus, turns)["validation"])
 
     best = {c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in runs.items()}

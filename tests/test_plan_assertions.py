@@ -215,3 +215,62 @@ def test_ivf_topk_plan_is_narrow(spark):
     plan = _plan(ivf_topk(df, rows[0][1], k=5, n_centroids=4, n_probe=2))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: scan pruning and join-shape guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_substring_run_scan_pruned_and_no_cartesian(spark, tmp_path):
+    """substring_run_pairs over a wide parquet table must (a) read ONLY the
+    id + text columns (column pruning at the scan — a scan reading the
+    whole row for a 2-column operator is wrong at 100 TB) and (b) never
+    plan a cartesian/broadcast-nested-loop join: every join is keyed on
+    the shingle or the pair."""
+    from taco_toolbox_spark.dedup.substring import substring_run_pairs
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon", "meta" * 50, i * 2) for i in range(20)],
+        "doc_id long, text string, payload string, other long",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = substring_run_pairs(df, "text", "doc_id", n=3, min_tokens=5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"scan reads too much: {cols}"
+
+
+def test_incremental_exact_path_is_semi_join(spark):
+    """The exact-vs-existing check must reach the existing corpus through a
+    LeftSemi join on the fingerprint key only — the existing side never
+    ships text into the shuffle."""
+    from taco_toolbox_spark.dedup.incremental import incremental_dedup_verdicts
+
+    new = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    ex = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    plan = _plan(incremental_dedup_verdicts(new, ex))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distinctive_terms_partial_agg_and_python_free(spark):
+    """Both hash aggregations must show map-side partial combine (two
+    HashAggregate levels per agg) and the whole plan stays JVM-side."""
+    from taco_toolbox_spark.operators.terms import distinctive_terms
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x q r")], "doc_id long, text string"
+    )
+    plan = _plan(distinctive_terms(df, "text", "doc_id", k=2))
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -44,6 +44,25 @@ def _busy_steal(a, b):
     return round(n * (1 - (b[1] - a[1]) / dt), 1), round(n * (b[2] - a[2]) / dt, 2)
 
 
+def _wait_for_quiet(probe_s: float = 6.0, max_wait_s: float = 900.0) -> bool:
+    """Sample host steal BEFORE launching a run: a curate run costs ~1-10
+    minutes, so discovering the storm post-hoc wastes the whole run.
+    Probe cheaply, sleep through storms (they are episodic, minutes-long),
+    launch only into a quiet window. Returns False if the storm outlasted
+    ``max_wait_s`` (caller proceeds, disclosed)."""
+    deadline = time.time() + max_wait_s
+    while True:
+        a = _cpu()
+        time.sleep(probe_s)
+        _, steal = _busy_steal(a, _cpu())
+        if steal < 0.5:
+            return True
+        if time.time() > deadline:
+            return False
+        print(f"pre-probe stormy (steal={steal}); waiting", file=sys.stderr)
+        time.sleep(25)
+
+
 GEN = """
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -110,6 +129,7 @@ def main():
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             for attempt in range(max_tries):
                 out = f"{CORPUS}/out_{cpus}_{r}_{attempt}"
+                _wait_for_quiet()
                 a = _cpu()
                 t0 = time.time()
                 p = subprocess.run(
