@@ -854,6 +854,54 @@ def q_engine_verdicts(spark, sf_dir):
     )
 
 
+def q_v13_role_seq(spark, sf_dir):
+    """Role-transition grammar validation (checks.SequenceCheck): every
+    adjacent (prev, cur) role pair within a conversation must be an allowed
+    protocol transition — a conversation OPENS with `system`, and `system`
+    never reappears mid-conversation. The reference analog is its
+    structural sequence rules (PIT child-order isomorphism,
+    taco/datamodel.py:294-390). Engine-compiled into the SHARED lag-window
+    pass (with ts_monotone et al. — adding a grammar adds zero scans) plus
+    one min_by group-agg for the opening rule; injected `bad_role`
+    corruptions surface as disallowed transitions. The oracle recomputes
+    the identical violation coordinates with lag()/arg_min() SQL (detail
+    strings excluded — the row SET is what is verified)."""
+    from taco_toolbox_spark.checks import role_sequence_check
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.engine import run_validation
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    res = run_validation(corpus.corrupted, [role_sequence_check()])
+    return res.violations.select("part", "check_id", "conv_id", "turn_idx")
+
+
+def q_d2_cat_drift(spark, sf_dir):
+    """Per-day categorical drift of event_type vs the corpus-wide
+    distribution: EXACT total-variation distance, each category's term the
+    integer |n_day·N_total − n_global·n_day_total| (cross-multiplied — no
+    per-category float division), summed as BIGINT (order-independent),
+    ONE float division at the end. This is the categorical sibling of the
+    quantile DriftCheck, and the arithmetic discipline is what makes a
+    drift verdict reproducible bit-for-bit by an independent engine —
+    float-accumulated KL/PSI cannot promise that. Plan: one grouped count
+    (map-side partial agg), then broadcast grid joins over
+    |days|×|categories| rows (checks/drift.py:categorical_tv)."""
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = categorical_counts(ev, "event_type")
+    day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return categorical_tv(day, "event_type", "day", base).select(
+        F.col("part").alias("day"), "n_part", "tv_num", "tv"
+    )
+
+
 def q_s1_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (md5 portability mode):
     keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
@@ -1240,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_cands": q_stream_minhash_cands,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
+        "v13_role_seq": q_v13_role_seq,
+        "d2_cat_drift": q_d2_cat_drift,
     }
 
 
@@ -1957,6 +2007,52 @@ def oracle_sql() -> dict[str, str]:
     _ensure_verdict_dump()
     return {
         "engine_verdicts": _engine_verdicts_oracle(),
+        "v13_role_seq": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            ),
+            p AS (
+              SELECT part, conv_id, turn_idx, role,
+                     lag(role) OVER (PARTITION BY part, conv_id
+                                     ORDER BY turn_idx) AS prev
+              FROM t
+            )
+            -- adjacent-pair rule: allowed = (vocab × vocab minus *->system);
+            -- any out-of-vocabulary role fails both sides of the pair
+            SELECT part::VARCHAR AS part, 'role_transitions' AS check_id,
+                   conv_id::VARCHAR AS conv_id, turn_idx::INT AS turn_idx
+            FROM p
+            WHERE prev IS NOT NULL
+              AND NOT (prev IN ('system','user','assistant','tool')
+                       AND role IN ('user','assistant','tool'))
+            UNION ALL
+            -- opening rule: the value at the smallest turn_idx must be 'system'
+            SELECT part::VARCHAR, 'role_transitions',
+                   conv_id::VARCHAR, min(turn_idx)::INT
+            FROM t GROUP BY part, conv_id
+            HAVING NOT coalesce(arg_min(role, turn_idx) = 'system', FALSE)
+        """,
+        "d2_cat_drift": """
+            WITH c AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     coalesce(event_type, '<null>') AS cat, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT part, sum(n)::BIGINT AS n_part FROM c GROUP BY 1),
+            g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+            nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+            SELECT t.part AS day, t.n_part AS n_part,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                           - g.nb * t.n_part))::BIGINT AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                            - g.nb * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * nt.n_total)) AS tv
+            FROM tot t
+            CROSS JOIN nt
+            CROSS JOIN g
+            LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
+            GROUP BY t.part, t.n_part, nt.n_total
+        """,
         "lang_id": _lang_id_oracle(),
         "stats_quantiles": """
             SELECT 'o_orderkey' AS column,

@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_substring_run",  # positional-shingle gaps-and-islands runs
     "i1_incremental_dedup",  # new batch vs existing corpus (key joins only)
     "text_distinctive_terms",  # integer TF-IDF-shaped top-k per doc
+    "d2_cat_drift",       # exact categorical TV drift per day
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —

@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                    help="id column of the benchmark parquet")
     p.add_argument("--decontam-ngram", type=int, default=3)
     p.add_argument("--decontam-min-overlap", type=int, default=3)
+    p.add_argument("--dedup-against", default=None,
+                   help="parquet dir of the EXISTING already-curated corpus "
+                   "(incremental corpus update): new docs that exactly "
+                   "match (normalized fingerprint semi-join) or near-match "
+                   "(n-gram Jaccard >= --jaccard-threshold) an existing "
+                   "doc are dropped before in-batch near dedup")
     p.add_argument("--redact-pii", action="store_true",
                    help="redact emails/IPv4/SSN/phone spans in the text "
                    "column after dedup, before sharding")
@@ -219,6 +225,33 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             clean = exact.join(flagged, args.id_col, "left_anti")
         else:
             clean = exact
+
+        # 4b. optional incremental corpus-update dedup: the batch against
+        # an EXISTING already-curated corpus — exact via fingerprint
+        # semi-join (existing side ships one hash column, never text),
+        # near via the capped cross-corpus shingle join. Same opt-in
+        # one-action funnel pattern as decontamination; the within-batch
+        # exact window is skipped (stage 3 already did it).
+        if args.dedup_against:
+            from taco_toolbox_spark.dedup.incremental import (
+                incremental_dedup_verdicts,
+            )
+
+            existing = spark.read.parquet(args.dedup_against)
+            dup_ids = (
+                incremental_dedup_verdicts(
+                    clean, existing, args.text_col, args.id_col,
+                    threshold=args.jaccard_threshold,
+                    max_shingle_freq=1000,
+                    check_within_batch=False,
+                )
+                .filter(F.col("verdict") != "keep")
+                .select(F.col("id").alias(args.id_col))
+                .persist()
+            )
+            prev = funnel.get("decontaminated", funnel["exact_deduped"])
+            funnel["vs_existing"] = prev - dup_ids.count()
+            clean = clean.join(dup_ids, args.id_col, "left_anti")
 
         # 5. near dedup via minhash -> components -> canonical keep.
         # Pair ids keep the id column's own type: connected_components

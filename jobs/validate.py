@@ -41,10 +41,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "--record-sketches",
         action="store_true",
         help="store per-partition sketch state in the manifest alongside "
-        "lineage/metrics: t-digest centroids for length(text) and HLL "
-        "distinct sketches for conv_id — a later run (or another table's "
-        "run) merges them into global quantiles/distincts without "
-        "rescanning finished partitions",
+        "lineage/metrics: t-digest centroids for length(text), HLL "
+        "distinct sketches for conv_id, and (with --cat-drift COL) the "
+        "exact per-partition category histogram — a later run (or another "
+        "table's run) merges them into global quantiles/distincts/"
+        "baseline distributions without rescanning finished partitions",
     )
     p.add_argument(
         "--sketch-expr",
@@ -57,6 +58,21 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         help="column for the stored HLL distinct state "
         "(int/long/string/binary)",
     )
+    p.add_argument(
+        "--role-grammar",
+        action="store_true",
+        help="add the role-transition grammar check (SequenceCheck): a "
+        "conversation opens with `system` and `system` never reappears; "
+        "rides the battery's existing lag window, so it adds no scans",
+    )
+    p.add_argument(
+        "--cat-drift",
+        metavar="COL",
+        help="add a CategoricalDriftCheck on COL (e.g. role): per-partition "
+        "total-variation distance vs the --baseline table's distribution, "
+        "computed exactly in integer arithmetic; requires --baseline",
+    )
+    p.add_argument("--cat-drift-threshold", type=float, default=0.25)
     p.add_argument(
         "--actions",
         choices=("auto", "concurrent", "sequential"),
@@ -123,6 +139,28 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         c for c in transcript_checks()
         if c.check_id not in ("text_len_drift", "text_equality")
     ]
+    if args.role_grammar:
+        from taco_toolbox_spark.checks import role_sequence_check
+
+        checks.append(role_sequence_check())
+    if args.cat_drift:
+        if ref is None:
+            raise SystemExit("--cat-drift requires --baseline")
+        from taco_toolbox_spark.checks import CategoricalDriftCheck
+        from taco_toolbox_spark.checks.drift import categorical_counts
+
+        checks.append(
+            CategoricalDriftCheck(
+                check_id=f"{args.cat_drift}_cat_drift",
+                description=f"{args.cat_drift} distribution vs baseline (TV)",
+                cat_col=args.cat_drift,
+                threshold=args.cat_drift_threshold,
+                # resolved ONCE here: the batched loop below calls
+                # run_validation per partition chunk, and a None baseline
+                # would re-scan the reference table every batch
+                baseline_counts=categorical_counts(ref, args.cat_drift),
+            )
+        )
 
     # Crash-safe writes: outputs are partitioned by `part` and written with
     # dynamic partition overwrite, so re-validating a partition REPLACES its
@@ -257,6 +295,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 except Exception:
                     print(f"sketch: expr {args.sketch_expr!r} does not "
                           "resolve on this input; skipping quantile state")
+                if args.cat_drift and args.cat_drift in cols:
+                    from taco_toolbox_spark.checkpoint import (
+                        record_categorical_state,
+                    )
+
+                    jobs.append(
+                        lambda: record_categorical_state(
+                            manifest, cdf, args.cat_drift, cfg.partition_col
+                        )
+                    )
                 if pipelined and len(jobs) > 1:
                     with ThreadPoolExecutor(len(jobs)) as pool:
                         for f in [pool.submit(j) for j in jobs]:

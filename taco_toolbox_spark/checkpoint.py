@@ -156,6 +156,50 @@ def record_distinct_state(
         }
 
 
+def record_categorical_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    cat_col: str,
+    partition_col: str = "part",
+) -> None:
+    """Persist per-partition category histograms into the manifest — the
+    categorical twin of :func:`record_sketch_state`. Unlike the numeric
+    sketches these are EXACT (a histogram over a closed vocabulary is
+    already bounded-size), and merging is integer addition, so a later run
+    can rebuild the corpus-wide baseline for a CategoricalDriftCheck — or
+    drift-judge only its NEW partitions against the stored distribution —
+    without rescanning finished partitions."""
+    from .checks.drift import NULL_CATEGORY
+
+    rows = (
+        df.groupBy(
+            F.col(partition_col).cast("string").alias("part"),
+            F.coalesce(F.col(cat_col), F.lit(NULL_CATEGORY)).alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    for r in rows:
+        rec = manifest.doc["partitions"].setdefault(r["part"], {})
+        rec.setdefault("categorical", {}).setdefault(cat_col, {})[r["_c"]] = int(
+            r["_n"]
+        )
+
+
+def merged_categorical_from_manifest(
+    manifest: CheckpointManifest, cat_col: str
+) -> dict[str, int]:
+    """Merge every stored per-partition histogram for ``cat_col`` into one
+    corpus-wide count dict — directly usable as
+    ``CategoricalDriftCheck.baseline_counts``. Empty dict when no partition
+    recorded the column."""
+    out: dict[str, int] = {}
+    for rec in manifest.doc["partitions"].values():
+        for cat, n in rec.get("categorical", {}).get(cat_col, {}).items():
+            out[cat] = out.get(cat, 0) + int(n)
+    return out
+
+
 def merged_distinct_from_manifest(
     spark, manifest: CheckpointManifest, column: str
 ) -> int | None:

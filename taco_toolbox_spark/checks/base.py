@@ -84,6 +84,62 @@ class ContiguityCheck(Check):
 
 
 @dataclass
+class SequenceCheck(Check):
+    """Allowed-transition grammar over a categorical column within each
+    group, ordered by the engine's order column: every adjacent
+    (prev, cur) value pair must be a member of ``allowed``, and (when
+    ``first`` is given) the group's opening value must be in ``first``.
+    The transcript realization of the reference's structural sequence
+    rules (PIT child-order isomorphism, taco/datamodel.py:294-390;
+    order-by-construction guarantees, stac.py:94-98): here the "structure"
+    is the conversation's role protocol (e.g. a conversation opens with
+    `system`, and `system` never reappears mid-conversation).
+
+    Compiled into the SAME lag-window pass as :class:`MonotoneCheck` (one
+    shared shuffle for the whole adjacent-pair battery); the first-value
+    rule rides the group-aggregation pass (``min_by`` partial-aggregates
+    map-side, so the shuffle carries one row per group per task). A NULL
+    current value never silently passes: NULL is not a member of any
+    ``allowed`` pair or ``first`` vocabulary.
+    """
+
+    value_col: str = ""
+    #: allowed (previous, current) adjacent value pairs
+    allowed: Sequence[tuple[str, str]] = ()
+    #: values the group may OPEN with; None = unconstrained
+    first: Sequence[str] | None = None
+
+    def pair_ok(self, prev: Column, cur: Column) -> Column:
+        """Membership of the (prev, cur) pair in the allowed set, as one
+        JVM `isin` over a separator-joined key (values are closed-vocab
+        categoricals, so the separator cannot collide). NULL cur joins as
+        the bare prev string — never a member — so it fails closed."""
+        keys = [f"{a}\x1f{b}" for a, b in self.allowed]
+        return F.concat_ws(
+            "\x1f", prev.cast("string"), cur.cast("string")
+        ).isin(keys)
+
+
+@dataclass
+class CategoricalDriftCheck(Check):
+    """Per-partition categorical distribution must stay within ``threshold``
+    total-variation distance of the baseline distribution (the categorical
+    sibling of :class:`DriftCheck`'s quantile drift; reference analog:
+    per-collection categorical summaries, geotiff_stats.py histogram
+    family). TV distance is computed EXACTLY in integer arithmetic —
+    ``|n_part·N_base − n_base·N_part|`` summed per category, one float
+    division at the end — so an independent engine reproduces the verdict
+    bit-for-bit (no order-dependent float accumulation; see
+    drift.categorical_tv)."""
+
+    cat_col: str = ""
+    threshold: float = 0.25
+    #: baseline category counts {value: count}; resolved by the engine from
+    #: the ``baseline`` DataFrame when None
+    baseline_counts: dict[str, int] | None = None
+
+
+@dataclass
 class GroupAggCheck(Check):
     """Generic per-group aggregate invariant: ``aggs`` are computed per
     group, ``predicate`` (over the agg row) must hold."""
@@ -187,6 +243,31 @@ def range_check(
 # ---------------------------------------------------------------------------
 # the default transcript battery (BASELINE.json north_star)
 # ---------------------------------------------------------------------------
+
+#: the transcript role protocol (datagen invariant, and the usual agent-
+#: transcript shape): a conversation OPENS with `system`, and `system`
+#: never reappears mid-conversation. Any out-of-vocabulary role fails both
+#: sides of the pair test by construction.
+ROLE_FIRST: tuple[str, ...] = ("system",)
+ROLE_TRANSITIONS: tuple[tuple[str, str], ...] = tuple(
+    (a, b) for a in ROLE_VOCAB for b in ROLE_VOCAB if b != "system"
+)
+
+
+def role_sequence_check(
+    check_id: str = "role_transitions",
+    allowed: Sequence[tuple[str, str]] = ROLE_TRANSITIONS,
+    first: Sequence[str] | None = ROLE_FIRST,
+) -> SequenceCheck:
+    """The role-protocol grammar as a :class:`SequenceCheck` (opt-in: pass
+    it alongside :func:`transcript_checks`)."""
+    return SequenceCheck(
+        check_id=check_id,
+        description="role transitions follow the conversation protocol",
+        value_col="role",
+        allowed=tuple(allowed),
+        first=tuple(first) if first is not None else None,
+    )
 
 
 def transcript_checks(

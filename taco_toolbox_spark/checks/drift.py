@@ -320,3 +320,116 @@ def drift_violations(
         F.lit(None).cast("int").alias("turn_idx"),
         F.col("detail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# categorical drift: exact total-variation distance
+# ---------------------------------------------------------------------------
+
+#: NULL category values get their own bucket under this label so they join
+#: (an equi-join on a NULL key would silently drop them) and so a baseline
+#: that never saw NULLs flags them as pure drift mass.
+NULL_CATEGORY = "<null>"
+
+
+def categorical_counts(df: DataFrame, cat_col: str) -> dict[str, int]:
+    """Baseline category histogram as a plain dict (tiny: one row per
+    category). The collect is over the post-aggregation frame — a handful
+    of rows regardless of input size."""
+    rows = (
+        df.groupBy(F.coalesce(F.col(cat_col), F.lit(NULL_CATEGORY)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    return {r["_c"]: r["_n"] for r in rows}
+
+
+def categorical_tv(
+    df: DataFrame,
+    cat_col: str,
+    part_col: str,
+    baseline_counts: dict[str, int],
+) -> DataFrame:
+    """Per-partition total-variation distance between the partition's
+    ``cat_col`` distribution and the baseline distribution:
+
+        TV = 1/2 · Σ_c | n_part(c)/N_part − n_base(c)/N_base |
+
+    computed EXACTLY: each category's term is the integer
+    ``|n_part(c)·N_base − n_base(c)·N_part|`` (cross-multiplied — no
+    per-category float division), summed as BIGINT (order-independent),
+    with ONE float division at the end. An independent engine (the DuckDB
+    oracle) reproduces the result bit-for-bit, which no float-accumulated
+    KL/PSI statistic can promise. Products stay < 2^63 up to ~3·10^9 rows
+    per side; past that, pre-scale the baseline histogram (TV only needs
+    the baseline's *proportions*, so dividing all baseline counts by a
+    common factor is lossless for the verdict and keeps the integer
+    headroom at 10^12 rows).
+
+    Returns (part, n_part, tv_num, tv) — one row per partition. Plan
+    shape: one grouped count of the input (partial-aggregated map-side),
+    then broadcast joins against the literal category grid; nothing after
+    the first aggregation touches more than |parts|·|categories| rows.
+    """
+    from ..schema import literal_frame
+
+    n_base_total = int(sum(baseline_counts.values()))
+    if n_base_total <= 0:
+        raise ValueError("baseline_counts must hold at least one observation")
+
+    cat = F.coalesce(F.col(cat_col), F.lit(NULL_CATEGORY))
+    counts = (
+        df.groupBy(F.col(part_col).cast("string").alias("part"), cat.alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    parts = counts.groupBy("part").agg(F.sum("_n").alias("n_part"))
+    base = literal_frame(
+        df.sparkSession,
+        [(str(k), int(v)) for k, v in sorted(baseline_counts.items())],
+        "_c string, _nb long",
+    )
+    # the category axis = union of baseline and observed categories, so
+    # mass on either side that the other lacks still contributes its term
+    cats = (
+        counts.select("_c").distinct()
+        .unionByName(base.select("_c"))
+        .distinct()
+    )
+    grid = parts.crossJoin(F.broadcast(cats))  # |parts| × |categories|
+    term = F.abs(
+        F.coalesce(F.col("_n"), F.lit(0)) * F.lit(n_base_total)
+        - F.coalesce(F.col("_nb"), F.lit(0)) * F.col("n_part")
+    )
+    return (
+        grid.join(counts, ["part", "_c"], "left")
+        .join(F.broadcast(base), ["_c"], "left")
+        .groupBy("part", "n_part")
+        .agg(F.sum(term).alias("tv_num"))
+        .select(
+            "part",
+            "n_part",
+            "tv_num",
+            (
+                F.col("tv_num")
+                / (F.lit(2.0) * F.col("n_part") * F.lit(float(n_base_total)))
+            ).alias("tv"),
+        )
+    )
+
+
+def categorical_drift_violations(
+    tv: DataFrame, threshold: float, check_id: str
+) -> DataFrame:
+    """Violation rows (engine schema) for partitions whose TV distance
+    exceeds the threshold."""
+    judged = tv.filter(F.col("tv") > threshold)
+    return judged.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.format_string(
+            f"categorical_tv=%s > {threshold}",
+            F.round("tv", 6).cast("string"),
+        ).alias("detail"),
+    )

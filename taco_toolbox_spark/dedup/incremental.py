@@ -50,12 +50,15 @@ def incremental_dedup_verdicts(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     portable_key: bool = False,
+    check_within_batch: bool = True,
 ) -> DataFrame:
     """Per-new-doc verdict frame: (id, verdict) with verdict in
     {'exact_dup', 'near_dup', 'keep'}.
 
-    * exact_dup — normalized text matches an existing doc, or an
-      earlier (smaller id) doc in the same batch.
+    * exact_dup — normalized text matches an existing doc, or (if
+      ``check_within_batch``, the default) an earlier (smaller id) doc in
+      the same batch. Callers that already exact-deduped the batch (e.g.
+      jobs/curate.py) pass False and skip that window pass.
     * near_dup — n-gram Jaccard vs some EXISTING doc >= threshold (batch
       docs are not near-matched against each other: run the in-corpus
       dedup over the kept batch afterwards if that is wanted).
@@ -74,15 +77,16 @@ def incremental_dedup_verdicts(
     ex_k = existing_df.select(key.alias("_k"))
 
     # (a) exact vs existing: semi-join on the fingerprint key
-    vs_existing = new_k.join(ex_k, "_k", "left_semi").select("id")
-    # (b) exact within batch: keep the smallest id per key, flag the rest
-    w = Window.partitionBy("_k").orderBy("id")
-    within_batch = (
-        new_k.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
-        .select("id")
-    )
-    exact_ids = vs_existing.union(within_batch).distinct()
+    exact_ids = new_k.join(ex_k, "_k", "left_semi").select("id")
+    if check_within_batch:
+        # (b) exact within batch: keep the smallest id per key, flag the rest
+        w = Window.partitionBy("_k").orderBy("id")
+        within_batch = (
+            new_k.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("id")
+        )
+        exact_ids = exact_ids.union(within_batch).distinct()
 
     # (c) near vs existing: cross-corpus shingle join -> Jaccard
     sh_new = shingles(new_df, text_col, id_col, n)

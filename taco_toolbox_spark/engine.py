@@ -6,12 +6,16 @@ Pass plan (the scale story — adding checks never adds scans):
   row pass      all RowChecks in ONE shuffle-free projection: per row an
                 array of failed-check structs, array_compact + explode.
                 Filters/column pruning push to the parquet/Iceberg scan.
-  window pass   all MonotoneChecks over ONE window (single shuffle on the
-                group key, all lags computed in one Window operator).
+  window pass   all MonotoneChecks + SequenceChecks (adjacent-pair grammar)
+                over ONE window (single shuffle on the group key, all lags
+                computed in one Window operator); SequenceCheck opening-
+                value rules ride a min_by group-agg piece.
   agg pass      Uniqueness on the full key (fine-grained → no hot key);
                 Contiguity + GroupAggChecks share ONE groupBy(group) agg
                 (Spark's partial aggregation = map-side combine).
-  drift pass    two-phase salted sketch merge (checks/drift.py).
+  drift pass    two-phase salted sketch merge (checks/drift.py);
+                categorical drift = one grouped count + broadcast grid
+                joins, TV distance exact in integer arithmetic.
   text pass     key join + vectorized pandas UDF (checks/text_equality.py).
 
 Verdict aggregation replaces the reference's typed-exception reports
@@ -30,18 +34,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checks.base import (
+    CategoricalDriftCheck,
     Check,
     ContiguityCheck,
     DriftCheck,
     GroupAggCheck,
     MonotoneCheck,
     RowCheck,
+    SequenceCheck,
     TextEqualityCheck,
     UniquenessCheck,
 )
 from .checks.drift import (
     approx_global_quantiles,
     approx_quantiles_by_partition,
+    categorical_counts,
+    categorical_drift_violations,
+    categorical_tv,
     drift_violations,
     drift_violations_approx,
     exact_global_quantiles,
@@ -211,8 +220,41 @@ def _row_pass(df: DataFrame, checks: list[RowCheck], cfg: EngineConfig) -> DataF
     ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
 
 
+def _adjacent_fail(c, prev, cur) -> F.Column:
+    """The failed-check struct (or NULL) for one adjacent (prev, cur) value
+    pair — shared by the plain window pass, the chunked window pass, and
+    the chunk-boundary reconciliation join, so all three realize identical
+    semantics. ``prev`` is NULL on a group's (or chunk's) first row — and
+    when the previous row's VALUE is NULL, which `lag` cannot distinguish
+    from absence: adjacent-pair checks never fire off a NULL prev (the
+    NULL-valued row itself is caught as a bad *current* value, and role
+    NULLs additionally fail the vocab row check). SequenceCheck
+    first-value rules run in their own group-agg piece, where the TRUE
+    first row is known even under chunking."""
+    cur = F.col(cur) if isinstance(cur, str) else cur
+    if isinstance(c, SequenceCheck):
+        bad = prev.isNotNull() & ~c.pair_ok(prev, cur)
+        detail = F.format_string(
+            f"{c.value_col} transition not allowed: %s -> %s",
+            F.coalesce(prev.cast("string"), F.lit("null")),
+            F.coalesce(cur.cast("string"), F.lit("null")),
+        )
+    else:
+        bad = prev > cur if not c.strict else prev >= cur
+        bad = F.coalesce(bad, F.lit(False))
+        detail = F.format_string(
+            f"{c.value_col} regression: %s -> %s",
+            prev.cast("string"),
+            cur.cast("string"),
+        )
+    return F.when(
+        bad,
+        F.struct(F.lit(c.check_id).alias("check_id"), detail.alias("detail")),
+    )
+
+
 def _window_pass(
-    df: DataFrame, checks: list[MonotoneCheck], cfg: EngineConfig
+    df: DataFrame, checks: list[MonotoneCheck | SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
     # keyed (partition, group) like every other pass: one shared exchange,
     # and attribution stays correct even if a group spans partitions
@@ -220,20 +262,7 @@ def _window_pass(
     structs = []
     for c in checks:
         prev = F.lag(F.col(c.value_col)).over(w)
-        bad = prev > F.col(c.value_col) if not c.strict else prev >= F.col(c.value_col)
-        structs.append(
-            F.when(
-                F.coalesce(bad, F.lit(False)),
-                F.struct(
-                    F.lit(c.check_id).alias("check_id"),
-                    F.format_string(
-                        f"{c.value_col} regression: %s -> %s",
-                        prev.cast("string"),
-                        F.col(c.value_col).cast("string"),
-                    ).alias("detail"),
-                ),
-            )
-        )
+        structs.append(_adjacent_fail(c, prev, c.value_col))
     fails = df.select(
         F.col(cfg.partition_col).cast("string").alias("part"),
         F.col(cfg.group_col).cast("string").alias("conv_id"),
@@ -246,13 +275,13 @@ def _window_pass(
 
 
 def _window_pass_chunked(
-    df: DataFrame, checks: list[MonotoneCheck], cfg: EngineConfig
+    df: DataFrame, checks: list[MonotoneCheck | SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
-    """Skew-proof monotone pass: windows over (group, order-chunk) bound
-    every task to ≤ chunk_size rows even for a single enormous
-    conversation; cross-chunk regressions are caught by joining each
-    chunk's last value with the next chunk's first value (a join over
-    n_chunks rows — negligible)."""
+    """Skew-proof adjacent-pair pass: windows over (group, order-chunk)
+    bound every task to ≤ chunk_size rows even for a single enormous
+    conversation; cross-chunk pairs (regressions / disallowed transitions)
+    are caught by joining each chunk's last value with the next chunk's
+    first value (a join over n_chunks rows — negligible)."""
     chunk = cfg.window_chunk_size
     dfc = df.withColumn("_chunk", F.floor(F.col(cfg.order_col) / chunk))
     w = Window.partitionBy(cfg.partition_col, cfg.group_col, "_chunk").orderBy(
@@ -262,20 +291,7 @@ def _window_pass_chunked(
     structs = []
     for c in checks:
         prev = F.lag(F.col(c.value_col)).over(w)
-        bad = prev > F.col(c.value_col) if not c.strict else prev >= F.col(c.value_col)
-        structs.append(
-            F.when(
-                F.coalesce(bad, F.lit(False)),
-                F.struct(
-                    F.lit(c.check_id).alias("check_id"),
-                    F.format_string(
-                        f"{c.value_col} regression: %s -> %s",
-                        prev.cast("string"),
-                        F.col(c.value_col).cast("string"),
-                    ).alias("detail"),
-                ),
-            )
-        )
+        structs.append(_adjacent_fail(c, prev, c.value_col))
     in_chunk = (
         dfc.select(
             F.col(cfg.partition_col).cast("string").alias("part"),
@@ -320,20 +336,7 @@ def _window_pass_chunked(
     bstructs = []
     for c in checks:
         last, nfirst = F.col(f"_last_{c.check_id}"), F.col(f"_next_first_{c.check_id}")
-        bad = last > nfirst if not c.strict else last >= nfirst
-        bstructs.append(
-            F.when(
-                F.coalesce(bad, F.lit(False)),
-                F.struct(
-                    F.lit(c.check_id).alias("check_id"),
-                    F.format_string(
-                        f"{c.value_col} regression: %s -> %s",
-                        last.cast("string"),
-                        nfirst.cast("string"),
-                    ).alias("detail"),
-                ),
-            )
-        )
+        bstructs.append(_adjacent_fail(c, last, nfirst))
     boundary = (
         joined.select(
             F.col("_next_part").alias("part"),
@@ -346,6 +349,53 @@ def _window_pass_chunked(
         .select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
     )
     return in_chunk.unionAll(boundary)
+
+
+def _seq_first_pass(
+    df: DataFrame, checks: list[SequenceCheck], cfg: EngineConfig
+) -> DataFrame:
+    """Opening-value rule of SequenceChecks: per group, the value at the
+    smallest order must be in ``check.first``. One groupBy over
+    (partition, group) — ``min``/``min_by`` partial-aggregate map-side, so
+    the shuffle carries one row per group per task regardless of group
+    size (hot conversations included), and the rule sees the TRUE first
+    row even when the window pass runs chunked."""
+    aggs = [F.min(F.col(cfg.order_col)).alias("_first_idx")]
+    for c in checks:
+        aggs.append(
+            F.min_by(F.col(c.value_col), F.col(cfg.order_col)).alias(
+                f"_v_{c.check_id}"
+            )
+        )
+    g = df.groupBy(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+    ).agg(*aggs)
+    structs = []
+    for c in checks:
+        v = F.col(f"_v_{c.check_id}")
+        ok = F.coalesce(v.isin(list(c.first)), F.lit(False))
+        structs.append(
+            F.when(
+                ~ok,
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"first {c.value_col} not in {sorted(c.first)}: %s",
+                        F.coalesce(v.cast("string"), F.lit("null")),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    fails = g.select(
+        "part",
+        "conv_id",
+        F.col("_first_idx").cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
 
 
 def _uniqueness_pass(
@@ -491,20 +541,26 @@ def run_validation(
 
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
+    seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
     contig_checks = [c for c in checks if isinstance(c, ContiguityCheck)]
     group_checks = [c for c in checks if isinstance(c, GroupAggCheck)]
     drift_checks = [c for c in checks if isinstance(c, DriftCheck)]
+    cat_drift_checks = [c for c in checks if isinstance(c, CategoricalDriftCheck)]
     text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
 
     pieces: list[DataFrame] = []
     if row_checks:
         pieces.append(_row_pass(df, row_checks, cfg))
-    if mono_checks:
+    adj_checks = mono_checks + seq_checks  # one shared lag window
+    if adj_checks:
         if cfg.window_chunk_size:
-            pieces.append(_window_pass_chunked(df, mono_checks, cfg))
+            pieces.append(_window_pass_chunked(df, adj_checks, cfg))
         else:
-            pieces.append(_window_pass(df, mono_checks, cfg))
+            pieces.append(_window_pass(df, adj_checks, cfg))
+    seq_first = [c for c in seq_checks if c.first is not None]
+    if seq_first:
+        pieces.append(_seq_first_pass(df, seq_first, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
         if (
@@ -556,6 +612,17 @@ def run_validation(
             pieces.append(
                 drift_violations_approx(q, bq, c.threshold, c.check_id)
             )
+    for c in cat_drift_checks:
+        bc = c.baseline_counts
+        if bc is None:
+            if baseline is None:
+                raise ValueError(
+                    f"CategoricalDriftCheck {c.check_id} has no baseline "
+                    "counts and no baseline DataFrame was provided"
+                )
+            bc = categorical_counts(baseline, c.cat_col)
+        tv = categorical_tv(df, c.cat_col, cfg.partition_col, bc)
+        pieces.append(categorical_drift_violations(tv, c.threshold, c.check_id))
     for c in text_checks:
         pieces.append(
             text_equality_violations(
@@ -572,8 +639,9 @@ def run_validation(
     if not pieces:
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
-            "Check subclass (RowCheck, MonotoneCheck, UniquenessCheck, "
-            "ContiguityCheck, GroupAggCheck, DriftCheck, TextEqualityCheck)"
+            "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
+            "UniquenessCheck, ContiguityCheck, GroupAggCheck, DriftCheck, "
+            "CategoricalDriftCheck, TextEqualityCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

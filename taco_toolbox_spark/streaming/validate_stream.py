@@ -80,6 +80,7 @@ def transcript_violations_stateful(
     ts_col: str = "ts",
     check_ids: tuple[str, ...] = ("ts_monotone", "unique_turn", "turn_contiguous"),
     output_mode: str = "update",
+    role_col: str | None = None,
 ) -> DataFrame:
     """The batch engine's per-conversation battery — monotone ts,
     (group, order) uniqueness, order contiguity — on a STREAM via
@@ -105,10 +106,20 @@ def transcript_violations_stateful(
       contiguous throughout. Like the batch check, duplicates break
       contiguity (n_rows must equal distinct turns). Matches the batch
       check on a bounded stream.
+    - role_transitions (when ``role_col`` is given): the batch
+      SequenceCheck grammar on the stream — adjacent (prev, cur) role
+      pairs must be allowed transitions (checks.base.ROLE_TRANSITIONS),
+      the conversation's FIRST arriving valid row must open with a
+      checks.base.ROLE_FIRST role. State adds one string (role at the
+      highest turn) + one opened flag; pair tests are a vectorized
+      str.cat + isin over the batch, boundary row vs state — exact under
+      the same in-turn-order arrival contract as ts_monotone.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..checks.base import ROLE_FIRST, ROLE_TRANSITIONS
 
     out_schema = (
         f"{group_col} string, {order_col} int, {ts_col} timestamp, "
@@ -118,6 +129,10 @@ def transcript_violations_stateful(
         "last_turn int, last_ts timestamp, seen binary, dup_seen binary, "
         "n_rows long, contig_bad boolean, overflow boolean"
     )
+    if role_col:
+        state_schema += ", last_role string, opened boolean"
+    allowed_keys = {f"{a}\x1f{b}" for a, b in ROLE_TRANSITIONS}
+    first_roles = set(ROLE_FIRST)
     do_mono = "ts_monotone" in check_ids
     do_uniq = "unique_turn" in check_ids
     do_contig = "turn_contiguous" in check_ids
@@ -125,14 +140,17 @@ def transcript_violations_stateful(
     def fn(key, pdf_iter, state: GroupState):
         (conv,) = key
         if state.exists:
+            vals = state.get
             last_turn, last_ts, seen_b, dup_b, n_rows, contig_bad, overflow = (
-                state.get
+                vals[:7]
             )
+            last_role = vals[7] if role_col else None
+            opened = vals[8] if role_col else True
             seen = np.frombuffer(seen_b, dtype=np.uint8).copy() if seen_b else None
             dup = np.frombuffer(dup_b, dtype=np.uint8).copy() if dup_b else None
         else:
-            last_turn = last_ts = seen = dup = None
-            n_rows, contig_bad, overflow = 0, False, False
+            last_turn = last_ts = seen = dup = last_role = None
+            n_rows, contig_bad, overflow, opened = 0, False, False, False
 
         def _grow(arr, nbytes):
             if arr is None:

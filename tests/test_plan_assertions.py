@@ -274,3 +274,40 @@ def test_distinctive_terms_partial_agg_and_python_free(spark):
     plan = _plan(distinctive_terms(df, "text", "doc_id", k=2))
     assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_categorical_tv_one_input_shuffle_and_broadcast_grid(spark):
+    """categorical_tv must aggregate the input ONCE (partial+final
+    HashAggregate over the grouped count — the only exchange that sees
+    data-sized rows) and reach the category grid through broadcast joins;
+    no Python, no cartesian over anything data-sized."""
+    from taco_toolbox_spark.checks.drift import categorical_tv
+
+    df = literal_frame(
+        spark,
+        [("p1", "x"), ("p1", "y"), ("p2", "x")],
+        "part string, cat string",
+    )
+    plan = _plan(categorical_tv(df, "cat", "part", {"x": 2, "y": 1}))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # grid/baseline sides are literal projections, never Python RDD scans
+    assert "ExistingRDD" not in plan and "PythonRDD" not in plan
+
+
+def test_sequence_check_shares_window_with_monotone(spark, corpus):
+    """Adding the role grammar to a battery that already has ts_monotone
+    must NOT add a window operator or an exchange: both adjacent-pair
+    checks ride one lag window."""
+    from taco_toolbox_spark.checks import MonotoneCheck, role_sequence_check
+    from taco_toolbox_spark.engine import _window_pass
+
+    mono = MonotoneCheck(check_id="ts_monotone", value_col="ts")
+    cfg = EngineConfig()
+    base = _plan(_window_pass(corpus.corrupted, [mono], cfg))
+    both = _plan(
+        _window_pass(corpus.corrupted, [mono, role_sequence_check()], cfg)
+    )
+    assert both.count("Window") == base.count("Window")
+    assert both.count("Exchange") == base.count("Exchange")

@@ -1,0 +1,188 @@
+"""SequenceCheck (role-transition grammar) and CategoricalDriftCheck
+(exact total-variation categorical drift)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from taco_toolbox_spark.checks import (
+    ROLE_TRANSITIONS,
+    CategoricalDriftCheck,
+    SequenceCheck,
+    role_sequence_check,
+)
+from taco_toolbox_spark.checks.drift import (
+    NULL_CATEGORY,
+    categorical_counts,
+    categorical_tv,
+)
+from taco_toolbox_spark.engine import EngineConfig, run_validation
+
+SCHEMA = "part string, conv_id string, turn_idx int, role string, ts timestamp"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [(p, c, i, r, None) for (p, c, i, r) in rows], SCHEMA
+    )
+
+
+def _viols(res):
+    return {
+        (r["conv_id"], r["turn_idx"])
+        for r in res.violations.select("conv_id", "turn_idx").collect()
+    }
+
+
+def test_sequence_check_flags_transitions_and_opening(spark):
+    df = _frame(
+        spark,
+        [
+            # ok conversation
+            ("p1", "a", 0, "system"),
+            ("p1", "a", 1, "user"),
+            ("p1", "a", 2, "assistant"),
+            # opens with user (opening rule), then a narrator row: the
+            # narrator turn fails as a bad *current* value, and the turn
+            # after it fails off the bad prev
+            ("p1", "b", 0, "user"),
+            ("p1", "b", 1, "narrator"),
+            ("p1", "b", 2, "assistant"),
+            # system reappearing mid-conversation
+            ("p1", "c", 0, "system"),
+            ("p1", "c", 1, "user"),
+            ("p1", "c", 2, "system"),
+        ],
+    )
+    res = run_validation(df, [role_sequence_check()])
+    assert _viols(res) == {("b", 0), ("b", 1), ("b", 2), ("c", 2)}
+    # the verdict matrix counts all four under one check_id
+    row = res.verdicts.filter(~F.col("passed")).collect()
+    assert len(row) == 1 and row[0]["n_violations"] == 4
+
+
+def test_sequence_check_chunked_parity(spark, corpus):
+    """The skew-proof chunked window realizes identical violations,
+    including pairs that straddle a chunk boundary."""
+    checks = [role_sequence_check()]
+    plain = run_validation(corpus.corrupted, checks)
+    chunked = run_validation(
+        corpus.corrupted, checks, EngineConfig(window_chunk_size=7)
+    )
+    a = {tuple(r) for r in plain.violations.select("conv_id", "turn_idx").collect()}
+    b = {tuple(r) for r in chunked.violations.select("conv_id", "turn_idx").collect()}
+    assert a == b and a  # non-empty: bad_role injections must surface
+
+
+def test_sequence_check_boundary_pair_caught(spark):
+    """A disallowed pair exactly at a chunk boundary (turn 4 -> 5 with
+    chunk=5) is caught by the boundary reconciliation join."""
+    rows = [("p1", "a", i, r) for i, r in enumerate(
+        ["system", "user", "assistant", "user", "assistant", "system", "user"]
+    )]
+    df = _frame(spark, rows)
+    res = run_validation(
+        df, [role_sequence_check()], EngineConfig(window_chunk_size=5)
+    )
+    assert _viols(res) == {("a", 5)}
+
+
+def test_sequence_check_null_current_fails_closed(spark):
+    df = _frame(
+        spark,
+        [("p1", "a", 0, "system"), ("p1", "a", 1, None), ("p1", "a", 2, "user")],
+    )
+    res = run_validation(df, [role_sequence_check()])
+    # NULL role fails as a current value; the following pair has a NULL
+    # prev, which adjacent checks skip (vocab checks own NULL roles)
+    assert _viols(res) == {("a", 1)}
+
+
+def test_sequence_check_no_first_rule(spark):
+    df = _frame(spark, [("p1", "a", 0, "user"), ("p1", "a", 1, "assistant")])
+    check = SequenceCheck(
+        check_id="g", value_col="role", allowed=ROLE_TRANSITIONS, first=None
+    )
+    res = run_validation(df, [check])
+    assert _viols(res) == set()
+
+
+def test_categorical_tv_hand_computed(spark):
+    # part A: 3 x, 1 y (N=4); baseline: 4 x, 4 y (N=8)
+    # TV = 1/2 (|3/4 - 1/2| + |1/4 - 1/2|) = 1/4
+    # integer: |3*8 - 4*4| + |1*8 - 4*4| = 8 + 8 = 16; 16/(2*4*8) = 0.25
+    df = spark.createDataFrame(
+        [("A", "x")] * 3 + [("A", "y")], "part string, cat string"
+    )
+    tv = categorical_tv(df, "cat", "part", {"x": 4, "y": 4}).collect()[0]
+    assert tv["n_part"] == 4 and tv["tv_num"] == 16 and tv["tv"] == 0.25
+
+
+def test_categorical_tv_disjoint_categories(spark):
+    """Mass on categories the other side lacks counts fully: disjoint
+    supports give TV = 1. NULL categories get their own bucket."""
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", None)], "part string, cat string"
+    )
+    tv = categorical_tv(df, "cat", "part", {"z": 5}).collect()[0]
+    assert tv["tv"] == 1.0
+    base = categorical_counts(df, "cat")
+    assert base == {"x": 1, NULL_CATEGORY: 1}
+
+
+def test_categorical_drift_check_in_engine(spark):
+    """Engine integration: baseline resolved from the clean frame; only the
+    drifted partition fails; verdict matrix carries the check."""
+    clean = spark.createDataFrame(
+        [("p1", "a", 0, "user", None), ("p1", "b", 0, "assistant", None)] * 10,
+        SCHEMA,
+    )
+    skewed = spark.createDataFrame(
+        # p1 matches the baseline mix; p2 is all-user (TV = 0.5)
+        [("p1", "a", 0, "user", None), ("p1", "b", 0, "assistant", None)] * 10
+        + [("p2", "c", 0, "user", None)] * 10,
+        SCHEMA,
+    )
+    check = CategoricalDriftCheck(
+        check_id="role_drift", cat_col="role", threshold=0.25
+    )
+    res = run_validation(skewed, [check], baseline=clean)
+    failed = {r["part"] for r in res.verdicts.filter(~F.col("passed")).collect()}
+    assert failed == {"p2"}
+    detail = res.violations.collect()[0]["detail"]
+    assert "categorical_tv=0.5" in detail
+
+
+def test_categorical_drift_check_requires_baseline(spark):
+    df = spark.createDataFrame([("p1", "a", 0, "user", None)], SCHEMA)
+    with pytest.raises(ValueError, match="no baseline"):
+        run_validation(df, [CategoricalDriftCheck(check_id="d", cat_col="role")])
+
+
+def test_categorical_state_roundtrip(spark, tmp_path):
+    """Per-partition histograms recorded into the checkpoint manifest merge
+    (integer addition — exact) into the same baseline a direct scan gives,
+    and survive a save/load cycle."""
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        merged_categorical_from_manifest,
+        record_categorical_state,
+    )
+
+    df = spark.createDataFrame(
+        [("p1", "a", 0, "user", None)] * 3
+        + [("p1", "b", 0, "assistant", None)] * 2
+        + [("p2", "c", 0, "user", None), ("p2", "c", 1, None, None)],
+        SCHEMA,
+    )
+    path = str(tmp_path / "manifest.json")
+    m = CheckpointManifest.load_or_create(path, "r1", "in")
+    record_categorical_state(m, df, "role")
+    m.save()
+    m2 = CheckpointManifest.load_or_create(path, "r1", "in")
+    merged = merged_categorical_from_manifest(m2, "role")
+    assert merged == categorical_counts(df, "role")
+    assert merged == {"user": 4, "assistant": 2, NULL_CATEGORY: 1}
+    # the merged dict drives the check directly
+    tv = categorical_tv(df, "role", "part", merged)
+    assert {r["part"]: r["n_part"] for r in tv.collect()} == {"p1": 5, "p2": 2}
+    assert merged_categorical_from_manifest(m2, "absent") == {}

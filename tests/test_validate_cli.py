@@ -208,6 +208,53 @@ def test_curate_decontaminate_and_redact(tmp_path, spark):
     assert "[email]" in redacted and "a@b.com" not in redacted
 
 
+def test_curate_incremental_dedup_against_existing(tmp_path, spark):
+    """--dedup-against drops batch docs that exactly or nearly match the
+    EXISTING corpus (funnel reports vs_existing); genuinely new docs
+    survive to the shards."""
+    import json
+
+    import jobs.curate as jc
+
+    existing = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today", "web"),
+            (101, "settled corpus doc about distributed query engines", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact (normalization) dup of existing 100
+            (1, "The QUICK brown   fox jumps over the lazy dog today", "web"),
+            # near dup of existing 100 (one token differs)
+            (2, "the quick brown fox jumps over the lazy cat today", "web"),
+            # genuinely new
+            (3, "fresh document with entirely novel content and words", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    inp, exdir, out = (str(tmp_path / d) for d in ("batch", "existing", "out"))
+    batch.write.parquet(inp)
+    existing.write.parquet(exdir)
+
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "2",
+         "--dedup-against", exdir, "--jaccard-threshold", "0.5",
+         "--max-shard-tokens", "1000"],
+        stop_session=False,
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["funnel"]["exact_deduped"] == 3
+    assert m["funnel"]["vs_existing"] == 1  # docs 1 and 2 dropped
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
+    }
+    assert kept == {3}
+
+
 def test_write_bucketed_scales_bucket_count(spark, tmp_path):
     """write_bucketed(n_buckets=None) picks the data-scaled count."""
     from taco_toolbox_spark.operators.bucketing import write_bucketed
@@ -259,3 +306,74 @@ def test_record_sketches_flag(spark, corpus_dir, tmp_path):
     est = merged_distinct_from_manifest(spark, m, "conv_id")
     exact = pdf.conv_id.nunique()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_validate_cli_role_grammar_and_cat_drift(spark, corpus_dir, tmp_path):
+    """--role-grammar surfaces bad_role injections as transition
+    violations; --cat-drift judges per-partition role distributions against
+    the clean baseline (resolved once, not per batch)."""
+    out = str(tmp_path / "out_grammar")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--baseline", f"{corpus_dir}/transcripts_baseline",
+            "--output", out,
+            "--role-grammar",
+            "--cat-drift", "role",
+            "--cat-drift-threshold", "0.25",
+            "--record-sketches",
+            "--run-id", "rg",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        merged_categorical_from_manifest,
+    )
+    from taco_toolbox_spark.checks.drift import categorical_counts, categorical_tv
+
+    # --record-sketches + --cat-drift persists per-partition histograms;
+    # merging them rebuilds the corpus-wide distribution exactly
+    m = CheckpointManifest.load_or_create(
+        os.path.join(out, "manifest.json"), "rg", f"{corpus_dir}/transcripts"
+    )
+    corrupted = spark.read.parquet(f"{corpus_dir}/transcripts")
+    assert merged_categorical_from_manifest(m, "role") == categorical_counts(
+        corrupted, "role"
+    )
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    checks = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert {"role_transitions", "role_cat_drift"} <= checks
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    n_grammar = viol.filter("check_id = 'role_transitions'").count()
+    assert n_grammar > 0  # bad_role injections must surface
+    # the CLI's drift verdicts must equal a direct categorical_tv pass
+    # (small partitions CAN legitimately drift by sampling noise — what is
+    # on trial is that the CLI judges exactly the same set)
+    base = categorical_counts(
+        spark.read.parquet(f"{corpus_dir}/transcripts_baseline"), "role"
+    )
+    expected_failed = {
+        r["part"]
+        for r in categorical_tv(corrupted, "role", "part", base)
+        .filter("tv > 0.25")
+        .collect()
+    }
+    cli_failed = {
+        r["part"]
+        for r in verd.filter("check_id = 'role_cat_drift' AND NOT passed").collect()
+    }
+    assert cli_failed == expected_failed
+
+
+def test_validate_cli_cat_drift_requires_baseline(corpus_dir, tmp_path):
+    with pytest.raises(SystemExit, match="requires --baseline"):
+        validate_main(
+            [
+                "--input", f"{corpus_dir}/transcripts",
+                "--output", str(tmp_path / "x"),
+                "--cat-drift", "role",
+            ],
+            stop_session=False,
+        )
