@@ -878,6 +878,69 @@ def q_v13_role_seq(spark, sf_dir):
     return res.violations.select("part", "check_id", "conv_id", "turn_idx")
 
 
+def q_v14_role_close(spark, sf_dir):
+    """Closing-value rule of the role grammar (checks.SequenceCheck.last):
+    each conversation must END (value at its LARGEST turn_idx) with an
+    in-vocabulary non-`system` role — an injected `narrator` corruption on
+    a final turn surfaces here. Endpoint-only grammar (``allowed=None``):
+    the engine skips the lag window entirely and compiles the rule into
+    ONE (part, conv_id) group-agg whose min_by/max_by partial-aggregate
+    map-side — one row per conversation crosses the shuffle no matter how
+    hot the conversation (the same shape as the opening rule, which shares
+    the identical agg when both are present). The oracle recomputes the
+    coordinates with arg_max() SQL."""
+    from taco_toolbox_spark.checks import ROLE_LAST, role_sequence_check
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.engine import run_validation
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    res = run_validation(
+        corpus.corrupted,
+        [
+            role_sequence_check(
+                check_id="role_close", allowed=None, first=None, last=ROLE_LAST
+            )
+        ],
+    )
+    return res.violations.select("part", "check_id", "conv_id", "turn_idx")
+
+
+def q_v15_turn_gap(spark, sf_dir):
+    """Bounded adjacent-step rule (checks.GapCheck): inside a conversation,
+    consecutive turns must be at most 120 seconds apart — the recovery
+    jump AFTER an injected 1-hour ts regression (~3600s forward step)
+    surfaces here, the temporal-sanity sibling of ts_monotone. Compiled
+    into the SAME shared lag window as every other adjacent-pair check
+    (adding a gap bound adds zero scans and zero shuffles; the chunked
+    skew-proof path replays the identical expression on chunk-edge pairs).
+    The oracle recomputes the coordinates with lag()/epoch() SQL — the
+    step arithmetic is integer seconds on both engines, so the threshold
+    comparison is exact."""
+    from taco_toolbox_spark.checks import GapCheck
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.engine import run_validation
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    res = run_validation(
+        corpus.corrupted,
+        [
+            GapCheck(
+                check_id="ts_gap",
+                description="consecutive turns <= 120s apart",
+                value_col="ts",
+                max_step=120,
+            )
+        ],
+    )
+    return res.violations.select("part", "check_id", "conv_id", "turn_idx")
+
+
 def q_d2_cat_drift(spark, sf_dir):
     """Per-day categorical drift of event_type vs the corpus-wide
     distribution: EXACT total-variation distance, each category's term the
@@ -1289,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
         "v13_role_seq": q_v13_role_seq,
+        "v14_role_close": q_v14_role_close,
+        "v15_turn_gap": q_v15_turn_gap,
         "d2_cat_drift": q_d2_cat_drift,
     }
 
@@ -2031,6 +2096,30 @@ def oracle_sql() -> dict[str, str]:
                    conv_id::VARCHAR, min(turn_idx)::INT
             FROM t GROUP BY part, conv_id
             HAVING NOT coalesce(arg_min(role, turn_idx) = 'system', FALSE)
+        """,
+        "v14_role_close": f"""
+            -- closing rule: the value at the LARGEST turn_idx must be an
+            -- in-vocabulary non-system role
+            SELECT part::VARCHAR AS part, 'role_close' AS check_id,
+                   conv_id::VARCHAR AS conv_id, max(turn_idx)::INT AS turn_idx
+            FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            GROUP BY part, conv_id
+            HAVING NOT coalesce(
+                arg_max(role, turn_idx) IN ('user', 'assistant', 'tool'),
+                FALSE)
+        """,
+        "v15_turn_gap": f"""
+            WITH p AS (
+              SELECT part, conv_id, turn_idx, ts,
+                     lag(ts) OVER (PARTITION BY part, conv_id
+                                   ORDER BY turn_idx) AS prev_ts
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            )
+            SELECT part::VARCHAR AS part, 'ts_gap' AS check_id,
+                   conv_id::VARCHAR AS conv_id, turn_idx::INT AS turn_idx
+            FROM p
+            WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
+              AND epoch(ts) - epoch(prev_ts) > 120
         """,
         "d2_cat_drift": """
             WITH c AS (

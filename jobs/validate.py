@@ -66,6 +66,21 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "rides the battery's existing lag window, so it adds no scans",
     )
     p.add_argument(
+        "--role-close",
+        action="store_true",
+        help="add the closing-value rule of the role grammar: a conversation "
+        "must END with an in-vocabulary non-system role; one min_by/max_by "
+        "group-agg shared with --role-grammar's opening rule",
+    )
+    p.add_argument(
+        "--max-gap",
+        type=float,
+        metavar="SECONDS",
+        help="add a GapCheck: consecutive turns in a conversation must be at "
+        "most SECONDS apart (rides the battery's existing lag window, so it "
+        "adds no scans)",
+    )
+    p.add_argument(
         "--cat-drift",
         metavar="COL",
         help="add a CategoricalDriftCheck on COL (e.g. role): per-partition "
@@ -143,6 +158,25 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         from taco_toolbox_spark.checks import role_sequence_check
 
         checks.append(role_sequence_check())
+    if args.role_close:
+        from taco_toolbox_spark.checks import ROLE_LAST, role_sequence_check
+
+        checks.append(
+            role_sequence_check(
+                check_id="role_close", allowed=None, first=None, last=ROLE_LAST
+            )
+        )
+    if args.max_gap is not None:
+        from taco_toolbox_spark.checks import GapCheck
+
+        checks.append(
+            GapCheck(
+                check_id="ts_gap",
+                description=f"consecutive turns <= {args.max_gap}s apart",
+                value_col="ts",
+                max_step=args.max_gap,
+            )
+        )
     if args.cat_drift:
         if ref is None:
             raise SystemExit("--cat-drift requires --baseline")

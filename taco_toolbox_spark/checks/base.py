@@ -68,6 +68,40 @@ class MonotoneCheck(Check):
 
 
 @dataclass
+class GapCheck(Check):
+    """Adjacent step bound within the group: for consecutive rows (by the
+    engine's order column), ``cur - prev`` must not exceed ``max_step``
+    (and, when ``min_step`` is set, must not fall below it). Values compare
+    in DOUBLE units — for timestamp columns the cast is epoch seconds, so
+    ``max_step=3600`` means "no silent gap longer than an hour inside a
+    conversation" (the temporal sibling of MonotoneCheck's ordering rule;
+    reference analog: temporal-extent sanity, taco/datamodel.py extent
+    family). Rides the SAME shared lag window as MonotoneCheck /
+    SequenceCheck — adding a gap bound adds zero scans and zero shuffles —
+    and composes with the chunked skew-proof path, whose boundary
+    reconciliation replays the identical expression on chunk-edge pairs.
+    NULL prev (group/chunk first row) never fires; a NULL current value is
+    a bad-value problem for the row pass, not a gap."""
+
+    value_col: str = ""
+    #: maximum allowed (cur - prev) in double units; None = unbounded above
+    max_step: float | None = None
+    #: minimum allowed (cur - prev); None = unbounded below. A value of 0
+    #: with ``min_step`` duplicates MonotoneCheck — use it for asymmetric
+    #: bands instead.
+    min_step: float | None = None
+
+    def step_bad(self, prev: Column, cur: Column) -> Column:
+        step = cur.cast("double") - prev.cast("double")
+        bad = F.lit(False)
+        if self.max_step is not None:
+            bad = bad | (step > F.lit(float(self.max_step)))
+        if self.min_step is not None:
+            bad = bad | (step < F.lit(float(self.min_step)))
+        return F.coalesce(bad, F.lit(False))
+
+
+@dataclass
 class UniquenessCheck(Check):
     """Key must be unique (reference duplicate-id check,
     tortilla/datamodel.py:235-254). Keys default to the engine key."""
@@ -104,10 +138,17 @@ class SequenceCheck(Check):
     """
 
     value_col: str = ""
-    #: allowed (previous, current) adjacent value pairs
-    allowed: Sequence[tuple[str, str]] = ()
+    #: allowed (previous, current) adjacent value pairs; None = no
+    #: adjacent-pair rule (endpoint-only grammar — the check is skipped in
+    #: the window pass and exists purely for its ``first``/``last`` rules)
+    allowed: Sequence[tuple[str, str]] | None = ()
     #: values the group may OPEN with; None = unconstrained
     first: Sequence[str] | None = None
+    #: values the group may CLOSE with (value at the LARGEST order); None =
+    #: unconstrained. Rides the same endpoint group-agg as ``first`` — a
+    #: ``max_by`` alongside the ``min_by``, one shared shuffle of one row
+    #: per group, correct under window chunking (the agg is global).
+    last: Sequence[str] | None = None
 
     def pair_ok(self, prev: Column, cur: Column) -> Column:
         """Membership of the (prev, cur) pair in the allowed set, as one
@@ -254,19 +295,29 @@ ROLE_TRANSITIONS: tuple[tuple[str, str], ...] = tuple(
 )
 
 
+#: values a conversation may CLOSE with: any in-vocabulary role except the
+#: opening `system` sentinel (a conversation whose final turn is a corrupted
+#: or out-of-vocabulary role fails this rule at its max turn_idx)
+ROLE_LAST: tuple[str, ...] = tuple(r for r in ROLE_VOCAB if r != "system")
+
+
 def role_sequence_check(
     check_id: str = "role_transitions",
-    allowed: Sequence[tuple[str, str]] = ROLE_TRANSITIONS,
+    allowed: Sequence[tuple[str, str]] | None = ROLE_TRANSITIONS,
     first: Sequence[str] | None = ROLE_FIRST,
+    last: Sequence[str] | None = None,
 ) -> SequenceCheck:
     """The role-protocol grammar as a :class:`SequenceCheck` (opt-in: pass
-    it alongside :func:`transcript_checks`)."""
+    it alongside :func:`transcript_checks`). ``allowed=None`` drops the
+    adjacent-pair rule, leaving an endpoint-only grammar (e.g. a pure
+    closing-value check with ``last=ROLE_LAST``)."""
     return SequenceCheck(
         check_id=check_id,
         description="role transitions follow the conversation protocol",
         value_col="role",
-        allowed=tuple(allowed),
+        allowed=tuple(allowed) if allowed is not None else None,
         first=tuple(first) if first is not None else None,
+        last=tuple(last) if last is not None else None,
     )
 
 

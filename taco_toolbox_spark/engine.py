@@ -6,10 +6,11 @@ Pass plan (the scale story — adding checks never adds scans):
   row pass      all RowChecks in ONE shuffle-free projection: per row an
                 array of failed-check structs, array_compact + explode.
                 Filters/column pruning push to the parquet/Iceberg scan.
-  window pass   all MonotoneChecks + SequenceChecks (adjacent-pair grammar)
-                over ONE window (single shuffle on the group key, all lags
-                computed in one Window operator); SequenceCheck opening-
-                value rules ride a min_by group-agg piece.
+  window pass   all MonotoneChecks + GapChecks (bounded adjacent step) +
+                SequenceChecks (adjacent-pair grammar) over ONE window
+                (single shuffle on the group key, all lags computed in one
+                Window operator); SequenceCheck opening/closing-value rules
+                ride one min_by/max_by group-agg piece.
   agg pass      Uniqueness on the full key (fine-grained → no hot key);
                 Contiguity + GroupAggChecks share ONE groupBy(group) agg
                 (Spark's partial aggregation = map-side combine).
@@ -38,6 +39,7 @@ from .checks.base import (
     Check,
     ContiguityCheck,
     DriftCheck,
+    GapCheck,
     GroupAggCheck,
     MonotoneCheck,
     RowCheck,
@@ -239,6 +241,15 @@ def _adjacent_fail(c, prev, cur) -> F.Column:
             F.coalesce(prev.cast("string"), F.lit("null")),
             F.coalesce(cur.cast("string"), F.lit("null")),
         )
+    elif isinstance(c, GapCheck):
+        bad = c.step_bad(prev, cur)
+        detail = F.format_string(
+            f"{c.value_col} step out of "
+            f"[{c.min_step if c.min_step is not None else '-inf'}, "
+            f"{c.max_step if c.max_step is not None else 'inf'}]: %s -> %s",
+            F.coalesce(prev.cast("string"), F.lit("null")),
+            F.coalesce(cur.cast("string"), F.lit("null")),
+        )
     else:
         bad = prev > cur if not c.strict else prev >= cur
         bad = F.coalesce(bad, F.lit(False))
@@ -254,7 +265,7 @@ def _adjacent_fail(c, prev, cur) -> F.Column:
 
 
 def _window_pass(
-    df: DataFrame, checks: list[MonotoneCheck | SequenceCheck], cfg: EngineConfig
+    df: DataFrame, checks: list[MonotoneCheck | GapCheck | SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
     # keyed (partition, group) like every other pass: one shared exchange,
     # and attribution stays correct even if a group spans partitions
@@ -275,7 +286,7 @@ def _window_pass(
 
 
 def _window_pass_chunked(
-    df: DataFrame, checks: list[MonotoneCheck | SequenceCheck], cfg: EngineConfig
+    df: DataFrame, checks: list[MonotoneCheck | GapCheck | SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
     """Skew-proof adjacent-pair pass: windows over (group, order-chunk)
     bound every task to ≤ chunk_size rows even for a single enormous
@@ -351,51 +362,75 @@ def _window_pass_chunked(
     return in_chunk.unionAll(boundary)
 
 
-def _seq_first_pass(
+def _seq_endpoint_pass(
     df: DataFrame, checks: list[SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
-    """Opening-value rule of SequenceChecks: per group, the value at the
-    smallest order must be in ``check.first``. One groupBy over
-    (partition, group) — ``min``/``min_by`` partial-aggregate map-side, so
-    the shuffle carries one row per group per task regardless of group
-    size (hot conversations included), and the rule sees the TRUE first
-    row even when the window pass runs chunked."""
-    aggs = [F.min(F.col(cfg.order_col)).alias("_first_idx")]
+    """Endpoint rules of SequenceChecks: per group, the value at the
+    smallest order must be in ``check.first`` and/or the value at the
+    LARGEST order in ``check.last``. ONE groupBy over (partition, group)
+    for every endpoint rule in the battery — ``min``/``min_by``/``max_by``
+    partial-aggregate map-side, so the shuffle carries one row per group
+    per task regardless of group size (hot conversations included), and
+    the rules see the TRUE first/last rows even when the window pass runs
+    chunked. Opening violations land at the group's min order, closing
+    violations at its max order."""
+    aggs = [
+        F.min(F.col(cfg.order_col)).alias("_first_idx"),
+        F.max(F.col(cfg.order_col)).alias("_last_idx"),
+    ]
     for c in checks:
-        aggs.append(
-            F.min_by(F.col(c.value_col), F.col(cfg.order_col)).alias(
-                f"_v_{c.check_id}"
+        if c.first is not None:
+            aggs.append(
+                F.min_by(F.col(c.value_col), F.col(cfg.order_col)).alias(
+                    f"_vf_{c.check_id}"
+                )
             )
-        )
+        if c.last is not None:
+            aggs.append(
+                F.max_by(F.col(c.value_col), F.col(cfg.order_col)).alias(
+                    f"_vl_{c.check_id}"
+                )
+            )
     g = df.groupBy(
         F.col(cfg.partition_col).cast("string").alias("part"),
         F.col(cfg.group_col).cast("string").alias("conv_id"),
     ).agg(*aggs)
+
+    # one projection over the single agg: each failed-rule struct carries
+    # its OWN coordinate (min order for opening rules, max order for
+    # closing rules), so both rule families ride one branch — the agg is
+    # never evaluated twice
     structs = []
     for c in checks:
-        v = F.col(f"_v_{c.check_id}")
-        ok = F.coalesce(v.isin(list(c.first)), F.lit(False))
-        structs.append(
-            F.when(
-                ~ok,
-                F.struct(
-                    F.lit(c.check_id).alias("check_id"),
-                    F.format_string(
-                        f"first {c.value_col} not in {sorted(c.first)}: %s",
-                        F.coalesce(v.cast("string"), F.lit("null")),
-                    ).alias("detail"),
-                ),
+        for kind, vocab, idx in (
+            ("first", c.first, "_first_idx"),
+            ("last", c.last, "_last_idx"),
+        ):
+            if vocab is None:
+                continue
+            v = F.col(f"_v{kind[0]}_{c.check_id}")
+            ok = F.coalesce(v.isin(list(vocab)), F.lit(False))
+            structs.append(
+                F.when(
+                    ~ok,
+                    F.struct(
+                        F.lit(c.check_id).alias("check_id"),
+                        F.format_string(
+                            f"{kind} {c.value_col} not in {sorted(vocab)}: %s",
+                            F.coalesce(v.cast("string"), F.lit("null")),
+                        ).alias("detail"),
+                        F.col(idx).cast("int").alias("turn_idx"),
+                    ),
+                )
             )
-        )
     fails = g.select(
         "part",
         "conv_id",
-        F.col("_first_idx").cast("int").alias("turn_idx"),
         F.array_compact(F.array(*structs)).alias("fails"),
     ).filter(F.size("fails") > 0)
     return fails.select(
-        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
-    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+        "part", F.explode("fails").alias("f"), "conv_id"
+    ).select("part", "f.check_id", "conv_id", "f.turn_idx", "f.detail")
 
 
 def _uniqueness_pass(
@@ -541,6 +576,7 @@ def run_validation(
 
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
+    gap_checks = [c for c in checks if isinstance(c, GapCheck)]
     seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
     contig_checks = [c for c in checks if isinstance(c, ContiguityCheck)]
@@ -552,15 +588,23 @@ def run_validation(
     pieces: list[DataFrame] = []
     if row_checks:
         pieces.append(_row_pass(df, row_checks, cfg))
-    adj_checks = mono_checks + seq_checks  # one shared lag window
+    # one shared lag window for every adjacent-pair rule; endpoint-only
+    # SequenceChecks (allowed=None) have no pair rule and skip it
+    adj_checks = (
+        mono_checks
+        + gap_checks
+        + [c for c in seq_checks if c.allowed is not None]
+    )
     if adj_checks:
         if cfg.window_chunk_size:
             pieces.append(_window_pass_chunked(df, adj_checks, cfg))
         else:
             pieces.append(_window_pass(df, adj_checks, cfg))
-    seq_first = [c for c in seq_checks if c.first is not None]
-    if seq_first:
-        pieces.append(_seq_first_pass(df, seq_first, cfg))
+    seq_endpoint = [
+        c for c in seq_checks if c.first is not None or c.last is not None
+    ]
+    if seq_endpoint:
+        pieces.append(_seq_endpoint_pass(df, seq_endpoint, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
         if (

@@ -297,17 +297,29 @@ def test_categorical_tv_one_input_shuffle_and_broadcast_grid(spark):
 
 
 def test_sequence_check_shares_window_with_monotone(spark, corpus):
-    """Adding the role grammar to a battery that already has ts_monotone
-    must NOT add a window operator or an exchange: both adjacent-pair
-    checks ride one lag window."""
-    from taco_toolbox_spark.checks import MonotoneCheck, role_sequence_check
+    """Adding the role grammar AND a gap bound to a battery that already
+    has ts_monotone must NOT add a window operator or an exchange: every
+    adjacent-pair check rides one lag window."""
+    from taco_toolbox_spark.checks import (
+        GapCheck,
+        MonotoneCheck,
+        role_sequence_check,
+    )
     from taco_toolbox_spark.engine import _window_pass
 
     mono = MonotoneCheck(check_id="ts_monotone", value_col="ts")
     cfg = EngineConfig()
     base = _plan(_window_pass(corpus.corrupted, [mono], cfg))
     both = _plan(
-        _window_pass(corpus.corrupted, [mono, role_sequence_check()], cfg)
+        _window_pass(
+            corpus.corrupted,
+            [
+                mono,
+                role_sequence_check(),
+                GapCheck(check_id="ts_gap", value_col="ts", max_step=120),
+            ],
+            cfg,
+        )
     )
     assert both.count("Window") == base.count("Window")
     assert both.count("Exchange") == base.count("Exchange")

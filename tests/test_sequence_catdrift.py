@@ -186,3 +186,113 @@ def test_categorical_state_roundtrip(spark, tmp_path):
     tv = categorical_tv(df, "role", "part", merged)
     assert {r["part"]: r["n_part"] for r in tv.collect()} == {"p1": 5, "p2": 2}
     assert merged_categorical_from_manifest(m2, "absent") == {}
+
+
+def test_gap_check_max_and_min_step(spark):
+    """GapCheck flags adjacent steps above max_step / below min_step; the
+    violation lands on the CURRENT row of the bad pair; NULL values never
+    fire (they are the row pass's problem)."""
+    import datetime as dt
+
+    from taco_toolbox_spark.checks import GapCheck
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "a", 0, "system", s(0)),
+            ("p1", "a", 1, "user", s(30)),
+            ("p1", "a", 2, "assistant", s(7200)),  # +7170s > max
+            ("p1", "a", 3, "user", s(7100)),       # -100s < min
+            ("p1", "b", 0, "system", s(0)),
+            ("p1", "b", 1, "user", None),          # NULL never fires
+            ("p1", "b", 2, "assistant", s(60)),
+        ],
+        SCHEMA,
+    )
+    res = run_validation(
+        df,
+        [GapCheck(check_id="ts_gap", value_col="ts", max_step=120, min_step=0)],
+    )
+    assert _viols(res) == {("a", 2), ("a", 3)}
+
+
+def test_gap_check_chunked_parity_and_boundary(spark):
+    """The skew-proof chunked window realizes identical gap violations,
+    including a bad step exactly at a chunk boundary (turn 1 -> 2 with
+    chunk=2)."""
+    import datetime as dt
+
+    from taco_toolbox_spark.checks import GapCheck
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("p1", "a", i, "user", t0 + dt.timedelta(seconds=sec))
+        for i, sec in enumerate([0, 30, 7200, 7230, 99999, 99999 + 60])
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    checks = [GapCheck(check_id="ts_gap", value_col="ts", max_step=120)]
+    plain = run_validation(df, checks)
+    chunked = run_validation(df, checks, EngineConfig(window_chunk_size=2))
+    assert _viols(plain) == _viols(chunked) == {("a", 2), ("a", 4)}
+
+
+def test_sequence_last_rule_endpoint_only(spark):
+    """allowed=None drops the adjacent-pair rule: an endpoint-only grammar
+    judges the closing value at the group's max turn_idx and nothing else
+    (the mid-conversation narrator is NOT this check's problem)."""
+    from taco_toolbox_spark.checks import ROLE_LAST, role_sequence_check
+
+    df = _frame(
+        spark,
+        [
+            ("p1", "a", 0, "system"),
+            ("p1", "a", 1, "narrator"),   # mid-conv: not flagged here
+            ("p1", "a", 2, "assistant"),  # closes fine
+            ("p1", "b", 0, "system"),
+            ("p1", "b", 3, "narrator"),   # closes badly -> flagged at 3
+            ("p1", "c", 0, "system"),     # single-turn conv closing 'system'
+        ],
+    )
+    res = run_validation(
+        df,
+        [
+            role_sequence_check(
+                check_id="role_close", allowed=None, first=None, last=ROLE_LAST
+            )
+        ],
+    )
+    assert _viols(res) == {("b", 3), ("c", 0)}
+
+
+def test_sequence_first_and_last_share_one_agg(spark, corpus):
+    """Opening and closing rules of the same battery compile into ONE
+    group aggregation (a single Aggregate keyed by (part, conv_id)), and
+    together report exactly the union of each rule run alone."""
+    from taco_toolbox_spark.checks import ROLE_LAST, role_sequence_check
+    from taco_toolbox_spark.engine import _seq_endpoint_pass
+
+    both = role_sequence_check(
+        check_id="role_endpoints", allowed=None, last=ROLE_LAST
+    )
+    out = _seq_endpoint_pass(corpus.corrupted, [both], EngineConfig())
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+    only_first = run_validation(
+        corpus.corrupted,
+        [role_sequence_check(check_id="role_endpoints", allowed=None)],
+    )
+    only_last = run_validation(
+        corpus.corrupted,
+        [
+            role_sequence_check(
+                check_id="role_endpoints", allowed=None, first=None,
+                last=ROLE_LAST,
+            )
+        ],
+    )
+    combined = run_validation(corpus.corrupted, [both])
+    assert _viols(combined) == _viols(only_first) | _viols(only_last)

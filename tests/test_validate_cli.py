@@ -319,6 +319,8 @@ def test_validate_cli_role_grammar_and_cat_drift(spark, corpus_dir, tmp_path):
             "--baseline", f"{corpus_dir}/transcripts_baseline",
             "--output", out,
             "--role-grammar",
+            "--role-close",
+            "--max-gap", "120",
             "--cat-drift", "role",
             "--cat-drift-threshold", "0.25",
             "--record-sketches",
@@ -344,10 +346,12 @@ def test_validate_cli_role_grammar_and_cat_drift(spark, corpus_dir, tmp_path):
     )
     verd = spark.read.parquet(os.path.join(out, "verdicts"))
     checks = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
-    assert {"role_transitions", "role_cat_drift"} <= checks
+    assert {"role_transitions", "role_close", "ts_gap", "role_cat_drift"} <= checks
     viol = spark.read.parquet(os.path.join(out, "violations"))
     n_grammar = viol.filter("check_id = 'role_transitions'").count()
     assert n_grammar > 0  # bad_role injections must surface
+    # ts_regress recovery jumps (~+3600s) must surface as gap violations
+    assert viol.filter("check_id = 'ts_gap'").count() > 0
     # the CLI's drift verdicts must equal a direct categorical_tv pass
     # (small partitions CAN legitimately drift by sampling noise — what is
     # on trial is that the CLI judges exactly the same set)
