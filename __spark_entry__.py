@@ -440,6 +440,27 @@ def q_dedup_substring_run(spark, sf_dir):
     )
 
 
+def q_dedup_common_spans(spark, sf_dir):
+    """Segment-level boilerplate removal (dedup/lines.py): the line-dedup
+    stage of web-corpus curation (repeated headers/footers/canned notices)
+    generalized to newline-free text — a segment is an aligned 6-word
+    block, boilerplate when its exact text occurs in >= 2 distinct
+    documents, and cleaned text splices the flagged blocks out preserving
+    survivor order. Segmentation is a higher-order-function expression
+    over the split array (no word-level explode/regroup shuffle); the
+    removal map carries ONLY (doc_id, removed-block-indexes) for affected
+    docs — full text never crosses a second shuffle. The oracle replays
+    the identical blocking + frequency + splice in DuckDB SQL."""
+    from taco_toolbox_spark.dedup.lines import remove_common_segments
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_common_segments(d, min_docs=2, block_words=6)
+    return (
+        out.filter(F.col("n_removed") > 0)
+        .select("doc_id", "n_removed", "text_clean")
+    )
+
+
 def q_i1_incremental_dedup(spark, sf_dir):
     """Incremental corpus-update dedup (dedup/incremental.py): docs with
     doc_id % 3 == 0 arrive as the NEW batch against the rest as the
@@ -941,6 +962,26 @@ def q_v15_turn_gap(spark, sf_dir):
     return res.violations.select("part", "check_id", "conv_id", "turn_idx")
 
 
+def q_a10_transition_matrix(spark, sf_dir):
+    """Role transition matrix (operators/distribution.py:transition_matrix):
+    adjacent (prev, cur) role-pair counts across all conversations — the
+    structural profile of a transcript corpus and the empirical basis for
+    a SequenceCheck's ``allowed`` set (an `x -> system` count here IS the
+    grammar violation v13 flags). One lag window (the same shuffle-key
+    shape as the validation battery) into one map-side-combined count.
+    Oracle: identical lag()/count SQL."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.distribution import transition_matrix
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return transition_matrix(
+        corpus.corrupted, "conv_id", "turn_idx", "role"
+    ).select("prev", "cur", F.col("n").cast("bigint").alias("n"))
+
+
 def q_d2_cat_drift(spark, sf_dir):
     """Per-day categorical drift of event_type vs the corpus-wide
     distribution: EXACT total-variation distance, each category's term the
@@ -1315,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "dedup_substring_run": q_dedup_substring_run,
+        "dedup_common_spans": q_dedup_common_spans,
         "i1_incremental_dedup": q_i1_incremental_dedup,
         "text_distinctive_terms": q_text_distinctive_terms,
         "d1_decontaminate": q_d1_decontaminate,
@@ -1354,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v13_role_seq": q_v13_role_seq,
         "v14_role_close": q_v14_role_close,
         "v15_turn_gap": q_v15_turn_gap,
+        "a10_transition_matrix": q_a10_transition_matrix,
         "d2_cat_drift": q_d2_cat_drift,
     }
 
@@ -2108,6 +2151,18 @@ def oracle_sql() -> dict[str, str]:
                 arg_max(role, turn_idx) IN ('user', 'assistant', 'tool'),
                 FALSE)
         """,
+        "a10_transition_matrix": f"""
+            WITH p AS (
+              SELECT role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            )
+            SELECT prev, role AS cur, count(*)::BIGINT AS n
+            FROM p WHERE rn > 1 GROUP BY prev, role
+        """,
         "v15_turn_gap": f"""
             WITH p AS (
               SELECT part, conv_id, turn_idx, ts,
@@ -2375,6 +2430,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS max_run_tokens,
                    count(*) AS n_runs
             FROM runs GROUP BY id_a, id_b
+        """,
+        "dedup_common_spans": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+              FROM documents
+            ), b AS (
+              SELECT doc_id, pos // 6 AS blk,
+                     string_agg(word, ' ' ORDER BY pos) AS seg
+              FROM w GROUP BY doc_id, pos // 6
+            ), c AS (
+              SELECT seg FROM b GROUP BY seg
+              HAVING count(DISTINCT doc_id) >= 2
+            ), j AS (
+              SELECT b.doc_id, b.blk, b.seg, c.seg IS NOT NULL AS hit
+              FROM b LEFT JOIN c ON b.seg = c.seg
+            )
+            SELECT doc_id,
+                   count(*) FILTER (hit)::INT AS n_removed,
+                   coalesce(string_agg(seg, ' ' ORDER BY blk)
+                            FILTER (NOT hit), '') AS text_clean
+            FROM j GROUP BY doc_id
+            HAVING count(*) FILTER (hit) > 0
         """,
         # batch split replayed on the shared shingle CTEs; md5 key matches
         # the Spark portable_key path (same normalization, same hex)

@@ -91,3 +91,33 @@ def top_fraction_per_group(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(keep_fraction)))
         .drop("_rn", "_n")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Adjacent-pair (Markov transition) counts of a categorical column
+    within groups: ``(prev, cur, n)`` over consecutive rows by
+    ``order_col`` — the structural profile a transcript corpus is audited
+    with (which role follows which, how often a tool call is answered),
+    and the empirical basis for a SequenceCheck's ``allowed`` set. One lag
+    window (shared shuffle key shape with the validation battery) into one
+    map-side-combined count; NULL values count as a category (they are
+    real protocol states), group-opening rows have no prev and are
+    excluded. ``normalize=True`` adds each row's probability within its
+    ``prev`` (a tiny per-prev window over |vocab|^2 rows)."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    pairs = df.select(
+        F.lag(F.col(value_col)).over(w).alias("prev"),
+        F.col(value_col).alias("cur"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") > 1)
+    out = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    if normalize:
+        wp = Window.partitionBy("prev")
+        out = out.withColumn("p", F.col("n") / F.sum("n").over(wp))
+    return out

@@ -311,3 +311,35 @@ def test_greedy_pack_bins_map_column_schema(spark):
     assert sorted(by_bin) == list(range(len(by_bin)))
     got = {r["id"]: r["bin_id"] for r in rows_out}
     assert all(got[i] <= got[i + 1] for i in range(29))
+
+
+def test_transition_matrix_counts_and_normalize(spark):
+    """Adjacent-pair counts exclude group-opening rows but DO count a NULL
+    previous VALUE as a real category; normalize gives per-prev rows
+    summing to 1."""
+    from taco_toolbox_spark.operators.distribution import transition_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "system"), ("a", 1, "user"), ("a", 2, "assistant"),
+            ("b", 0, "system"), ("b", 1, None), ("b", 2, "user"),
+            ("c", 0, "system"), ("c", 1, "user"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    m = {
+        (r["prev"], r["cur"]): r["n"]
+        for r in transition_matrix(df, "conv_id", "turn_idx", "role").collect()
+    }
+    assert m == {
+        ("system", "user"): 2,
+        ("user", "assistant"): 1,
+        ("system", None): 1,
+        (None, "user"): 1,
+    }
+    norm = transition_matrix(df, "conv_id", "turn_idx", "role", normalize=True)
+    sums = {
+        r["prev"]: r["s"]
+        for r in norm.groupBy("prev").agg(F.sum("p").alias("s")).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
