@@ -461,6 +461,37 @@ def q_dedup_common_spans(spark, sf_dir):
     )
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm — dedup/winnow.py): each document's selected (position,
+    hash) set, where every window of w=4 consecutive word-3-gram hashes
+    contributes its minimum (leftmost tie-break). Any shared run of >=
+    w+k-1 words between two documents is guaranteed to collide on a
+    selected fingerprint, at ~2/(w+1) the storage of the full shingle
+    set — the bounded-state screen a 100-TB pipeline persists per doc.
+    Entirely higher-order-function expressions (one projection, no
+    word-level shuffle); the hash is the repo's engine-portable md5
+    prefix, so DuckDB replays selection bit-for-bit."""
+    from taco_toolbox_spark.dedup.winnow import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Candidate near-dup pairs by shared winnowing fingerprints
+    (dedup/winnow.py): distinct selected hashes per doc, boilerplate cap
+    (hash in > 100 docs dropped), equi-join on the hash, pairs with >= 2
+    shared fingerprints. The fingerprint-set join replaces a full shingle
+    join at ~40% the state with the same run-detection guarantee."""
+    from taco_toolbox_spark.dedup.winnow import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, "text", "doc_id", k=3, w=4, min_shared=2, max_hash_freq=100
+    )
+
+
 def q_i1_incremental_dedup(spark, sf_dir):
     """Incremental corpus-update dedup (dedup/incremental.py): docs with
     doc_id % 3 == 0 arrive as the NEW batch against the rest as the
@@ -1357,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "dedup_substring_run": q_dedup_substring_run,
         "dedup_common_spans": q_dedup_common_spans,
+        "text_winnow": q_text_winnow,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "i1_incremental_dedup": q_i1_incremental_dedup,
         "text_distinctive_terms": q_text_distinctive_terms,
         "d1_decontaminate": q_d1_decontaminate,
@@ -2453,6 +2486,86 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (NOT hit), '') AS text_clean
             FROM j GROUP BY doc_id
             HAVING count(*) FILTER (hit) > 0
+        """,
+        # winnowing selection replayed relationally: k=3 word grams,
+        # 32-bit md5-prefix hash, w=4 windows (frame min), leftmost-min
+        # position via a per-window arg-min join, DISTINCT collapses
+        # adjacent windows selecting the same fingerprint. Full windows
+        # only (j <= ng - w) except the short-doc single window at j=0.
+        "text_winnow": """
+            WITH wds AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+              FROM documents
+            ), g AS (
+              SELECT doc_id, pos,
+                     concat_ws(' ', word,
+                       lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                     ) AS gram,
+                     count(*) OVER (PARTITION BY doc_id) AS n_words
+              FROM wds
+            ), gh AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h,
+                     (n_words - 2)::INT AS ng
+              FROM g WHERE pos <= n_words - 3
+            ), m AS (
+              SELECT doc_id, pos AS j, ng,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS minh
+              FROM gh
+            ), wins AS (
+              SELECT doc_id, j, minh FROM m
+              WHERE j <= greatest(ng - 4, 0)
+            ), sel AS (
+              SELECT w.doc_id, min(g2.pos) AS pos, w.minh AS h
+              FROM wins w JOIN gh g2
+                ON g2.doc_id = w.doc_id
+               AND g2.pos BETWEEN w.j AND w.j + 3
+               AND g2.h = w.minh
+              GROUP BY w.doc_id, w.j, w.minh
+            )
+            SELECT DISTINCT doc_id, pos::INT AS pos, h FROM sel
+        """,
+        "dedup_winnow_pairs": """
+            WITH wds AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+              FROM documents
+            ), g AS (
+              SELECT doc_id, pos,
+                     concat_ws(' ', word,
+                       lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                     ) AS gram,
+                     count(*) OVER (PARTITION BY doc_id) AS n_words
+              FROM wds
+            ), gh AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h,
+                     (n_words - 2)::INT AS ng
+              FROM g WHERE pos <= n_words - 3
+            ), m AS (
+              SELECT doc_id, pos AS j, ng,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS minh
+              FROM gh
+            ), fp AS (
+              SELECT DISTINCT doc_id, minh AS h FROM m
+              WHERE j <= greatest(ng - 4, 0)
+            ), capped AS (
+              SELECT h FROM fp GROUP BY h HAVING count(*) <= 100
+            ), fpc AS (
+              SELECT fp.doc_id, fp.h FROM fp JOIN capped USING (h)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         # batch split replayed on the shared shingle CTEs; md5 key matches
         # the Spark portable_key path (same normalization, same hex)

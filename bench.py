@@ -75,6 +75,9 @@ HEADLINE = [
     "i1_incremental_dedup",  # new batch vs existing corpus (key joins only)
     "text_distinctive_terms",  # integer TF-IDF-shaped top-k per doc
     "d2_cat_drift",       # exact categorical TV drift per day
+    "dedup_common_spans",  # aligned-block boilerplate removal + splice
+    "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
+    "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
@@ -261,9 +264,31 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
     # colocated=True: corpus and baseline share the conv_id-bucketed layout,
     # so the text-equality key join is exchange-free and the direct
     # single-scan plan beats the shuffle-avoiding fingerprint plan
+    from taco_toolbox_spark.checks import (
+        GapCheck,
+        ROLE_LAST,
+        role_sequence_check,
+    )
+
+    # the round-5 check family rides existing passes (grammar + gap share
+    # the battery's lag window, endpoint rules one group-agg), so benching
+    # them INSIDE the battery is the scale claim made measurable: the
+    # validated-turns/sec headline now covers 3 more checks for ~zero
+    # added scan cost
     checks = transcript_checks(
         reference=ref, drift_baseline=baseline_q, colocated=True
-    )
+    ) + [
+        role_sequence_check(),
+        role_sequence_check(
+            check_id="role_close", allowed=None, first=None, last=ROLE_LAST
+        ),
+        GapCheck(
+            check_id="ts_gap",
+            description="consecutive turns <= 120s apart",
+            value_col="ts",
+            max_step=120,
+        ),
+    ]
     from taco_toolbox_spark.stats import column_stats
 
     # best-of-N with per-stage timings: the sandbox is a shared box (the

@@ -1,0 +1,135 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+the MOSS local fingerprinting algorithm) as pure JVM column expressions.
+
+Each document yields the set of (position, hash) pairs selected by
+winnowing its word k-gram hashes: every window of ``w`` consecutive gram
+hashes contributes its minimum (leftmost position on ties), duplicates
+collapsed. The guarantee: any shared run of at least ``w + k - 1`` words
+between two documents produces at least one IDENTICAL selected
+fingerprint in both — so near-dup detection joins on the (much smaller)
+fingerprint sets instead of all shingles. Density is ~2/(w+1) of the
+gram count, which is the whole point at 100 TB: the join-side state per
+document shrinks by ~(w+1)/2 versus a full shingle join with the same
+run-detection guarantee (dedup/substring.py is the exact-run
+complement; this is the bounded-state screen).
+
+Implementation notes (scale):
+  * Gram hashing, windowing, min-selection, and dedup are ALL
+    higher-order-function expressions over the split array — one
+    projection, no word-level explode/regroup shuffle; the only shuffle
+    in pair finding is the equi-join on the selected hash.
+  * The hash is the engine-portable md5 prefix (32-bit) used by every
+    oracled pipeline replica in this repo — DuckDB reproduces it
+    bit-for-bit. Tie frequency at 32 bits is negligible for selection
+    (ties resolve leftmost deterministically anyway).
+  * Hot (boilerplate) fingerprints are frequency-capped in the pair
+    join, the same discipline as the shingle/minhash paths.
+
+Reference analog: content-digest duplicate detection
+(tortilla/datamodel.py:235-254), realized as the sub-document
+fingerprint a curation pipeline actually stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_hashes(text: Column, k: int) -> Column:
+    """Array of 32-bit md5-prefix hashes of the k-word grams of ``text``
+    (empty array when the text has fewer than k words; NULL for NULL)."""
+    words = F.split(text, " ")
+    ng = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    arr = F.transform(
+        # sequence throws on start > stop: clamp, and return empty below
+        F.sequence(F.lit(1), F.greatest(ng, F.lit(1)), F.lit(1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.when(ng < 1, F.array().cast("array<bigint>")).otherwise(arr)
+
+
+def winnow_selection(text: Column, k: int = 3, w: int = 4) -> Column:
+    """The winnowing fingerprint set of ``text`` as an array of
+    ``struct(pos int, h long)`` — ``pos`` is the 0-based gram position.
+    Documents with fewer than ``w`` grams contribute the single minimum
+    of all their grams (the standard short-document convention)."""
+    hs = _gram_hashes(text, k)
+    ng = F.size(hs)
+    n_windows = F.greatest(ng - (w - 1), F.least(ng, F.lit(1)))
+    sel = F.transform(
+        # sequence is 0-based window starts; slice is 1-based. sequence
+        # throws on start > stop: clamp, and return empty below
+        F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0)), F.lit(1)),
+        lambda j: F.struct(
+            (
+                j
+                + F.array_position(
+                    F.slice(hs, j + 1, w),
+                    F.array_min(F.slice(hs, j + 1, w)),
+                )
+                - 1
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(hs, j + 1, w)).alias("h"),
+        ),
+    )
+    return F.when(
+        ng < 1, F.array().cast("array<struct<pos:int,h:bigint>>")
+    ).otherwise(F.array_distinct(sel))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Exploded fingerprint table ``(id_col, pos, h)`` — what a curation
+    pipeline persists per document. One narrow projection + explode;
+    column pruning keeps the scan to (id, text)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(winnow_selection(F.col(text_col), k, w)).alias("fp"),
+    ).select(id_col, "fp.pos", "fp.h")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_freq: int = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` and at least
+    ``min_shared`` shared selected hashes. Hashes selected by more than
+    ``max_hash_freq`` documents are boilerplate and dropped before the
+    self-join (the skew cap every candidate-pair path in this repo
+    applies); the join is a plain equi-join on the hash — never
+    all-pairs."""
+    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("_id"), "h"
+    ).distinct()
+    capped = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_hash_freq)
+        .select("h")
+    )
+    fp = fp.join(capped, "h")
+    a = fp.select(F.col("_id").alias("id_a"), "h")
+    b = fp.select(F.col("_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,114 @@
+"""Winnowing fingerprints (dedup/winnow.py)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from taco_toolbox_spark.dedup.winnow import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+    winnow_selection,
+)
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+def _ref_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Independent Python reference: leftmost-min winnowing."""
+    words = text.split(" ")
+    hs = [_h(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)]
+    if not hs:
+        return set()
+    out = set()
+    n_windows = max(len(hs) - w + 1, 1)
+    for j in range(n_windows):
+        win = hs[j : j + w]
+        m = min(win)
+        out.add((j + win.index(m), m))
+    return out
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        "a b c d e f g h i j k l m",
+        "q r s t u v w x",
+        "one two three",          # exactly k words -> 1 gram
+        "one two",                # < k words -> empty
+        "z z z z z z z z",        # all-equal grams: leftmost ties
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    want = {
+        (i, p, h) for i, t in enumerate(texts) for (p, h) in _ref_winnow(t)
+    }
+    assert got == want and got
+
+
+def test_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id int, text string"
+    )
+    assert winnow_fingerprints(df).count() == 0
+
+
+def test_shared_run_guarantee(spark):
+    """Two documents sharing a run of >= w + k - 1 words must share at
+    least one selected fingerprint (the winnowing guarantee)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"p q r {shared} s t u"),
+            (2, f"{shared} completely different tail here"),
+            (3, "nothing in common with those at all"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_selection_density(spark):
+    """Winnowing stores far fewer fingerprints than the full gram set —
+    expected density ~2/(w+1); assert a loose upper bound on real data."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(100)
+    )
+    n_grams = df.select(
+        F.sum(F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)))
+    ).first()[0]
+    n_sel = winnow_fingerprints(df, k=3, w=4).count()
+    assert 0 < n_sel < 0.6 * n_grams  # 2/(w+1)=0.4 expected
+
+
+def test_plan_python_free(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    plan = (
+        winnow_fingerprints(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_overlap_pairs_capped(spark):
+    """A hash selected by more docs than max_hash_freq is dropped before
+    the self-join (boilerplate cap)."""
+    boiler = "x y z x y z x y z"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id int, text string"
+    )
+    assert winnow_overlap_pairs(df, min_shared=1, max_hash_freq=4).count() == 0
+    assert winnow_overlap_pairs(df, min_shared=1, max_hash_freq=5).count() == 10
