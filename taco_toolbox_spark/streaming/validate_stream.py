@@ -81,6 +81,7 @@ def transcript_violations_stateful(
     check_ids: tuple[str, ...] = ("ts_monotone", "unique_turn", "turn_contiguous"),
     output_mode: str = "update",
     role_col: str | None = None,
+    max_gap_s: float | None = None,
 ) -> DataFrame:
     """The batch engine's per-conversation battery — monotone ts,
     (group, order) uniqueness, order contiguity — on a STREAM via
@@ -114,6 +115,10 @@ def transcript_violations_stateful(
       highest turn) + one opened flag; pair tests are a vectorized
       str.cat + isin over the batch, boundary row vs state — exact under
       the same in-turn-order arrival contract as ts_monotone.
+    - ts_gap (when ``max_gap_s`` is given): the batch GapCheck's bounded
+      adjacent step on the stream — consecutive turns more than
+      ``max_gap_s`` seconds apart. Reuses the monotone pass's shifted-ts
+      vector and the SAME (last_turn, last_ts) state — zero added state.
     """
     import numpy as np
     import pandas as pd
@@ -189,21 +194,87 @@ def transcript_violations_stateful(
                 )
                 pdf = pdf[~bad_key]
 
-            if do_mono and len(pdf):
+            if (do_mono or max_gap_s is not None) and len(pdf):
                 prev_ts = pdf[ts_col].shift()
                 if last_ts is not None:
                     prev_ts.iloc[0] = last_ts
-                bad = prev_ts > pdf[ts_col]
-                if bad.any():
-                    v = pdf[bad]
+                if do_mono:
+                    bad = prev_ts > pdf[ts_col]
+                    if bad.any():
+                        v = pdf[bad]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    group_col: v[group_col],
+                                    order_col: v[order_col],
+                                    ts_col: v[ts_col],
+                                    "check_id": "ts_monotone",
+                                    "detail": "ts regression (stateful)",
+                                    "passed": False,
+                                }
+                            )
+                        )
+                if max_gap_s is not None:
+                    # same shifted vector as monotone: NaT prev never fires
+                    gap = (pdf[ts_col] - prev_ts).dt.total_seconds()
+                    bad_gap = gap > max_gap_s
+                    if bad_gap.any():
+                        v = pdf[bad_gap]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    group_col: v[group_col],
+                                    order_col: v[order_col],
+                                    ts_col: v[ts_col],
+                                    "check_id": "ts_gap",
+                                    "detail": f"gap > {max_gap_s}s (stateful)",
+                                    "passed": False,
+                                }
+                            )
+                        )
+
+            if role_col and len(pdf):
+                roles = pdf[role_col].astype("string")
+                prev_role = roles.shift()
+                if not opened:
+                    # opening rule: the conversation's first arriving row
+                    # (lowest turn this batch — exact under in-turn-order
+                    # arrival) must open with an allowed role
+                    if str(roles.iloc[0]) not in first_roles:
+                        v = pdf.iloc[[0]]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    group_col: v[group_col],
+                                    order_col: v[order_col],
+                                    ts_col: v[ts_col],
+                                    "check_id": "role_transitions",
+                                    "detail": "opening role not allowed "
+                                    "(stateful)",
+                                    "passed": False,
+                                }
+                            )
+                        )
+                elif last_role is not None:
+                    prev_role.iloc[0] = last_role
+                opened = True
+                pair = prev_role.str.cat(roles, sep="\x1f", na_rep=None)
+                bad_pair = (
+                    (prev_role.notna() & ~pair.isin(allowed_keys).fillna(False))
+                    .fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+                if bad_pair.any():
+                    v = pdf[bad_pair]
                     frames.append(
                         pd.DataFrame(
                             {
                                 group_col: v[group_col],
                                 order_col: v[order_col],
                                 ts_col: v[ts_col],
-                                "check_id": "ts_monotone",
-                                "detail": "ts regression (stateful)",
+                                "check_id": "role_transitions",
+                                "detail": "role transition not allowed "
+                                "(stateful)",
                                 "passed": False,
                             }
                         )
@@ -320,27 +391,33 @@ def transcript_violations_stateful(
                 # ts of the HIGHEST turn (not max ts): the next batch's
                 # boundary row must compare against its predecessor by
                 # turn order, matching the batch lag-window semantics
-                last_ts = pdf[ts_col].iloc[
-                    int(np.flatnonzero(idx == mt)[-1])
-                ]
+                hi = int(np.flatnonzero(idx == mt)[-1])
+                last_ts = pdf[ts_col].iloc[hi]
+                if role_col:
+                    r = pdf[role_col].iloc[hi]
+                    last_role = None if pd.isna(r) else str(r)
             for f in frames:
                 f["n_seen"] = n_rows
                 yield f
 
-        state.update(
-            (
-                last_turn,
-                last_ts,
-                seen.tobytes() if seen is not None else None,
-                dup.tobytes() if dup is not None else None,
-                n_rows,
-                contig_bad,
-                overflow,
-            )
+        new_state = (
+            last_turn,
+            last_ts,
+            seen.tobytes() if seen is not None else None,
+            dup.tobytes() if dup is not None else None,
+            n_rows,
+            contig_bad,
+            overflow,
         )
+        if role_col:
+            new_state += (last_role, opened)
+        state.update(new_state)
 
+    cols = [group_col, order_col, ts_col]
+    if role_col:
+        cols.append(role_col)
     return (
-        stream_df.select(group_col, order_col, ts_col)
+        stream_df.select(*cols)
         .groupBy(group_col)
         .applyInPandasWithState(
             fn,
@@ -546,16 +623,21 @@ def run_battery_smoke(
     parquet_dir: str,
     query_name: str = "stream_battery",
     max_files_per_trigger: int = 8,
+    role_col: str | None = None,
+    max_gap_s: float | None = None,
 ):
-    """Drive the full stateful battery (monotone/uniqueness/contiguity)
-    over a bounded parquet dir with the memory sink."""
+    """Drive the full stateful battery (monotone/uniqueness/contiguity,
+    plus role grammar / gap bound when requested) over a bounded parquet
+    dir with the memory sink."""
     static = spark.read.parquet(parquet_dir)
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(parquet_dir)
     )
-    out = transcript_violations_stateful(stream)
+    out = transcript_violations_stateful(
+        stream, role_col=role_col, max_gap_s=max_gap_s
+    )
     q = (
         out.writeStream.outputMode("update")
         .format("memory")

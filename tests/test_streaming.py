@@ -522,3 +522,44 @@ def test_stream_minhash_candidates_match_batch(tmp_path, spark):
     # the planted near-dups collide; the unrelated doc pairs with nobody
     assert all((i * 10, i * 10 + 1) in got_pairs for i in range(len(base)))
     assert not any(999 in p for p in got_pairs)
+
+
+def test_stateful_role_grammar_and_gap_match_batch(tmp_path, corpus):
+    """The stateful stream's role-transition grammar and bounded-gap
+    checks reproduce the batch engine's SequenceCheck + GapCheck
+    violation coordinates on the same bounded corpus (in-turn-order
+    arrival contract, as for ts_monotone)."""
+    from taco_toolbox_spark.checks import GapCheck, role_sequence_check
+    from taco_toolbox_spark.engine import run_validation
+    from taco_toolbox_spark.streaming.validate_stream import run_battery_smoke
+
+    spark = corpus.corrupted.sparkSession
+    path = str(tmp_path / "grammar_in")
+    corpus.corrupted.write.mode("overwrite").parquet(path)
+
+    out = run_battery_smoke(
+        spark, path, query_name="t_grammar", role_col="role", max_gap_s=120
+    ).toPandas()
+
+    batch = run_validation(
+        corpus.corrupted,
+        [
+            role_sequence_check(),
+            GapCheck(check_id="ts_gap", value_col="ts", max_step=120),
+        ],
+    ).violations.toPandas()
+
+    for cid in ("role_transitions", "ts_gap"):
+        got = set(
+            zip(
+                out[out.check_id == cid].conv_id,
+                out[out.check_id == cid].turn_idx,
+            )
+        )
+        want = set(
+            zip(
+                batch[batch.check_id == cid].conv_id,
+                batch[batch.check_id == cid].turn_idx,
+            )
+        )
+        assert got == want and want, cid
