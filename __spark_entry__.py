@@ -1013,6 +1013,47 @@ def q_a10_transition_matrix(spark, sf_dir):
     ).select("prev", "cur", F.col("n").cast("bigint").alias("n"))
 
 
+def q_a11_conv_profile(spark, sf_dir):
+    """Per-conversation structural profile (operators/transcripts.py):
+    turn count, distinct roles, tool-turn count, wall-clock duration,
+    total characters, opening/closing roles — ONE map-side-combined
+    aggregation, one row per conversation across the shuffle regardless
+    of conversation length. Every field is exact integer/epoch arithmetic
+    (duration as epoch-seconds difference, no float accumulation), so the
+    oracle reproduces the profile bit-for-bit."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import conversation_profile
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return conversation_profile(corpus.corrupted)
+
+
+def q_w5_token_truncate(spark, sf_dir):
+    """Token-budget conversation truncation (operators/transcripts.py):
+    keep each conversation's prefix of turns whose cumulative whitespace
+    token count fits a 30-token budget — never cutting mid-turn, never
+    leaving a gap. ONE cumulative window over the battery's (conv, turn)
+    key shape (exchange-free on the bucketed layout); token counting is
+    the JVM regex counter. The oracle replays the identical cumsum +
+    prefix filter in SQL."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import (
+        truncate_to_token_budget,
+    )
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    out = truncate_to_token_budget(corpus.corrupted, budget=30)
+    return out.select(
+        "conv_id", "turn_idx", "turn_tokens", "cum_tokens", "truncated"
+    )
+
+
 def q_d2_cat_drift(spark, sf_dir):
     """Per-day categorical drift of event_type vs the corpus-wide
     distribution: EXACT total-variation distance, each category's term the
@@ -1430,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_role_close": q_v14_role_close,
         "v15_turn_gap": q_v15_turn_gap,
         "a10_transition_matrix": q_a10_transition_matrix,
+        "a11_conv_profile": q_a11_conv_profile,
+        "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
     }
 
@@ -2183,6 +2226,42 @@ def oracle_sql() -> dict[str, str]:
             HAVING NOT coalesce(
                 arg_max(role, turn_idx) IN ('user', 'assistant', 'tool'),
                 FALSE)
+        """,
+        "a11_conv_profile": f"""
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   count(DISTINCT role)::BIGINT AS n_roles,
+                   sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_tool_turns,
+                   (epoch(max(ts)) - epoch(min(ts)))::DOUBLE AS duration_s,
+                   sum(coalesce(length(text), 0))::BIGINT AS n_chars,
+                   arg_min(role, turn_idx) AS opening_role,
+                   arg_max(role, turn_idx) AS closing_role
+            FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            GROUP BY conv_id
+        """,
+        "w5_token_truncate": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     (CASE WHEN text IS NULL THEN 0
+                           ELSE len(string_split(text, ' ')) END)::BIGINT
+                       AS turn_tokens
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            ), c AS (
+              SELECT conv_id, turn_idx, turn_tokens,
+                     sum(turn_tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            ), f AS (
+              SELECT *,
+                     max(CASE WHEN cum_tokens > 30 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id) AS trunc_i
+              FROM c
+            )
+            SELECT conv_id, turn_idx, turn_tokens, cum_tokens::BIGINT AS cum_tokens,
+                   trunc_i = 1 AS truncated
+            FROM f WHERE cum_tokens <= 30
         """,
         "a10_transition_matrix": f"""
             WITH p AS (

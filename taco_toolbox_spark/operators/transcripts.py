@@ -1,0 +1,102 @@
+"""Conversation-level operators for transcript corpora: structural
+profiles and token-budget truncation — the per-conversation prep stages a
+training pipeline runs between validation and packing.
+
+Both are single-pass by construction: the profile is ONE groupBy with
+map-side partial aggregation (one row per conversation crosses the
+shuffle regardless of conversation length); truncation is ONE cumulative
+window over the same (conv, turn) key shape every other pass in this
+repo shuffles by — co-located inputs (operators/bucketing.py) run it
+exchange-free.
+
+Reference analog: per-collection structural summaries
+(tacotoolbox metadata/stats families) realized at the conversation
+grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_profile(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation structural profile: turn count, distinct roles,
+    tool-turn count, wall-clock duration (seconds), total text characters,
+    opening/closing roles. One map-side-combined aggregation; every field
+    is exact integer/epoch arithmetic so an independent engine reproduces
+    it bit-for-bit."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct(role_col).alias("n_roles"),
+        F.sum(
+            F.when(F.col(role_col) == "tool", 1).otherwise(0)
+        ).alias("n_tool_turns"),
+        (
+            F.max(F.col(ts_col)).cast("double")
+            - F.min(F.col(ts_col)).cast("double")
+        ).alias("duration_s"),
+        F.sum(
+            F.coalesce(F.length(text_col), F.lit(0)).cast("bigint")
+        ).alias("n_chars"),
+        F.min_by(F.col(role_col), F.col(order_col)).alias("opening_role"),
+        F.max_by(F.col(role_col), F.col(order_col)).alias("closing_role"),
+    )
+
+
+def truncate_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    count_mode: str = "whitespace",
+) -> DataFrame:
+    """Keep each conversation's PREFIX of turns whose cumulative token
+    count fits ``budget`` (a turn that would cross the budget is dropped
+    with everything after it — conversations are never cut mid-turn, and
+    a retained suffix gap never appears). Adds ``turn_tokens``, ``
+    cum_tokens`` and a per-conversation ``truncated`` flag. One cumulative
+    window by (group, order); token counting is the repo's JVM-side
+    whitespace or BPE-ish regex counter (functions/text.py) — no Python.
+
+    NULL text counts 0 tokens (it is the validation battery's problem,
+    not the packer's)."""
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    if count_mode == "whitespace":
+        toks = token_count(F.col(text_col))
+    elif count_mode == "bpe_ish":
+        toks = bpe_ish_token_count(F.col(text_col))
+    else:
+        raise ValueError(
+            f"count_mode must be 'whitespace' or 'bpe_ish', got {count_mode!r}"
+        )
+    reserved = {"turn_tokens", "cum_tokens", "truncated"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"input columns collide with outputs: {reserved}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    out = (
+        df.withColumn(
+            "turn_tokens",
+            # explicit NULL branch: size(NULL) is -1 with ANSI off
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(toks)
+            .cast("bigint"),
+        )
+        .withColumn("cum_tokens", F.sum("turn_tokens").over(w))
+        .withColumn("truncated", F.max(F.col("cum_tokens") > budget).over(wg))
+    )
+    return out.filter(F.col("cum_tokens") <= budget)

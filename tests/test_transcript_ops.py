@@ -1,0 +1,86 @@
+"""Conversation-level operators (operators/transcripts.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from taco_toolbox_spark.operators.transcripts import (
+    conversation_profile,
+    truncate_to_token_budget,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _s(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def test_conversation_profile_fields(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "system", "sys prompt", _s(0)),
+            ("a", 1, "user", "hi there", _s(10)),
+            ("a", 2, "tool", "result", _s(25)),
+            ("a", 3, "assistant", None, _s(30)),
+            ("b", 0, "system", "x", _s(0)),
+        ],
+        SCHEMA,
+    )
+    p = {r["conv_id"]: r.asDict() for r in conversation_profile(df).collect()}
+    a = p["a"]
+    assert a["n_turns"] == 4 and a["n_roles"] == 4 and a["n_tool_turns"] == 1
+    assert a["duration_s"] == 30.0
+    assert a["n_chars"] == len("sys prompt") + len("hi there") + len("result")
+    assert a["opening_role"] == "system" and a["closing_role"] == "assistant"
+    b = p["b"]
+    assert b["n_turns"] == 1 and b["duration_s"] == 0.0
+
+
+def test_truncate_prefix_semantics(spark):
+    """Turns are whole: the turn that crosses the budget is dropped along
+    with everything after it — no gaps, no partial turns."""
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "system", "one two three", _s(0)),        # 3 -> cum 3
+            ("a", 1, "user", "four five six seven", _s(1)),    # 4 -> cum 7
+            ("a", 2, "assistant", "eight nine", _s(2)),        # 2 -> cum 9 > 8
+            ("a", 3, "user", "x", _s(3)),
+            ("b", 0, "system", "a b", _s(0)),                  # fits whole
+        ],
+        SCHEMA,
+    )
+    out = truncate_to_token_budget(df, budget=8)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in out.collect()}
+    assert set(rows) == {("a", 0), ("a", 1), ("b", 0)}
+    assert rows[("a", 1)]["cum_tokens"] == 7
+    assert rows[("a", 0)]["truncated"] is True
+    assert rows[("b", 0)]["truncated"] is False
+
+
+def test_truncate_null_text_counts_zero(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "system", None, _s(0)),
+            ("a", 1, "user", "w1 w2", _s(1)),
+        ],
+        SCHEMA,
+    )
+    out = {r["turn_idx"]: r["turn_tokens"] for r in
+           truncate_to_token_budget(df, budget=10).collect()}
+    assert out == {0: 0, 1: 2}
+
+
+def test_truncate_reserved_and_modes(spark):
+    df = spark.createDataFrame(
+        [("a", 0, "user", "hello world", _s(0))], SCHEMA
+    ).withColumn("cum_tokens", F.lit(1))
+    with pytest.raises(ValueError, match="cum_tokens"):
+        truncate_to_token_budget(df, budget=5)
+    ok = spark.createDataFrame([("a", 0, "user", "hello, world!", _s(0))], SCHEMA)
+    bpe = truncate_to_token_budget(ok, budget=100, count_mode="bpe_ish")
+    assert bpe.first()["turn_tokens"] >= 2
+    with pytest.raises(ValueError, match="count_mode"):
+        truncate_to_token_budget(ok, budget=5, count_mode="chars")
