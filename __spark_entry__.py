@@ -1013,6 +1013,24 @@ def q_a10_transition_matrix(spark, sf_dir):
     ).select("prev", "cur", F.col("n").cast("bigint").alias("n"))
 
 
+def q_d3_embedding_drift(spark, sf_dir):
+    """Per-label embedding-centroid drift (checks/drift.py:
+    embedding_centroid_drift): cosine of each label-partition's mean
+    embedding against the corpus centroid — the embedding sibling of the
+    quantile and categorical drift checks. EXACT until the final step:
+    components quantized to BIGINT (round(v*1e7) — identical IEEE multiply
+    + half-away rounding on both engines), per-dim sums order-independent
+    BIGINT, cross/self products summed in DECIMAL(38,0) (the 1/n centroid
+    factors cancel inside cosine), ONE double division + sqrt at the end —
+    so drift verdicts reproduce bit-for-bit, which float-accumulated means
+    cannot promise. Plan: one posexplode + map-side-combined grouped sum
+    over the data, a 64-row broadcast join, a per-part final agg."""
+    from taco_toolbox_spark.checks.drift import embedding_centroid_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(e, "embedding", "label")
+
+
 def q_a11_conv_profile(spark, sf_dir):
     """Per-conversation structural profile (operators/transcripts.py):
     turn count, distinct roles, tool-turn count, wall-clock duration,
@@ -1472,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_turn_gap": q_v15_turn_gap,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
+        "d3_embedding_drift": q_d3_embedding_drift,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
     }
@@ -2226,6 +2245,36 @@ def oracle_sql() -> dict[str, str]:
             HAVING NOT coalesce(
                 arg_max(role, turn_idx) IN ('user', 'assistant', 'tool'),
                 FALSE)
+        """,
+        "d3_embedding_drift": """
+            WITH e AS (
+              SELECT label::VARCHAR AS part,
+                     unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ), q AS (
+              SELECT part, dim,
+                     round(val::DOUBLE * 10000000)::BIGINT AS qv
+              FROM e
+            ), s AS (
+              SELECT part, dim, sum(qv)::BIGINT AS s, count(*)::BIGINT AS n
+              FROM q GROUP BY part, dim
+            ), g AS (
+              SELECT dim, sum(s)::BIGINT AS g FROM s GROUP BY dim
+            ), p AS (
+              SELECT s.part,
+                     max(s.n)::BIGINT AS n_vecs,
+                     sum(s.s::HUGEINT * g.g::HUGEINT) AS num,
+                     sum(s.s::HUGEINT * s.s::HUGEINT) AS a,
+                     sum(g.g::HUGEINT * g.g::HUGEINT) AS b
+              FROM s JOIN g USING (dim) GROUP BY s.part
+            )
+            SELECT part, n_vecs,
+                   num::DOUBLE / (sqrt(a::DOUBLE) * sqrt(b::DOUBLE))
+                     AS cosine,
+                   1.0 - num::DOUBLE / (sqrt(a::DOUBLE) * sqrt(b::DOUBLE))
+                     AS drift
+            FROM p
         """,
         "a11_conv_profile": f"""
             SELECT conv_id,

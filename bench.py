@@ -75,6 +75,7 @@ HEADLINE = [
     "i1_incremental_dedup",  # new batch vs existing corpus (key joins only)
     "text_distinctive_terms",  # integer TF-IDF-shaped top-k per doc
     "d2_cat_drift",       # exact categorical TV drift per day
+    "d3_embedding_drift",  # exact centroid-cosine drift per label
     "dedup_common_spans",  # aligned-block boilerplate removal + splice
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
     "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join

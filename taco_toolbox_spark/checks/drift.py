@@ -433,3 +433,73 @@ def categorical_drift_violations(
             F.round("tv", 6).cast("string"),
         ).alias("detail"),
     )
+
+
+def embedding_centroid_sums(
+    df: DataFrame, vec_col: str, part_col: str, quant: int = 10**7
+) -> DataFrame:
+    """Per-(partition, dimension) quantized component sums — the exact,
+    mergeable sketch behind :func:`embedding_centroid_drift`. Components
+    are quantized to integers (``round(val * quant)`` — both engines round
+    half away from zero, and the float64 multiply is IEEE-identical), so
+    the per-dim sums are BIGINT-exact and ORDER-INDEPENDENT: two engines
+    (or two runs, or a manifest merge) agree bit-for-bit, which
+    float-accumulated means cannot promise. One posexplode + one
+    map-side-combined aggregation; the shuffle carries
+    |parts| x |dims| rows."""
+    e = df.select(
+        F.col(part_col).cast("string").alias("part"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    )
+    q = F.round(F.col("_v").cast("double") * F.lit(float(quant))).cast("long")
+    return e.groupBy("part", "dim").agg(
+        F.sum(q).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    vec_col: str,
+    part_col: str,
+    baseline: DataFrame | None = None,
+    quant: int = 10**7,
+) -> DataFrame:
+    """Per-partition embedding-centroid drift: the cosine between each
+    partition's mean embedding and the baseline's (default: the whole
+    corpus) — the embedding sibling of the quantile DriftCheck and
+    categorical TV drift, for catching a day/source whose vectors moved.
+
+    The entire computation is EXACT until one final float step: quantized
+    BIGINT component sums (centroid numerators — the 1/n factors cancel
+    inside cosine), DECIMAL(38,0) cross/self products summed exactly, then
+    a single double division + sqrt. Bit-for-bit reproducible across
+    engines and partition orders. Plan: one posexplode + grouped sum over
+    the data, a |dims|-row broadcast join, a per-part final agg — nothing
+    beyond the one data-sized pass.
+
+    Returns (part, n_vecs, cosine, drift) where drift = 1 - cosine.
+    """
+    sums = embedding_centroid_sums(df, vec_col, part_col, quant)
+    base_sums = (
+        sums
+        if baseline is None
+        else embedding_centroid_sums(baseline, vec_col, part_col, quant)
+    )
+    g = base_sums.groupBy("dim").agg(F.sum("s").alias("g"))
+    dec = "decimal(19,0)"
+    joined = sums.join(F.broadcast(g), "dim")
+    out = joined.groupBy("part").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.col("s").cast(dec) * F.col("g").cast(dec)).alias("_num"),
+        F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("_a"),
+        F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("_b"),
+    )
+    cos = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_a").cast("double")) * F.sqrt(F.col("_b").cast("double"))
+    )
+    return out.select(
+        "part",
+        "n_vecs",
+        cos.alias("cosine"),
+        (F.lit(1.0) - cos).alias("drift"),
+    )

@@ -296,3 +296,51 @@ def test_sequence_first_and_last_share_one_agg(spark, corpus):
     )
     combined = run_validation(corpus.corrupted, [both])
     assert _viols(combined) == _viols(only_first) | _viols(only_last)
+
+
+def test_embedding_centroid_drift_exact(spark):
+    """Hand-checked drift: part 'a' vectors average to the global x-axis
+    direction (cosine high), part 'b' points orthogonally (cosine lower);
+    every value reproduces bit-for-bit under repartitioning because
+    accumulation is integer-exact."""
+    from taco_toolbox_spark.checks.drift import embedding_centroid_drift
+
+    rows = [
+        ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+        ("b", [0.0, 1.0]), ("b", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = {r["part"]: r.asDict() for r in
+           embedding_centroid_drift(df, "embedding", "label").collect()}
+    # global centroid direction = (1, 1)/sqrt(2); each part's = an axis
+    import math
+    for p in ("a", "b"):
+        assert out[p]["n_vecs"] == 2
+        assert abs(out[p]["cosine"] - 1 / math.sqrt(2)) < 1e-12
+    # order-independence: a different partitioning gives IDENTICAL bits
+    out2 = {r["part"]: r.asDict() for r in
+            embedding_centroid_drift(
+                df.repartition(7), "embedding", "label"
+            ).collect()}
+    assert out == out2
+
+
+def test_embedding_drift_against_separate_baseline(spark):
+    """With an explicit baseline frame, a partition identical to the
+    baseline distribution has cosine 1 (drift 0.0 exactly)."""
+    from taco_toolbox_spark.checks.drift import embedding_centroid_drift
+
+    base = spark.createDataFrame(
+        [("x", [1.0, 2.0, 2.0])] * 4, "label string, embedding array<float>"
+    )
+    cur = spark.createDataFrame(
+        [("p1", [1.0, 2.0, 2.0]), ("p1", [1.0, 2.0, 2.0]),
+         ("p2", [2.0, -1.0, 0.0])],
+        "label string, embedding array<float>",
+    )
+    out = {r["part"]: r.asDict() for r in
+           embedding_centroid_drift(
+               cur, "embedding", "label", baseline=base
+           ).collect()}
+    assert out["p1"]["drift"] == 0.0
+    assert out["p2"]["cosine"] == 0.0  # orthogonal to baseline centroid
