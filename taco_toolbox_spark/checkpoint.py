@@ -224,6 +224,49 @@ def merged_distinct_from_manifest(
     return int(est)
 
 
+def record_embedding_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    vec_col: str,
+    partition_col: str = "part",
+    quant: int = 10**7,
+) -> None:
+    """Persist per-partition quantized embedding-centroid sums into the
+    manifest — the embedding twin of :func:`record_categorical_state`.
+    The state per partition is |dims| BIGINTs + a count (exact and
+    order-independent: checks/drift.py:embedding_centroid_sums), and the
+    merge is integer addition, so a later run rebuilds the corpus
+    centroid for :func:`~taco_toolbox_spark.checks.drift.
+    embedding_centroid_drift` — or drift-judges only NEW partitions —
+    without rescanning finished ones."""
+    from .checks.drift import embedding_centroid_sums
+
+    rows = embedding_centroid_sums(df, vec_col, partition_col, quant).collect()
+    for r in rows:
+        rec = manifest.doc["partitions"].setdefault(r["part"], {})
+        st = rec.setdefault("embedding", {}).setdefault(
+            vec_col, {"quant": quant, "sums": {}, "n": 0}
+        )
+        st["sums"][str(r["dim"])] = int(r["s"])
+        st["n"] = max(int(st["n"]), int(r["n"]))
+
+
+def merged_embedding_from_manifest(
+    manifest: CheckpointManifest, vec_col: str
+) -> dict[str, int]:
+    """Merge every stored per-partition centroid state for ``vec_col``
+    into corpus-wide per-dim quantized sums ``{dim: sum}`` (integer
+    addition — exact). Empty dict when no partition recorded the
+    column."""
+    out: dict[str, int] = {}
+    for rec in manifest.doc["partitions"].values():
+        st = rec.get("embedding", {}).get(vec_col)
+        if st:
+            for dim, s in st["sums"].items():
+                out[dim] = out.get(dim, 0) + int(s)
+    return out
+
+
 def merged_quantiles_from_manifest(
     manifest: CheckpointManifest,
     value_expr: str,

@@ -463,6 +463,7 @@ def embedding_centroid_drift(
     part_col: str,
     baseline: DataFrame | None = None,
     quant: int = 10**7,
+    baseline_sums: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-partition embedding-centroid drift: the cosine between each
     partition's mean embedding and the baseline's (default: the whole
@@ -480,12 +481,24 @@ def embedding_centroid_drift(
     Returns (part, n_vecs, cosine, drift) where drift = 1 - cosine.
     """
     sums = embedding_centroid_sums(df, vec_col, part_col, quant)
-    base_sums = (
-        sums
-        if baseline is None
-        else embedding_centroid_sums(baseline, vec_col, part_col, quant)
-    )
-    g = base_sums.groupBy("dim").agg(F.sum("s").alias("g"))
+    if baseline_sums is not None:
+        # checkpoint-manifest state (checkpoint.record_embedding_state):
+        # already-merged per-dim quantized sums — no baseline rescan
+        from ..schema import literal_frame
+
+        g = literal_frame(
+            df.sparkSession,
+            [(int(d), int(s)) for d, s in sorted(baseline_sums.items(),
+                                                 key=lambda kv: int(kv[0]))],
+            "dim int, g long",
+        )
+    else:
+        base_sums = (
+            sums
+            if baseline is None
+            else embedding_centroid_sums(baseline, vec_col, part_col, quant)
+        )
+        g = base_sums.groupBy("dim").agg(F.sum("s").alias("g"))
     dec = "decimal(19,0)"
     joined = sums.join(F.broadcast(g), "dim")
     out = joined.groupBy("part").agg(

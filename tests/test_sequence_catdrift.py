@@ -344,3 +344,44 @@ def test_embedding_drift_against_separate_baseline(spark):
            ).collect()}
     assert out["p1"]["drift"] == 0.0
     assert out["p2"]["cosine"] == 0.0  # orthogonal to baseline centroid
+
+
+def test_embedding_state_roundtrip(spark, tmp_path):
+    """Per-partition centroid sums recorded into the checkpoint manifest
+    merge (integer addition — exact) into the same corpus baseline a
+    direct scan gives, survive save/load, and drive
+    embedding_centroid_drift without rescanning the baseline."""
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        merged_embedding_from_manifest,
+        record_embedding_state,
+    )
+    from taco_toolbox_spark.checks.drift import (
+        embedding_centroid_drift,
+        embedding_centroid_sums,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [0.5, 0.5]), ("b", [0.0, 1.0])],
+        "label string, embedding array<float>",
+    )
+    path = str(tmp_path / "manifest.json")
+    m = CheckpointManifest.load_or_create(path, "r1", "in")
+    record_embedding_state(m, df, "embedding", "label")
+    m.save()
+    m2 = CheckpointManifest.load_or_create(path, "r1", "in")
+    merged = merged_embedding_from_manifest(m2, "embedding")
+    direct = {}
+    for r in (
+        embedding_centroid_sums(df, "embedding", "label")
+        .groupBy("dim").sum("s").collect()
+    ):
+        direct[str(r["dim"])] = int(r["sum(s)"])
+    assert merged == direct and merged
+    assert merged_embedding_from_manifest(m2, "absent") == {}
+    # manifest state drives the drift check: identical to the self-baseline
+    via_state = {r["part"]: r["cosine"] for r in embedding_centroid_drift(
+        df, "embedding", "label", baseline_sums=merged).collect()}
+    direct_drift = {r["part"]: r["cosine"] for r in embedding_centroid_drift(
+        df, "embedding", "label").collect()}
+    assert via_state == direct_drift
