@@ -323,3 +323,34 @@ def test_sequence_check_shares_window_with_monotone(spark, corpus):
     )
     assert both.count("Window") == base.count("Window")
     assert both.count("Exchange") == base.count("Exchange")
+
+
+def test_embedding_drift_plan_broadcast_and_python_free(spark):
+    """d3: posexplode + partial/final grouped sums over the data; the
+    per-dim baseline reaches the join as a BROADCAST (|dims| rows, never
+    a shuffle join); no Python in the plan."""
+    from taco_toolbox_spark.checks.drift import embedding_centroid_drift
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_centroid_drift(e, "embedding", "label"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side combine on the data-sized aggregation: partial+final pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_token_truncate_single_window_single_exchange(spark):
+    """w5: one cumulative window = ONE exchange on the group key; token
+    counting stays JVM-side."""
+    from taco_toolbox_spark.operators.transcripts import (
+        truncate_to_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, "user", "w1 w2 w3", None) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    plan = _plan(truncate_to_token_budget(df, budget=5))
+    assert plan.count("Window") == 2  # cumsum + per-group truncated flag
+    assert plan.count("Exchange") == 1  # both share the conv_id exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
