@@ -91,6 +91,13 @@ class GapCheck(Check):
     #: bands instead.
     min_step: float | None = None
 
+    def __post_init__(self) -> None:
+        if self.max_step is None and self.min_step is None:
+            raise ValueError(
+                f"GapCheck {self.check_id!r} needs max_step and/or min_step "
+                "— with neither it would silently pass everything"
+            )
+
     def step_bad(self, prev: Column, cur: Column) -> Column:
         step = cur.cast("double") - prev.cast("double")
         bad = F.lit(False)

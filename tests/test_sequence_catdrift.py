@@ -385,3 +385,10 @@ def test_embedding_state_roundtrip(spark, tmp_path):
     direct_drift = {r["part"]: r["cosine"] for r in embedding_centroid_drift(
         df, "embedding", "label").collect()}
     assert via_state == direct_drift
+
+
+def test_gap_check_requires_a_bound():
+    from taco_toolbox_spark.checks import GapCheck
+
+    with pytest.raises(ValueError, match="max_step"):
+        GapCheck(check_id="g", value_col="ts")
