@@ -1013,6 +1013,26 @@ def q_a10_transition_matrix(spark, sf_dir):
     ).select("prev", "cur", F.col("n").cast("bigint").alias("n"))
 
 
+def q_s3_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py:
+    hash_split): every document's split label is a pure function of its
+    id hash — stable across runs, engines, corpus growth, and
+    repartitioning, with cumulative bucket ranges 80/10/10. Zero shuffle,
+    zero actions: the label is a projection the scan pipelines (keying by
+    a group id keeps whole conversations in one split — the leakage
+    rule). md5 mode for the oracle; xxhash64 is the library default."""
+    from taco_toolbox_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d,
+        ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+        hash_fn="md5",
+    ).select("doc_id", "split")
+
+
 def q_d3_embedding_drift(spark, sf_dir):
     """Per-label embedding-centroid drift (checks/drift.py:
     embedding_centroid_drift): cosine of each label-partition's mean
@@ -1491,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
+        "s3_hash_split": q_s3_hash_split,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
     }
@@ -2245,6 +2266,21 @@ def oracle_sql() -> dict[str, str]:
             HAVING NOT coalesce(
                 arg_max(role, turn_idx) IN ('user', 'assistant', 'tool'),
                 FALSE)
+        """,
+        "s3_hash_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN b < 800000 THEN 'train'
+                     WHEN b < 900000 THEN 'val'
+                     WHEN b < 1000000 THEN 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(
+                        md5(doc_id::VARCHAR || chr(31) || '7'), 1, 8)
+                     )::BIGINT % 1000000 AS b
+              FROM documents
+            )
         """,
         "d3_embedding_drift": """
             WITH e AS (

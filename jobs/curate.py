@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                    "match (normalized fingerprint semi-join) or near-match "
                    "(n-gram Jaccard >= --jaccard-threshold) an existing "
                    "doc are dropped before in-batch near dedup")
+    p.add_argument("--remove-boilerplate", type=int, default=None,
+                   metavar="MIN_DOCS",
+                   help="splice out text segments occurring in >= MIN_DOCS "
+                   "distinct surviving documents (dedup/lines.py: aligned "
+                   "k-word blocks); runs after near-dedup (fingerprints see "
+                   "original bytes) and recomputes n_tokens so shard "
+                   "packing sizes the CLEANED text")
+    p.add_argument("--boilerplate-block-words", type=int, default=6)
     p.add_argument("--redact-pii", action="store_true",
                    help="redact emails/IPv4/SSN/phone spans in the text "
                    "column after dedup, before sharding")
@@ -269,6 +277,26 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             survivors = clean.join(losers, args.id_col, "left_anti")
         else:
             survivors = clean
+
+        # 5b. optional boilerplate removal — after dedup (fingerprints and
+        # shingles judged the original bytes), before packing; n_tokens is
+        # recomputed from the CLEANED text so shards pack what ships
+        if args.remove_boilerplate is not None:
+            from taco_toolbox_spark.dedup.lines import remove_common_segments
+
+            survivors = (
+                remove_common_segments(
+                    survivors,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    min_docs=args.remove_boilerplate,
+                    block_words=args.boilerplate_block_words,
+                )
+                .drop(args.text_col)
+                .withColumnRenamed("text_clean", args.text_col)
+                .drop("n_removed")
+                .withColumn("n_tokens", token_count(args.text_col))
+            )
 
         # 6. optional PII redaction — after dedup (fingerprints and
         # minhash shingles see original bytes), before packing

@@ -294,3 +294,46 @@ def hash_sample_k_per_group(
         k,
         rank_col="_rank",
     ).drop("_h", "_rank")
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict[str, float],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from its key hash, so the SAME key always lands in the SAME
+    split — across runs, engines (md5 mode), corpus growth, and
+    re-partitioning. Split boundaries are cumulative bucket ranges in the
+    given dict order (insertion-ordered; document your order once and
+    keep it). Pure projection: zero shuffle, zero actions — the label is
+    a column expression the scan can pipeline, and a filter on it
+    composes with every other keep-predicate in this module.
+
+    ``splits`` maps label -> fraction; fractions must sum to <= 1 (any
+    remainder is labelled NULL — useful for holding data back). Keying by
+    a GROUP id (e.g. conv_id) keeps whole conversations in one split —
+    the leakage rule every eval pipeline needs."""
+    if split_col in df.columns:
+        raise ValueError(f"input already has a {split_col!r} column")
+    total = sum(splits.values())
+    if total > 1 + 1e-9 or any(v < 0 for v in splits.values()):
+        raise ValueError(f"split fractions must be >= 0 and sum <= 1: {splits}")
+    b = hash_bucket(key_cols, seed=seed, buckets=buckets, hash_fn=hash_fn)
+    expr = F.lit(None).cast("string")
+    edges = []
+    acc = 0.0
+    for name, frac in splits.items():
+        lo = int(round(acc * buckets))
+        acc += frac
+        hi = int(round(acc * buckets))
+        edges.append((name, lo, hi))
+    # build the CASE from the last range backward so the first range ends
+    # up outermost (readable plan, same semantics)
+    for name, lo, hi in reversed(edges):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -561,3 +561,51 @@ def test_canonical_docs_covers_singletons(spark):
         assert rows[d] == (d, True)
     # exactly one canonical per cluster
     assert sum(1 for c, canon in rows.values() if canon) == 5
+
+
+def test_hash_split_deterministic_and_leak_free(spark):
+    """Same key -> same split across runs and partitionings; keying by a
+    group id keeps all of a group's rows in one split; remainder rows get
+    NULL; plan is a pure projection (no exchange, no Python)."""
+    from taco_toolbox_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(f"conv{i % 20}", i) for i in range(200)],
+        "conv_id string, turn_idx int",
+    )
+    out = hash_split(df, ["conv_id"], {"train": 0.6, "val": 0.2}, seed=3)
+    # group-level leak check: one split per conv_id
+    per_conv = (
+        out.groupBy("conv_id")
+        .agg(F.countDistinct("split").alias("n"), F.first("split").alias("s"))
+        .collect()
+    )
+    assert all(r["n"] <= 1 for r in per_conv)
+    # 20% remainder -> NULL split exists with these fractions (0.6+0.2)
+    labels = {r["s"] for r in per_conv}
+    assert labels <= {"train", "val", None}
+    # deterministic under repartitioning
+    again = {
+        (r["conv_id"], r["split"])
+        for r in hash_split(
+            df.repartition(13), ["conv_id"], {"train": 0.6, "val": 0.2}, seed=3
+        ).select("conv_id", "split").distinct().collect()
+    }
+    first = {
+        (r["conv_id"], r["split"])
+        for r in out.select("conv_id", "split").distinct().collect()
+    }
+    assert first == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_split_guards(spark):
+    from taco_toolbox_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([("a", 1)], "conv_id string, split int")
+    with pytest.raises(ValueError, match="split"):
+        hash_split(df, ["conv_id"], {"train": 1.0})
+    df2 = spark.createDataFrame([("a",)], "conv_id string")
+    with pytest.raises(ValueError, match="sum <= 1"):
+        hash_split(df2, ["conv_id"], {"train": 0.9, "val": 0.2})

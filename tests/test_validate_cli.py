@@ -381,3 +381,45 @@ def test_validate_cli_cat_drift_requires_baseline(corpus_dir, tmp_path):
             ],
             stop_session=False,
         )
+
+
+def test_curate_remove_boilerplate_stage(tmp_path, spark):
+    """--remove-boilerplate splices the shared footer out of surviving
+    documents AFTER dedup decisions (planted near-dups still cluster on
+    original bytes) and repacks shards on the CLEANED token counts."""
+    import jobs.curate as jc
+
+    # body is 6 words + 4-word footer = 10 words; with block_words=5 the
+    # second aligned block ("beta " + footer) is identical across docs
+    footer = "shared boilerplate footer block"
+    docs = spark.createDataFrame(
+        [
+            (i, f"document body number {i} alpha beta {footer}", "web")
+            for i in range(10)
+        ]
+        + [(50, "no footer in this one at all", "web")],
+        "doc_id long, text string, source string",
+    )
+    inp = str(tmp_path / "docs_bp")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "curated_bp")
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "3",
+         "--skip-near-dedup", "--remove-boilerplate", "5",
+         "--boilerplate-block-words", "5", "--max-shard-tokens", "1000"],
+        stop_session=False,
+    )
+    assert rc == 0
+    shards = spark.read.parquet(f"{out}/shards")
+    texts = {r["doc_id"]: r["text"] for r in shards.collect()}
+    assert len(texts) == 11
+    # the aligned trailing 5-word block (the footer) is gone from each
+    # 10-word doc; the unique bodies survive verbatim
+    for i in range(10):
+        assert footer not in texts[i]
+        assert f"document body number {i} alpha" in texts[i]
+    assert texts[50] == "no footer in this one at all"
+    # n_tokens reflects the cleaned text, not the original
+    toks = {r["doc_id"]: r["n_tokens"] for r in
+            shards.select("doc_id", "n_tokens").collect()}
+    assert toks[0] == 5  # 10-word doc minus the removed 5-word block
