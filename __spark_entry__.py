@@ -1092,6 +1092,29 @@ def q_w5_token_truncate(spark, sf_dir):
     )
 
 
+def q_d4_ks_drift(spark, sf_dir):
+    """Per-day two-sample Kolmogorov–Smirnov drift of event value vs the
+    corpus-wide baseline — the ECDF member of the drift family (quantile
+    t-digest, categorical TV, embedding centroid, +KS): the supremum over
+    the WHOLE distribution catches a shape change between percentiles
+    that leaves p25/p50/p75 untouched. Exact in the family's discipline:
+    the sup is evaluated on the union of both samples' jump points, each
+    deviation is the integer |cum_day·m − cum_base·n_day| (cross-
+    multiplied), the max is a BIGINT max, ONE float division at the end —
+    so an independent engine reproduces every row bit-for-bit
+    (checks/drift.py:ks_statistic_by_partition). Plan: two grouped counts
+    (map-side partial), a broadcast baseline grid, one per-day cumulative
+    window — the exact drift mode's cost class; at 100 TB the baseline is
+    a bounded reference sample exactly like the t-digest baseline."""
+    from taco_toolbox_spark.checks.drift import ks_statistic_by_partition
+
+    ev = _t(spark, sf_dir, "events")
+    day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return ks_statistic_by_partition(day, "value", "day", ev).select(
+        F.col("part").alias("day"), "n_part", "m", "ks_num", "ks"
+    )
+
+
 def q_d2_cat_drift(spark, sf_dir):
     """Per-day categorical drift of event_type vs the corpus-wide
     distribution: EXACT total-variation distance, each category's term the
@@ -1514,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_hash_split": q_s3_hash_split,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
+        "d4_ks_drift": q_d4_ks_drift,
     }
 
 
@@ -2372,6 +2396,40 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
               AND epoch(ts) - epoch(prev_ts) > 120
+        """,
+        "d4_ks_drift": """
+            WITH s AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part, value AS v,
+                     count(*)::BIGINT AS sn
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT value AS v, count(*)::BIGINT AS bn
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            parts AS (SELECT DISTINCT part FROM s),
+            u AS (
+              SELECT part, v, sn, 0::BIGINT AS bn FROM s
+              UNION ALL
+              SELECT p.part, b.v, 0::BIGINT, b.bn FROM parts p CROSS JOIN b
+            ),
+            g AS (
+              SELECT part, v, sum(sn)::BIGINT AS sn, sum(bn)::BIGINT AS bn
+              FROM u GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT part,
+                sum(sn) OVER (PARTITION BY part ORDER BY v)::BIGINT AS cs,
+                sum(bn) OVER (PARTITION BY part ORDER BY v)::BIGINT AS cb,
+                sum(sn) OVER (PARTITION BY part)::BIGINT AS n_part,
+                sum(bn) OVER (PARTITION BY part)::BIGINT AS m
+              FROM g
+            )
+            SELECT part AS day, n_part, m,
+                   max(abs(cs*m - cb*n_part))::BIGINT AS ks_num,
+                   max(abs(cs*m - cb*n_part))::BIGINT
+                     / (n_part::DOUBLE * m::DOUBLE) AS ks
+            FROM c GROUP BY part, n_part, m
         """,
         "d2_cat_drift": """
             WITH c AS (

@@ -22,7 +22,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SKETCH_SCHEMA = (
@@ -431,6 +431,117 @@ def categorical_drift_violations(
         F.format_string(
             f"categorical_tv=%s > {threshold}",
             F.round("tv", 6).cast("string"),
+        ).alias("detail"),
+    )
+
+
+def ks_statistic_by_partition(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    baseline: DataFrame,
+    baseline_value_col: str | None = None,
+) -> DataFrame:
+    """Per-partition two-sample Kolmogorov–Smirnov statistic against a
+    baseline sample — the ECDF sibling of the quantile DriftCheck:
+    where t-digest quantile drift judges a handful of percentile points,
+    KS is the supremum over the WHOLE distribution, so a shape change
+    between percentiles (bimodality, a new spike) that leaves p25/p50/p75
+    untouched still registers.
+
+        D_part = sup_x | ECDF_part(x) − ECDF_base(x) |
+
+    computed EXACTLY in the repo's drift-family discipline: the supremum
+    is attained at a jump point of either ECDF, so it is evaluated on the
+    union of both samples' distinct values; at each point the deviation is
+    the INTEGER ``|cum_part·m − cum_base·n_part|`` (cross-multiplied — no
+    per-point float division), the max over points is a BIGINT max
+    (order-independent), and ONE float division lands at the end. An
+    independent engine reproduces (n_part, m, ks_num) bit-for-bit and the
+    final ``ks`` as the same single IEEE754 division — the property the
+    oracle verifies and a float-accumulated statistic cannot promise.
+    Integer headroom: ``cum·m < n_part·m``, so products stay < 2^63 up to
+    ~3·10^9 rows per side; past that, thin the BASELINE (KS only needs the
+    baseline's ECDF, so any fixed subsample keeps the verdict's meaning —
+    the same proportion-not-mass argument as categorical_tv's pre-scale).
+
+    ``baseline`` is a bounded REFERENCE SAMPLE (the same contract as the
+    DriftCheck's t-digest baseline): its distinct values are broadcast and
+    replicated once per partition, so the grid carries
+    |parts| × |baseline distinct| rows. The per-partition cumulative
+    window sorts |part distinct + baseline distinct| rows — the exact
+    drift mode's cost class (exact_quantiles_by_partition sorts the same
+    frame); at 100 TB run this on quantized values or a baseline
+    subsample, exactly as the exact quantile path documents. NULLs on
+    either side are dropped (NULL ordering is engine-specific; nullness
+    belongs to the null-fraction stats, not the ECDF).
+
+    Returns (part, n_part, m, ks_num, ks) — one row per partition.
+    """
+    bcol = baseline_value_col or value_col
+    s = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(part_col).cast("string").alias("part"),
+            F.col(value_col).alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_sn"))
+    )
+    b = (
+        baseline.filter(F.col(bcol).isNotNull())
+        .groupBy(F.col(bcol).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_bn"))
+    )
+    parts = s.select("part").distinct()
+    grid_b = parts.join(F.broadcast(b), how="cross")
+    u = s.withColumn("_bn", F.lit(0).cast("long")).unionByName(
+        grid_b.withColumn("_sn", F.lit(0).cast("long"))
+    )
+    g = u.groupBy("part", "_v").agg(
+        F.sum("_sn").alias("_sn"), F.sum("_bn").alias("_bn")
+    )
+    wc = Window.partitionBy("part").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wp = Window.partitionBy("part")
+    c = g.select(
+        "part",
+        F.sum("_sn").over(wc).alias("_cs"),
+        F.sum("_bn").over(wc).alias("_cb"),
+        F.sum("_sn").over(wp).alias("n_part"),
+        F.sum("_bn").over(wp).alias("m"),
+    )
+    dev = F.abs(F.col("_cs") * F.col("m") - F.col("_cb") * F.col("n_part"))
+    return (
+        c.groupBy("part", "n_part", "m")
+        .agg(F.max(dev).alias("ks_num"))
+        .select(
+            "part",
+            "n_part",
+            "m",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_part").cast("double") * F.col("m").cast("double"))
+            ).alias("ks"),
+        )
+    )
+
+
+def ks_drift_violations(
+    ks: DataFrame, threshold: float, check_id: str
+) -> DataFrame:
+    """Violation rows (engine schema) for partitions whose KS statistic
+    exceeds the threshold."""
+    judged = ks.filter(F.col("ks") > threshold)
+    return judged.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.format_string(
+            f"ks=%s > {threshold}",
+            F.round("ks", 6).cast("string"),
         ).alias("detail"),
     )
 
