@@ -267,6 +267,78 @@ def merged_embedding_from_manifest(
     return out
 
 
+def record_cms_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    key_cols: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    partition_col: str = "part",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist per-partition count-min counters into the manifest — the
+    open-vocabulary twin of :func:`record_categorical_state`. Unlike the
+    exact histogram (bounded only for CLOSED vocabularies) the state here
+    is depth·width BIGINTs per partition no matter how many distinct keys
+    the partition holds; the merge is element-wise integer addition, so a
+    later run rebuilds the corpus-wide sketch — or estimates frequencies
+    for only its NEW partitions' keys — without rescanning finished
+    partitions. Only non-empty cells are stored (sparse dict
+    ``"d:bucket" -> count``)."""
+    from .sketches import cms_counters
+
+    key = "\x1f".join(key_cols)
+    rows = cms_counters(
+        df, key_cols, depth=depth, width=width,
+        part_col=partition_col, hash_fn=hash_fn,
+    ).collect()
+    for r in rows:
+        rec = manifest.doc["partitions"].setdefault(str(r[partition_col]), {})
+        st = rec.setdefault("cms", {}).setdefault(
+            key, {"depth": depth, "width": width, "hash_fn": hash_fn,
+                  "cells": {}},
+        )
+        st["cells"][f"{r['_d']}:{r['_bucket']}"] = int(r["_cnt"])
+
+
+def merged_cms_from_manifest(
+    spark, manifest: CheckpointManifest, key_cols: list[str]
+) -> DataFrame | None:
+    """Merge every stored per-partition count-min state for ``key_cols``
+    into ONE corpus-wide counters frame (``_d, _bucket, _cnt``) — directly
+    usable by :func:`~taco_toolbox_spark.sketches.cms_lookup` /
+    :func:`~taco_toolbox_spark.sketches.cms_total`. Integer addition over
+    sparse cells, exact. Returns None when no partition recorded the key
+    (or geometries disagree — a config error surfaced loudly)."""
+    from .schema import literal_frame
+
+    key = "\x1f".join(key_cols)
+    cells: dict[tuple[int, int], int] = {}
+    geom: tuple | None = None
+    for rec in manifest.doc["partitions"].values():
+        st = rec.get("cms", {}).get(key)
+        if not st:
+            continue
+        g = (st["depth"], st["width"], st["hash_fn"])
+        if geom is None:
+            geom = g
+        elif geom != g:
+            raise ValueError(
+                f"count-min geometry mismatch across partitions: {geom} vs {g}"
+            )
+        for cell, n in st["cells"].items():
+            d, b = cell.split(":")
+            k = (int(d), int(b))
+            cells[k] = cells.get(k, 0) + int(n)
+    if not cells:
+        return None
+    return literal_frame(
+        spark,
+        [(d, b, n) for (d, b), n in sorted(cells.items())],
+        "_d int, _bucket long, _cnt long",
+    )
+
+
 def merged_quantiles_from_manifest(
     manifest: CheckpointManifest,
     value_expr: str,
