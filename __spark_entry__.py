@@ -1463,6 +1463,45 @@ def q_dedup_clusters(spark, sf_dir):
     return canonical_docs(pairs, d, "doc_id")
 
 
+def q_cms_estimate(spark, sf_dir):
+    """Count-min frequency estimates for every distinct event_type (md5
+    portability mode, depth 4 × width 256): each row contributes depth
+    (d, bucket) cells via the same first-32-md5-bits arithmetic the
+    sampler uses, ONE grouped count builds the sketch (map-side partials
+    cap shuffle volume at tasks·depth·width rows REGARDLESS of input
+    size), and the estimate is min over depth of the candidate's bucket
+    counter. The oracle replays the identical bucket arithmetic in SQL —
+    the sketch's over-count-only cells themselves are verified, not just
+    a downstream consumer (sketches.py:cms_counters/cms_lookup)."""
+    from taco_toolbox_spark.sketches import cms_counters, cms_lookup, cms_merge
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cms_merge(
+        cms_counters(ev, ["event_type"], depth=4, width=256, hash_fn="md5")
+    )
+    keys = ev.select("event_type").distinct()
+    return cms_lookup(
+        counters, keys, ["event_type"], depth=4, width=256, hash_fn="md5"
+    ).select("event_type", F.col("_est").alias("est"))
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters (users with ≥ 1/128 of all events) via the count-min
+    sketch: bounded-state candidate generation (over-count-only ⇒ no
+    false negatives) followed by an exact verification count of the
+    surviving candidates only — the output is EXACT, so the oracle is a
+    plain GROUP BY … HAVING while the plan never materializes a full
+    per-user histogram (at 10^12 turns the key universe is unbounded;
+    the sketch is depth·width counters, the candidate set ≤ 1/f keys
+    plus a bounded false-positive tail; sketches.py:cms_heavy_hitters)."""
+    from taco_toolbox_spark.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(
+        ev, ["user_id"], min_fraction=1.0 / 128, depth=4, width=1024
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,
@@ -1538,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -2451,6 +2492,34 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
             GROUP BY t.part, t.n_part, nt.n_total
+        """,
+        "cms_estimate": """
+            WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            counters AS (
+              SELECT ds.d AS d,
+                     ('0x' || substr(md5(coalesce(event_type, chr(0))
+                                         || chr(31) || ds.d::VARCHAR), 1, 8)
+                     )::BIGINT % 256 AS b,
+                     count(*)::BIGINT AS cnt
+              FROM events, ds GROUP BY 1, 2
+            ),
+            keys AS (SELECT DISTINCT event_type FROM events)
+            SELECT k.event_type AS event_type,
+                   min(coalesce(c.cnt, 0))::BIGINT AS est
+            FROM keys k
+            CROSS JOIN ds
+            LEFT JOIN counters c
+              ON c.d = ds.d
+             AND c.b = ('0x' || substr(md5(coalesce(k.event_type, chr(0))
+                                           || chr(31) || ds.d::VARCHAR), 1, 8)
+                       )::BIGINT % 256
+            GROUP BY 1
+        """,
+        "cms_heavy_hitters": """
+            SELECT user_id, count(*)::BIGINT AS n
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= CEIL((SELECT count(*) FROM events) / 128.0)
         """,
         "lang_id": _lang_id_oracle(),
         "stats_quantiles": """
