@@ -903,6 +903,96 @@ def stream_minhash_candidates(
     )
 
 
+def stream_cms_counters(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
+    ts_col: str = "ts",
+    window: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming count-min counters — frequency monitoring over an OPEN
+    key vocabulary with state bounded BY CONSTRUCTION.
+
+    Without ``window``: the running corpus-wide sketch. This is the rare
+    streaming aggregation that needs no watermark to stay bounded — the
+    grouping key is (depth row, bucket), so the state store holds at most
+    ``depth × width`` counters no matter how many distinct keys the
+    stream carries (a streaming ``groupBy(key).count()`` over an open
+    vocabulary grows forever; this is its bounded-state replacement).
+    Run it in update/complete mode; the emitted counters frame is
+    directly consumable by :func:`~taco_toolbox_spark.sketches.cms_lookup`
+    / ``cms_heavy_hitters(verify_exact=False)`` — the monitoring mode the
+    batch operator documents, realized. Batch↔stream parity: on a bounded
+    corpus the complete-mode result equals batch ``cms_counters`` exactly
+    (same bucket arithmetic, tests lock it).
+
+    With ``window``: one sketch per event-time window (``window_start``
+    column) — per-hour heavy-hitter candidates. State is
+    ``depth × width`` per OPEN window, and the watermark closes windows,
+    so it stays bounded on an unbounded stream.
+    """
+    from ..sketches import cms_counters
+
+    if window is None:
+        return cms_counters(
+            stream_df, key_cols, depth=depth, width=width, hash_fn=hash_fn
+        )
+    from ..operators.sampling import hash_bucket
+
+    buckets = F.array(
+        *[
+            hash_bucket(key_cols, seed=d, hash_fn=hash_fn, buckets=width)
+            for d in range(depth)
+        ]
+    )
+    et = _event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    return (
+        et.select(
+            F.col(ts_col), F.posexplode(buckets).alias("_d", "_bucket")
+        )
+        .groupBy(F.window(F.col(ts_col), window), "_d", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "_d",
+            "_bucket",
+            "_cnt",
+        )
+    )
+
+
+def run_stream_cms_smoke(
+    spark,
+    parquet_dir: str,
+    key_cols: list[str],
+    query_name: str = "stream_cms",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the unwindowed running sketch over a bounded parquet dir in
+    complete mode (the counters frame is ≤ depth·width rows, so complete
+    re-emission is cheap at any stream length)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_cms_counters(stream, key_cols, **kwargs)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_minhash_smoke(
     spark,
     parquet_dir: str,

@@ -563,3 +563,96 @@ def test_stateful_role_grammar_and_gap_match_batch(tmp_path, corpus):
             )
         )
         assert got == want and want, cid
+
+
+def test_stream_cms_counters_match_batch(tmp_path, corpus):
+    """The streaming running sketch (complete mode) must equal batch
+    cms_counters cell-for-cell on a bounded corpus — and its state is
+    bounded by construction (≤ depth·width rows over an open key
+    vocabulary, with NO watermark)."""
+    from taco_toolbox_spark.sketches import cms_counters, cms_lookup, cms_merge
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cms_smoke,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "cms_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    depth, width = 4, 64
+
+    streamed = run_stream_cms_smoke(
+        spark, path, ["role"], query_name="t_scms", depth=depth, width=width
+    )
+    got = {(r._d, r._bucket): r._cnt for r in streamed.collect()}
+    static = spark.read.parquet(path)
+    want = {
+        (r._d, r._bucket): r._cnt
+        for r in cms_counters(static, ["role"], depth, width).collect()
+    }
+    assert got == want and want
+    assert len(got) <= depth * width
+
+    # monitoring mode: estimates off the STREAMED counters equal batch
+    # estimates (and ≥ the exact counts — the CMS guarantee)
+    counters = cms_merge(streamed)
+    keys = static.select("role").distinct()
+    est = {
+        r.role: r._est
+        for r in cms_lookup(counters, keys, ["role"], depth, width).collect()
+    }
+    exact = {r.role: r.n for r in static.groupBy("role").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_stream_cms_windowed_sums(tmp_path, corpus):
+    """Windowed mode: one sketch per event-time window; depth-row-0
+    counters per window sum to that window's row count (every row
+    contributes exactly once per depth row)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_cms_counters,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "cmsw_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    out = stream_cms_counters(
+        stream, ["role"], depth=2, width=32, window="1 day"
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_scmsw")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pdf = spark.sql("SELECT * FROM t_scmsw").toPandas()
+    assert (pdf.groupby("window_start").size() <= 2 * 32).all()
+    got = (
+        pdf[pdf._d == 0]
+        .groupby("window_start")._cnt.sum()
+        .astype(int)
+        .to_dict()
+    )
+    import pyspark.sql.functions as F
+
+    want = {
+        r.d: r.n
+        for r in static.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k.to_pydatetime(): v for k, v in got.items()} == {
+        k: v for k, v in want.items()
+    }
