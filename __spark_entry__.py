@@ -1502,6 +1502,56 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_b1_bloom_contains(spark, sf_dir):
+    """Bloom membership state (sketches.py): insert the normalized-text
+    keys of even-id documents into a 2048-bit / 4-hash filter (md5
+    portability mode) and test EVERY document. The filter is the distinct
+    set of set-bit positions — ≤ num_bits broadcastable rows standing in
+    for a corpus-sized join side in the incremental-dedup prefilter
+    (dedup/incremental.py). The oracle replays the identical bit
+    arithmetic in SQL, so the filter's one-sided guarantee (inserted keys
+    ALWAYS test true; outsiders false-positive at the design rate) is
+    itself verified cell-for-cell, not just a downstream consumer."""
+    from taco_toolbox_spark.dedup.incremental import exact_keys
+    from taco_toolbox_spark.sketches import (
+        bloom_maybe_contains,
+        bloom_positions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    inserted = exact_keys(
+        d.filter(F.col("doc_id") % 2 == 0), "text", portable_key=True
+    )
+    pos = bloom_positions(inserted, ["_k"], 2048, 4, hash_fn="md5")
+    cand = exact_keys(d, "text", id_col="doc_id", portable_key=True)
+    out = bloom_maybe_contains(pos, cand, ["_k"], 2048, 4, hash_fn="md5")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("_maybe").alias("maybe")
+    )
+
+
+def q_w6_reindex_turns(spark, sf_dir):
+    """Turn re-indexing (operators/transcripts.py:reindex_turns): after a
+    turn-dropping stage (here: quarantining tool turns), renumber
+    turn_idx to exactly 0..n−1 per conversation so the ContiguityCheck
+    invariant holds again downstream. ONE window over the battery's
+    (conv, turn) key shape — exchange-free on the bucketed layout. The
+    original index is retained for violation-row lineage; the output
+    projects only (conv_id, orig, new) so duplicate-orig ties (present in
+    the corrupted corpus by design) renumber to the same multiset on any
+    engine."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import reindex_turns
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    kept = corpus.corrupted.filter(F.col("role") != "tool")
+    out = reindex_turns(kept)
+    return out.select("conv_id", "orig_turn_idx", "turn_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,
@@ -1579,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_ks_drift": q_d4_ks_drift,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "b1_bloom_contains": q_b1_bloom_contains,
+        "w6_reindex_turns": q_w6_reindex_turns,
     }
 
 
@@ -2413,6 +2465,18 @@ def oracle_sql() -> dict[str, str]:
                    trunc_i = 1 AS truncated
             FROM f WHERE cum_tokens <= 30
         """,
+        "w6_reindex_turns": f"""
+            WITH kept AS (
+              SELECT conv_id, turn_idx
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+              WHERE role <> 'tool'
+            )
+            SELECT conv_id, turn_idx AS orig_turn_idx,
+                   (row_number() OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx) - 1)::INT
+                     AS turn_idx
+            FROM kept
+        """,
         "a10_transition_matrix": f"""
             WITH p AS (
               SELECT role,
@@ -2520,6 +2584,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
             HAVING count(*) >= CEIL((SELECT count(*) FROM events) / 128.0)
+        """,
+        # the Bloom bit arithmetic itself replayed: identical md5 key,
+        # identical per-seed position, membership = all 4 positions set
+        "b1_bloom_contains": """
+            WITH ks AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS k
+              FROM documents
+            ),
+            ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            ins AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(coalesce(k, chr(0))
+                                    || chr(31) || ds.d::VARCHAR), 1, 8)
+                )::BIGINT % 2048 AS pos
+              FROM ks, ds WHERE doc_id % 2 = 0
+            ),
+            cand AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(coalesce(k, chr(0))
+                                    || chr(31) || ds.d::VARCHAR), 1, 8)
+                )::BIGINT % 2048 AS pos
+              FROM ks, ds
+            )
+            SELECT c.doc_id AS doc_id,
+                   (count(i.pos) = 4) AS maybe
+            FROM cand c LEFT JOIN ins i ON i.pos = c.pos
+            GROUP BY c.doc_id
         """,
         "lang_id": _lang_id_oracle(),
         "stats_quantiles": """

@@ -339,6 +339,73 @@ def merged_cms_from_manifest(
     )
 
 
+def record_bloom_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    key_cols: list[str],
+    num_bits: int,
+    num_hashes: int,
+    partition_col: str = "part",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist per-partition Bloom set-bit positions into the manifest —
+    the MEMBERSHIP sibling of :func:`record_cms_state`. State is ≤
+    ``num_bits`` integers per partition no matter how many keys the
+    partition holds; the merge is set union, so a later (or appending) run
+    rebuilds corpus-wide membership — e.g. the incremental-dedup prefilter
+    over only-new batches — without rescanning finished partitions."""
+    from .sketches import bloom_positions
+
+    key = "\x1f".join(key_cols)
+    rows = bloom_positions(
+        df, key_cols, num_bits=num_bits, num_hashes=num_hashes,
+        part_col=partition_col, hash_fn=hash_fn,
+    ).collect()
+    by_part: dict[str, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(str(r[partition_col]), []).append(int(r["_pos"]))
+    for part, pos in by_part.items():
+        rec = manifest.doc["partitions"].setdefault(part, {})
+        rec.setdefault("bloom", {})[key] = {
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+            "hash_fn": hash_fn,
+            "positions": sorted(pos),
+        }
+
+
+def merged_bloom_from_manifest(
+    spark, manifest: CheckpointManifest, key_cols: list[str]
+) -> DataFrame | None:
+    """Union every stored per-partition Bloom state for ``key_cols`` into
+    ONE corpus-wide positions frame (``_pos``) — directly usable by
+    :func:`~taco_toolbox_spark.sketches.bloom_maybe_contains`. Returns
+    None when no partition recorded the key; raises on geometry mismatch
+    (a config error surfaced loudly, as with the count-min state)."""
+    from .schema import literal_frame
+
+    key = "\x1f".join(key_cols)
+    pos: set[int] = set()
+    geom: tuple | None = None
+    found = False
+    for rec in manifest.doc["partitions"].values():
+        st = rec.get("bloom", {}).get(key)
+        if not st:
+            continue
+        found = True
+        g = (st["num_bits"], st["num_hashes"], st["hash_fn"])
+        if geom is None:
+            geom = g
+        elif geom != g:
+            raise ValueError(
+                f"bloom geometry mismatch across partitions: {geom} vs {g}"
+            )
+        pos.update(int(p) for p in st["positions"])
+    if not found:
+        return None
+    return literal_frame(spark, [(p,) for p in sorted(pos)], "_pos long")
+
+
 def merged_quantiles_from_manifest(
     manifest: CheckpointManifest,
     value_expr: str,

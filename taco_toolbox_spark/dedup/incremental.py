@@ -41,6 +41,25 @@ def _norm_md5_key(text_col: str) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
 
 
+def exact_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    portable_key: bool = False,
+) -> DataFrame:
+    """The exact-dup key frame this module joins on — ``(_k)`` or
+    ``(id, _k)`` with ``id_col``. Exposed so callers can pre-materialize
+    the existing corpus's fingerprint store AND build the Bloom membership
+    state over the SAME key the verdict join uses::
+
+        keys = exact_keys(existing, portable_key=True)
+        bloom = bloom_positions(keys, ["_k"], num_bits, num_hashes, hash_fn="md5")
+    """
+    key = _norm_md5_key(text_col) if portable_key else fingerprint(text_col)
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    return df.select(*cols, key.alias("_k"))
+
+
 def incremental_dedup_verdicts(
     new_df: DataFrame,
     existing_df: DataFrame,
@@ -51,6 +70,9 @@ def incremental_dedup_verdicts(
     max_shingle_freq: int | None = None,
     portable_key: bool = False,
     check_within_batch: bool = True,
+    existing_bloom: DataFrame | None = None,
+    bloom_geometry: tuple[int, int] | None = None,
+    bloom_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-new-doc verdict frame: (id, verdict) with verdict in
     {'exact_dup', 'near_dup', 'keep'}.
@@ -67,6 +89,18 @@ def incremental_dedup_verdicts(
     ``portable_key=True`` uses the md5 normalized-text key (cross-engine
     reproducible, used by the oracle); default is the xxhash64 fingerprint
     (faster: no string materialization of the hash).
+
+    ``existing_bloom`` (a positions frame from
+    :func:`~taco_toolbox_spark.sketches.bloom_positions` over
+    :func:`exact_keys` of the existing corpus, or the merged manifest
+    state from ``checkpoint.merged_bloom_from_manifest``) pre-filters the
+    exact check: batch rows whose key MISSES the filter are definitely new
+    (Bloom never false-negatives), so only the "maybe seen" sliver pays
+    the semi-join against the existing fingerprint store. At 100 TB the
+    bloom is ≤ num_bits broadcast rows standing in for a corpus-sized
+    shuffle side — verdicts are IDENTICAL with or without it.
+    ``bloom_geometry`` is the required ``(num_bits, num_hashes)`` the
+    filter was built with; ``bloom_hash_fn`` its hash family.
     """
     key = (
         _norm_md5_key(text_col)
@@ -76,8 +110,28 @@ def incremental_dedup_verdicts(
     new_k = new_df.select(F.col(id_col).alias("id"), key.alias("_k"))
     ex_k = existing_df.select(key.alias("_k"))
 
-    # (a) exact vs existing: semi-join on the fingerprint key
-    exact_ids = new_k.join(ex_k, "_k", "left_semi").select("id")
+    # (a) exact vs existing: semi-join on the fingerprint key, optionally
+    # shrunk to the bloom's "maybe seen" sliver first
+    probe = new_k
+    if existing_bloom is not None:
+        if bloom_geometry is None:
+            raise ValueError(
+                "existing_bloom requires bloom_geometry=(num_bits, num_hashes) "
+                "matching how the filter was built"
+            )
+        from ..sketches import bloom_maybe_contains
+
+        num_bits, num_hashes = bloom_geometry
+        probe = (
+            bloom_maybe_contains(
+                existing_bloom, new_k, ["_k"],
+                num_bits=num_bits, num_hashes=num_hashes,
+                hash_fn=bloom_hash_fn,
+            )
+            .filter(F.col("_maybe"))
+            .drop("_maybe")
+        )
+    exact_ids = probe.join(ex_k, "_k", "left_semi").select("id")
     if check_within_batch:
         # (b) exact within batch: keep the smallest id per key, flag the rest
         w = Window.partitionBy("_k").orderBy("id")

@@ -100,3 +100,45 @@ def truncate_to_token_budget(
         .withColumn("truncated", F.max(F.col("cum_tokens") > budget).over(wg))
     )
     return out.filter(F.col("cum_tokens") <= budget)
+
+
+def reindex_turns(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    keep_original: str | None = "orig_turn_idx",
+) -> DataFrame:
+    """Renumber ``order_col`` to be exactly contiguous ``0..n−1`` per
+    conversation, preserving the existing order — the repair step after
+    any turn-dropping stage (quality filters, token-budget truncation,
+    PII row quarantine) so downstream consumers can rely on the
+    ContiguityCheck invariant again. Ties on ``order_col`` are impossible
+    for inputs that pass the uniqueness check; for dirty inputs the
+    renumbering is still deterministic (ties broken by the original value
+    only, which is the whole ordering key).
+
+    ``keep_original`` names a column that retains the pre-repair index
+    (lineage for violation-row joins); None drops it. One window over the
+    battery's (group, order) key shape — exchange-free on co-located
+    (bucketed) layouts, exactly like the truncation pass above."""
+    if keep_original in (group_col, order_col):
+        raise ValueError(
+            f"keep_original {keep_original!r} collides with an input column"
+        )
+    if keep_original is not None and keep_original in df.columns:
+        raise ValueError(
+            f"input column {keep_original!r} collides with keep_original"
+        )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    renumbered = df.withColumn(
+        "_new_idx", (F.row_number().over(w) - F.lit(1)).cast("int")
+    )
+    out_cols = []
+    for c in df.columns:
+        if c == order_col:
+            out_cols.append(F.col("_new_idx").alias(order_col))
+            if keep_original is not None:
+                out_cols.append(F.col(order_col).alias(keep_original))
+        else:
+            out_cols.append(F.col(c))
+    return renumbered.select(*out_cols)

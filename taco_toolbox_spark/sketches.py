@@ -1,4 +1,5 @@
-"""Count-min sketch — fixed-size, mergeable frequency state.
+"""Bounded, mergeable sketch state: count-min (frequency) and Bloom
+(membership).
 
 At 10^12 turns an exact per-key histogram over an open vocabulary (user
 ids, tool names in the wild, n-grams) is unbounded state; a count-min
@@ -24,6 +25,19 @@ Reference parity: tacotoolbox keeps exact per-band/per-field histograms
 (tacotoolbox/datamodel inventories) — viable only because its datasets
 are single-machine; this is the bounded-state analog SURVEY.md §6 calls
 for at 100 TB.
+
+The Bloom filter is the membership sibling: ``num_hashes`` bucket
+positions per key into a ``num_bits`` bit space, represented RELATIONALLY
+as the distinct set of set-bit positions (≤ num_bits rows — broadcastable
+by construction). One-sided like the CMS: a membership test can
+false-POSITIVE but never false-negative, which is exactly the guarantee
+an incremental-dedup prefilter needs (a "definitely new" verdict from the
+filter is final; only "maybe seen" rows pay the exact join against the
+existing corpus — dedup/incremental.py wires this). Merging filters is
+set union of positions; per-partition position sets checkpoint into the
+manifest (checkpoint.py:record_bloom_state) and a resumed or appending
+run rebuilds corpus membership state without rescanning finished
+partitions.
 """
 
 from __future__ import annotations
@@ -182,4 +196,124 @@ def cms_heavy_hitters(
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(floor))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — bounded, mergeable MEMBERSHIP state
+# ---------------------------------------------------------------------------
+
+#: Internal column names the Bloom functions append; caller frames must not
+#: already use them (same contract as the count-min _RESERVED set above).
+_BLOOM_RESERVED = {"_pos", "_hit", "_maybe"}
+
+
+def _check_bloom_reserved(df: DataFrame) -> None:
+    clash = _BLOOM_RESERVED & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with Bloom internal "
+            f"names {sorted(_BLOOM_RESERVED)}"
+        )
+
+
+def bloom_parameters(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: ``(num_bits, num_hashes)`` for an expected
+    item count at a target false-positive probability —
+    ``m = −n·ln p / (ln 2)²``, ``k = (m/n)·ln 2``. Callers that persist a
+    filter must size for the CORPUS the filter will eventually describe,
+    not the current batch: a Bloom filter cannot be grown, only rebuilt."""
+    if expected_items < 1:
+        raise ValueError(f"expected_items must be ≥ 1, got {expected_items}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    ln2 = math.log(2.0)
+    m = max(2, math.ceil(-expected_items * math.log(fpp) / (ln2 * ln2)))
+    k = max(1, round((m / expected_items) * ln2))
+    return m, k
+
+
+def bloom_positions(
+    df: DataFrame,
+    key_cols: list[str],
+    num_bits: int,
+    num_hashes: int,
+    part_col: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The filter itself, relationally: the DISTINCT set of set-bit
+    positions ``([part,] _pos)`` after inserting every row's key. Each key
+    sets ``num_hashes`` positions via
+    :func:`~taco_toolbox_spark.operators.sampling.hash_bucket` with seeds
+    ``0..num_hashes−1`` (md5 mode is engine-portable — the DuckDB oracle
+    replays the identical arithmetic). With ``part_col`` the positions are
+    PER PARTITION (mergeable checkpoint state); without, corpus-wide.
+
+    Plan shape: scan → ``num_hashes``-way explode (pure column
+    expressions) → grouped count-free distinct. Map-side partial
+    aggregation caps each task's shuffle output at ``num_bits`` rows, so
+    shuffle volume is bounded by ``tasks × num_bits`` REGARDLESS of input
+    rows — the same property that lets the count-min build run at 10^12
+    turns."""
+    if num_bits < 2 or num_hashes < 1:
+        raise ValueError(
+            f"need num_bits ≥ 2 and num_hashes ≥ 1, got {num_bits}/{num_hashes}"
+        )
+    _check_bloom_reserved(df)
+    positions = F.array(
+        *[
+            hash_bucket(key_cols, seed=d, hash_fn=hash_fn, buckets=num_bits)
+            for d in range(num_hashes)
+        ]
+    )
+    group = ([part_col] if part_col else []) + ["_pos"]
+    return (
+        df.select(
+            *([part_col] if part_col else []),
+            F.explode(positions).alias("_pos"),
+        )
+        .select(*group)
+        .distinct()
+    )
+
+
+def bloom_merge(positions: DataFrame) -> DataFrame:
+    """Merge per-partition position sets into one filter: set union =
+    distinct over ``_pos``. Input is already ≤ parts·num_bits rows."""
+    return positions.select("_pos").distinct()
+
+
+def bloom_maybe_contains(
+    positions: DataFrame,
+    candidates: DataFrame,
+    key_cols: list[str],
+    num_bits: int,
+    num_hashes: int,
+    hash_fn: str = "xxhash64",
+    result_col: str = "_maybe",
+) -> DataFrame:
+    """Membership test: appends boolean ``result_col`` to ``candidates`` —
+    True iff ALL ``num_hashes`` of the candidate's bit positions are set
+    (may false-positive at the filter's design rate; NEVER
+    false-negatives an inserted key). The filter is ≤ num_bits rows, so
+    the join side broadcasts: testing any candidate set costs one narrow
+    pass over the candidates, never a rescan of the corpus the filter
+    summarizes."""
+    _check_bloom_reserved(candidates)
+    pos_arr = F.array(
+        *[
+            hash_bucket(key_cols, seed=d, hash_fn=hash_fn, buckets=num_bits)
+            for d in range(num_hashes)
+        ]
+    )
+    exploded = candidates.select(
+        *candidates.columns, F.explode(pos_arr).alias("_pos")
+    )
+    marked = positions.select("_pos").distinct().withColumn("_hit", F.lit(1))
+    return (
+        exploded.join(F.broadcast(marked), "_pos", "left")
+        .groupBy(*candidates.columns)
+        .agg(
+            (F.count("_hit") == F.lit(num_hashes)).alias(result_col)
+        )
     )

@@ -84,3 +84,50 @@ def test_truncate_reserved_and_modes(spark):
     assert bpe.first()["turn_tokens"] >= 2
     with pytest.raises(ValueError, match="count_mode"):
         truncate_to_token_budget(ok, budget=5, count_mode="chars")
+
+
+# ------------------------------------------------------------------ reindex
+
+
+def test_reindex_turns_contiguous_after_filter(spark):
+    from taco_toolbox_spark.operators.transcripts import reindex_turns
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "system", "s", _s(0)),
+            ("a", 1, "user", "u", _s(1)),
+            ("a", 3, "tool", "t", _s(2)),
+            ("a", 5, "assistant", "r", _s(3)),
+            ("b", 2, "user", "x", _s(0)),
+        ],
+        SCHEMA,
+    )
+    out = reindex_turns(df.filter(F.col("role") != "tool"))
+    rows = {
+        (r["conv_id"], r["orig_turn_idx"]): r["turn_idx"]
+        for r in out.collect()
+    }
+    assert rows == {
+        ("a", 0): 0, ("a", 1): 1, ("a", 5): 2, ("b", 2): 0,
+    }
+    assert dict(out.dtypes)["turn_idx"] == "int"
+    assert set(out.columns) == set(df.columns) | {"orig_turn_idx"}
+
+
+def test_reindex_turns_drop_original(spark):
+    from taco_toolbox_spark.operators.transcripts import reindex_turns
+
+    df = spark.createDataFrame([("a", 7, "user", "u", _s(0))], SCHEMA)
+    out = reindex_turns(df, keep_original=None)
+    assert out.columns == df.columns
+    assert out.first()["turn_idx"] == 0
+
+
+def test_reindex_turns_collision_raises(spark):
+    from taco_toolbox_spark.operators.transcripts import reindex_turns
+
+    df = spark.createDataFrame([("a", 0, "user", "u", _s(0))], SCHEMA)
+    with pytest.raises(ValueError, match="collides"):
+        reindex_turns(df, keep_original="turn_idx")
+    with pytest.raises(ValueError, match="collides"):
+        reindex_turns(df.withColumn("orig_turn_idx", F.lit(1)))
