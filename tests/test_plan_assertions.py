@@ -354,3 +354,62 @@ def test_token_truncate_single_window_single_exchange(spark):
     assert plan.count("Window") == 2  # cumsum + per-group truncated flag
     assert plan.count("Exchange") == 1  # both share the conv_id exchange
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_build_partial_distinct_and_lookup_broadcast(spark):
+    """The filter build must partial-aggregate map-side (distinct compiles
+    to two HashAggregate levels, capping each task's shuffle output at
+    num_bits rows), and the membership test must BROADCAST the filter —
+    never shuffle the candidate side against it. Both stay JVM-side."""
+    from taco_toolbox_spark.sketches import bloom_maybe_contains, bloom_positions
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, key string")
+    pos = bloom_positions(df, ["key"], 1024, 4)
+    build_plan = _plan(pos)
+    assert build_plan.count("HashAggregate") >= 2  # partial+final distinct
+    assert "BatchEvalPython" not in build_plan
+    lookup_plan = _plan(bloom_maybe_contains(pos, df, ["key"], 1024, 4))
+    assert "BroadcastHashJoin" in lookup_plan or "BroadcastExchange" in lookup_plan
+    assert "SortMergeJoin" not in lookup_plan
+    assert "BatchEvalPython" not in lookup_plan
+
+
+def test_incremental_bloom_prefilter_keeps_semi_join_and_broadcast(spark):
+    """With the bloom prefilter wired in, the exact path must still reach
+    the existing corpus through a LeftSemi join, and the filter itself must
+    enter as a broadcast — the prefilter adds no data-sized shuffle."""
+    from taco_toolbox_spark.dedup.incremental import (
+        exact_keys,
+        incremental_dedup_verdicts,
+    )
+    from taco_toolbox_spark.sketches import bloom_positions
+
+    new = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    ex = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    bloom = bloom_positions(exact_keys(ex), ["_k"], 1024, 4)
+    plan = _plan(
+        incremental_dedup_verdicts(
+            new, ex, existing_bloom=bloom, bloom_geometry=(1024, 4)
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reindex_single_window_python_free(spark):
+    """reindex_turns is ONE window over the battery key shape — a single
+    row_number, no extra exchanges beyond the window's, JVM-only."""
+    from taco_toolbox_spark.operators.transcripts import reindex_turns
+
+    df = spark.createDataFrame(
+        [("a", 0, "user"), ("a", 2, "tool")],
+        "conv_id string, turn_idx int, role string",
+    )
+    plan = _plan(reindex_turns(df))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2  # the window's hash partitioning (+AQE read)
+    assert "BatchEvalPython" not in plan
