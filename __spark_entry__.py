@@ -1502,6 +1502,54 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_stream_incr_dedup(spark, sf_dir):
+    """STREAMING incremental exact dedup vs a static corpus under the
+    full value oracle: docs with doc_id % 3 == 0 arrive as a bounded file
+    stream; each row's md5 normalized-text key is pre-tested against the
+    PACKED Bloom filter of the existing corpus's keys (sketches.py:
+    bloom_test_col — one boolean column expression, no join, no state;
+    misses are verdicted 'new' without probing) and only the maybe-seen
+    sliver is left-joined against the static key store
+    (streaming/validate_stream.py:stream_incremental_exact — stateless:
+    no watermark, no state store). Bloom one-sidedness makes the packed
+    pre-test invisible to the output, so the oracle is the plain
+    semi-join verdict in SQL."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.dedup.incremental import exact_keys
+    from taco_toolbox_spark.sketches import bloom_pack_words, bloom_positions
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_incremental_smoke,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/docs_incr_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        d.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
+            staged
+        )
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    ex_keys = exact_keys(existing, portable_key=True)
+    words = bloom_pack_words(
+        bloom_positions(ex_keys, ["_k"], 4096, 4, hash_fn="md5"), 4096
+    )
+    out = run_stream_incremental_smoke(
+        spark, staged, ex_keys, query_name=f"q_sincr_{tag}",
+        max_files_per_trigger=4, portable_key=True,
+        bloom_words=words, bloom_num_hashes=4, bloom_hash_fn="md5",
+    )
+    return out.select(F.col("id").alias("doc_id"), "verdict")
+
+
 def q_b1_bloom_contains(spark, sf_dir):
     """Bloom membership state (sketches.py): insert the normalized-text
     keys of even-id documents into a 2048-bit / 4-hash filter (md5
@@ -1631,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "b1_bloom_contains": q_b1_bloom_contains,
         "w6_reindex_turns": q_w6_reindex_turns,
+        "stream_incr_dedup": q_stream_incr_dedup,
     }
 
 
@@ -2584,6 +2633,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
             HAVING count(*) >= CEIL((SELECT count(*) FROM events) / 128.0)
+        """,
+        # the packed-bloom pre-test is output-invisible (one-sided), so
+        # the streaming verdict contract is the plain semi-join in SQL
+        "stream_incr_dedup": """
+            WITH nk AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS k
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            ek AS (
+              SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS k
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT doc_id,
+                   CASE WHEN k IN (SELECT k FROM ek) THEN 'exact_dup'
+                        ELSE 'new' END AS verdict
+            FROM nk
         """,
         # the Bloom bit arithmetic itself replayed: identical md5 key,
         # identical per-seed position, membership = all 4 positions set

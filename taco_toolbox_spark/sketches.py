@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .operators.sampling import hash_bucket
@@ -317,3 +317,51 @@ def bloom_maybe_contains(
             (F.count("_hit") == F.lit(num_hashes)).alias(result_col)
         )
     )
+
+
+def bloom_pack_words(positions, num_bits: int) -> list[int]:
+    """Pack a positions frame (or iterable of ints) into the 64-bit-word
+    bitmap representation: ``num_bits/64`` signed longs. One small driver
+    action over ≤ num_bits rows. The packed form embeds as a LITERAL
+    array in :func:`bloom_test_col` — a pure projection with no join and
+    no aggregation, which is the form a STREAM can evaluate statelessly
+    and a filter pushdown can sit above the scan."""
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if isinstance(positions, DataFrame):
+        pos_iter = (int(r["_pos"]) for r in positions.select("_pos").collect())
+    else:
+        pos_iter = (int(p) for p in positions)
+    words = [0] * (num_bits // 64)
+    for p in pos_iter:
+        if not (0 <= p < num_bits):
+            raise ValueError(f"position {p} outside [0, {num_bits})")
+        words[p // 64] |= 1 << (p % 64)
+    # Java longs are signed: wrap bit 63 into two's complement
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_test_col(
+    key_cols: list[str],
+    words: list[int],
+    num_hashes: int,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Membership test as ONE boolean column expression over the packed
+    filter: per seed, ``getbit(words[pos div 64], pos mod 64)``. No join,
+    no aggregation, no state — evaluates inside WholeStageCodegen right
+    above the scan, streams without a watermark, and composes into any
+    predicate context (the one-sided guarantee is unchanged: inserted
+    keys ALWAYS test true). The word array is a literal of
+    ``num_bits/64`` longs (e.g. 64 longs for a 4096-bit filter) — driver
+    plan size, not data size."""
+    num_bits = len(words) * 64
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    test = F.lit(True)
+    for d in range(num_hashes):
+        pos = hash_bucket(key_cols, seed=d, hash_fn=hash_fn, buckets=num_bits)
+        word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
+        test = test & (
+            F.getbit(word, (pos % F.lit(64)).cast("int")) == F.lit(1)
+        )
+    return test

@@ -1020,3 +1020,95 @@ def run_stream_minhash_smoke(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_incremental_exact(
+    stream_df: DataFrame,
+    existing_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_key: bool = False,
+    bloom_words: list[int] | None = None,
+    bloom_num_hashes: int | None = None,
+    bloom_hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming incremental EXACT dedup vs a static existing corpus: each
+    arriving document gets a verdict — ``exact_dup`` iff its normalized-
+    text key matches an existing doc, else ``new``. The streaming twin of
+    ``dedup/incremental.py``'s exact-vs-existing check (the corpus-append
+    path, live): STATELESS by construction — the key is a pure projection
+    and the check is a stream-static left join against the pre-
+    materialized key store, so there is no watermark and no state store
+    (contrast ``stream_dedup``, whose WITHIN-stream dedup needs eviction
+    state). Within-stream duplicates are deliberately out of scope here —
+    compose with ``stream_dedup`` upstream for that half.
+
+    ``bloom_words`` (the packed filter from
+    :func:`~taco_toolbox_spark.sketches.bloom_pack_words` over the
+    existing corpus's keys) turns the membership pre-test into ONE
+    boolean column expression (``bloom_test_col`` — no join, no state):
+    rows that miss the filter are verdicted ``new`` without probing the
+    key store (their join key is masked to NULL, which no equi-join
+    matches). Bloom one-sidedness makes this exact: verdicts are
+    IDENTICAL with or without the filter. At scale the static side is the
+    corpus-sized fingerprint store re-planned each micro-batch; the bloom
+    keeps the probe side sparse and, with the store bucketed by key,
+    prunes most of it out of the join entirely.
+    """
+    from ..dedup.incremental import exact_keys
+    from ..sketches import bloom_test_col
+
+    keyed = exact_keys(stream_df, text_col, id_col=id_col,
+                       portable_key=portable_key)
+    if bloom_words is not None:
+        if bloom_num_hashes is None:
+            raise ValueError(
+                "bloom_words requires bloom_num_hashes matching how the "
+                "filter was built"
+            )
+        maybe = bloom_test_col(
+            ["_k"], bloom_words, bloom_num_hashes, hash_fn=bloom_hash_fn
+        )
+        keyed = keyed.withColumn("_pk", F.when(maybe, F.col("_k")))
+    else:
+        keyed = keyed.withColumn("_pk", F.col("_k"))
+    store = (
+        existing_keys.select(F.col("_k").alias("_pk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return keyed.join(store, "_pk", "left").select(
+        "id",
+        F.when(F.col("_hit").isNotNull(), F.lit("exact_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )
+
+
+def run_stream_incremental_smoke(
+    spark,
+    parquet_dir: str,
+    existing_keys: DataFrame,
+    query_name: str = "stream_incr",
+    max_files_per_trigger: int = 8,
+    **kwargs,
+):
+    """Drive stream_incremental_exact over a bounded parquet dir with the
+    memory sink (append mode — the operator is stateless, every row emits
+    exactly once with its verdict)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_incremental_exact(stream, existing_keys, **kwargs)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

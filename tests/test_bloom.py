@@ -198,3 +198,47 @@ def test_incremental_bloom_requires_geometry(inc_corpus, spark):
     bloom = spark.range(1).select(F.col("id").alias("_pos"))
     with pytest.raises(ValueError, match="bloom_geometry"):
         incremental_dedup_verdicts(new, existing, existing_bloom=bloom)
+
+
+# ------------------------------------------------------- packed-word form
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_bloom_packed_words_match_relational_test(corpus, spark, hash_fn):
+    """bloom_test_col over the packed literal words must agree with
+    bloom_maybe_contains row-for-row — same filter, two realizations
+    (broadcast join vs pure projection)."""
+    from taco_toolbox_spark.sketches import bloom_pack_words, bloom_test_col
+
+    members = corpus.clean.select("conv_id").distinct().limit(100)
+    everyone = corpus.clean.select("conv_id").distinct()
+    pos = bloom_positions(members, ["conv_id"], BITS, HASHES, hash_fn=hash_fn)
+    words = bloom_pack_words(pos, BITS)
+    assert len(words) == BITS // 64
+    via_join = {
+        r["conv_id"]: r["_maybe"]
+        for r in bloom_maybe_contains(
+            pos, everyone, ["conv_id"], BITS, HASHES, hash_fn=hash_fn
+        ).collect()
+    }
+    via_col = {
+        r["conv_id"]: r["m"]
+        for r in everyone.select(
+            "conv_id",
+            bloom_test_col(["conv_id"], words, HASHES, hash_fn=hash_fn).alias("m"),
+        ).collect()
+    }
+    assert via_col == via_join
+    assert sum(via_join.values()) >= 100  # all members test True
+
+
+def test_bloom_pack_words_validation(spark):
+    from taco_toolbox_spark.sketches import bloom_pack_words
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_pack_words([1], 100)
+    with pytest.raises(ValueError, match="outside"):
+        bloom_pack_words([64], 64)
+    # bit 63 wraps into a signed long
+    words = bloom_pack_words([63], 64)
+    assert words == [-(1 << 63)]

@@ -656,3 +656,75 @@ def test_stream_cms_windowed_sums(tmp_path, corpus):
     assert {k.to_pydatetime(): v for k, v in got.items()} == {
         k: v for k, v in want.items()
     }
+
+
+def test_stream_incremental_exact_matches_batch(tmp_path, spark):
+    """Streaming incremental exact dedup vs a static key store must give
+    the batch exact-vs-existing verdicts on the same bounded input —
+    with and without the packed-bloom pre-test (one-sidedness makes the
+    two paths identical), stateless in both cases."""
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.dedup.incremental import exact_keys
+    from taco_toolbox_spark.sketches import bloom_pack_words, bloom_positions
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_incremental_smoke,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "an entirely different existing document text"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "THE quick   Brown fox jumps over the lazy dog"),  # norm dup
+            (2, "a brand new never seen before document"),
+            (3, "an entirely different existing document text"),  # exact dup
+            (4, "another fresh document with novel words"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "incr_in")
+    batch.repartition(4, "doc_id").write.parquet(inp)
+    ex_keys = exact_keys(existing)
+    want = {(1, "exact_dup"), (2, "new"), (3, "exact_dup"), (4, "new")}
+
+    got = {
+        (r["id"], r["verdict"])
+        for r in run_stream_incremental_smoke(
+            spark, inp, ex_keys, query_name="t_incr_plain",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert got == want
+
+    words = bloom_pack_words(
+        bloom_positions(ex_keys, ["_k"], 1024, 4), 1024
+    )
+    got_bloom = {
+        (r["id"], r["verdict"])
+        for r in run_stream_incremental_smoke(
+            spark, inp, ex_keys, query_name="t_incr_bloom",
+            max_files_per_trigger=1,
+            bloom_words=words, bloom_num_hashes=4,
+        ).collect()
+    }
+    assert got_bloom == want
+
+
+def test_stream_incremental_requires_hash_count(spark):
+    import pytest as _pytest
+
+    from taco_toolbox_spark.dedup.incremental import exact_keys
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_incremental_exact,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bloom_num_hashes"):
+        stream_incremental_exact(
+            df, exact_keys(df), bloom_words=[0] * 16
+        )
