@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_common_spans",  # aligned-block boilerplate removal + splice
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
     "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join
+    "b1_bloom_contains",  # bounded membership state: build + broadcast test
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
