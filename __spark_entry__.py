@@ -1550,6 +1550,25 @@ def q_stream_incr_dedup(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "verdict")
 
 
+def q_w7_render_convs(spark, sf_dir):
+    """Chat→flat rendering (operators/transcripts.py:render_conversations):
+    each conversation flattens to ONE '<role> text'-lines document — the
+    step between validation and tokenization in a transcript training
+    pipeline. ONE grouped aggregation (collect + sort by (turn, line) so
+    the corrupted corpus's duplicate turn indexes render identically on
+    any engine; NULL role/text render as empty, never a NULL line). The
+    oracle is DuckDB string_agg with the identical ORDER BY and
+    rendering."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import render_conversations
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return render_conversations(corpus.corrupted)
+
+
 def q_b1_bloom_contains(spark, sf_dir):
     """Bloom membership state (sketches.py): insert the normalized-text
     keys of even-id documents into a 2048-bit / 4-hash filter (md5
@@ -1680,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_bloom_contains": q_b1_bloom_contains,
         "w6_reindex_turns": q_w6_reindex_turns,
         "stream_incr_dedup": q_stream_incr_dedup,
+        "w7_render_convs": q_w7_render_convs,
     }
 
 
@@ -2513,6 +2533,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, turn_tokens, cum_tokens::BIGINT AS cum_tokens,
                    trunc_i = 1 AS truncated
             FROM f WHERE cum_tokens <= 30
+        """,
+        "w7_render_convs": f"""
+            WITH lines AS (
+              SELECT conv_id, turn_idx,
+                     '<' || coalesce(role, '') || '> ' || coalesce(text, '')
+                       AS l
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            )
+            SELECT conv_id,
+                   string_agg(l, chr(10) ORDER BY turn_idx, l) AS text,
+                   count(*)::BIGINT AS n_turns,
+                   length(string_agg(l, chr(10) ORDER BY turn_idx, l))::BIGINT
+                     AS n_chars
+            FROM lines GROUP BY conv_id
         """,
         "w6_reindex_turns": f"""
             WITH kept AS (

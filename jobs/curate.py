@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                    "match (normalized fingerprint semi-join) or near-match "
                    "(n-gram Jaccard >= --jaccard-threshold) an existing "
                    "doc are dropped before in-batch near dedup")
+    p.add_argument("--existing-bloom-manifest", default=None,
+                   help="checkpoint manifest JSON holding the existing "
+                   "corpus's Bloom membership state (recorded over its "
+                   "exact_keys via checkpoint.record_bloom_state): the "
+                   "merged filter pre-tests the --dedup-against exact "
+                   "check so only maybe-seen docs pay the fingerprint "
+                   "semi-join; verdicts are identical with or without it")
     p.add_argument("--remove-boilerplate", type=int, default=None,
                    metavar="MIN_DOCS",
                    help="splice out text segments occurring in >= MIN_DOCS "
@@ -246,12 +253,45 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
 
             existing = spark.read.parquet(args.dedup_against)
+            bloom_kwargs: dict = {}
+            if args.existing_bloom_manifest:
+                from taco_toolbox_spark.checkpoint import (
+                    CheckpointManifest,
+                    merged_bloom_from_manifest,
+                )
+
+                if not os.path.exists(args.existing_bloom_manifest):
+                    raise SystemExit(
+                        f"--existing-bloom-manifest "
+                        f"{args.existing_bloom_manifest} does not exist"
+                    )
+                bman = CheckpointManifest.load_or_create(
+                    args.existing_bloom_manifest, "bloom", args.dedup_against
+                )
+                merged = merged_bloom_from_manifest(spark, bman, ["_k"])
+                if merged is None:
+                    raise SystemExit(
+                        f"--existing-bloom-manifest "
+                        f"{args.existing_bloom_manifest} holds no bloom "
+                        "state for key ['_k']"
+                    )
+                geo = next(
+                    st["bloom"]["_k"]
+                    for st in bman.doc["partitions"].values()
+                    if st.get("bloom", {}).get("_k")
+                )
+                bloom_kwargs = {
+                    "existing_bloom": merged,
+                    "bloom_geometry": (geo["num_bits"], geo["num_hashes"]),
+                    "bloom_hash_fn": geo["hash_fn"],
+                }
             dup_ids = (
                 incremental_dedup_verdicts(
                     clean, existing, args.text_col, args.id_col,
                     threshold=args.jaccard_threshold,
                     max_shingle_freq=1000,
                     check_within_batch=False,
+                    **bloom_kwargs,
                 )
                 .filter(F.col("verdict") != "keep")
                 .select(F.col("id").alias(args.id_col))

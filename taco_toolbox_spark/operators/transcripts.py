@@ -102,6 +102,50 @@ def truncate_to_token_budget(
     return out.filter(F.col("cum_tokens") <= budget)
 
 
+def render_conversations(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Flatten each conversation into ONE training document:
+    ``<role> text`` lines joined by ``sep`` in turn order — the chat→flat
+    rendering step between validation and tokenization. Returns
+    ``(group, text, n_turns, n_chars)``.
+
+    One grouped aggregation: lines collect per conversation and sort by
+    ``(order, line)`` — the line is in the sort key so duplicate order
+    values (a corrupted corpus) still render identically on any engine —
+    then join. NULL role/text render as empty strings (never a NULL line,
+    so no engine-specific NULL-skipping ambiguity). State per group is
+    bounded by conversation length; hot conversations are a bounded-skew
+    concern, not an unbounded one, and the shuffle carries one struct per
+    turn (no window pass)."""
+    line = F.concat(
+        F.lit("<"),
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")),
+        F.lit("> "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    pairs = df.select(
+        group_col,
+        F.struct(F.col(order_col).alias("o"), line.alias("l")).alias("p"),
+    )
+    out = pairs.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("p")).alias("_ps"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    text = F.array_join(F.transform(F.col("_ps"), lambda s: s["l"]), sep)
+    return out.select(
+        group_col,
+        text.alias("text"),
+        "n_turns",
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
 def reindex_turns(
     df: DataFrame,
     group_col: str = "conv_id",

@@ -131,3 +131,42 @@ def test_reindex_turns_collision_raises(spark):
         reindex_turns(df, keep_original="turn_idx")
     with pytest.raises(ValueError, match="collides"):
         reindex_turns(df.withColumn("orig_turn_idx", F.lit(1)))
+
+
+# ------------------------------------------------------------------- render
+
+
+def test_render_conversations_order_and_nulls(spark):
+    from taco_toolbox_spark.operators.transcripts import render_conversations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "user", "hello", _s(1)),
+            ("a", 0, "system", "be nice", _s(0)),
+            ("a", 2, None, None, _s(2)),
+            ("b", 0, "user", "solo", _s(0)),
+        ],
+        SCHEMA,
+    )
+    rows = {r["conv_id"]: r for r in render_conversations(df).collect()}
+    assert rows["a"]["text"] == "<system> be nice\n<user> hello\n<> "
+    assert rows["a"]["n_turns"] == 3
+    assert rows["a"]["n_chars"] == len(rows["a"]["text"])
+    assert rows["b"]["text"] == "<user> solo"
+
+
+def test_render_conversations_tie_stability(spark):
+    """Duplicate turn_idx values (corrupted corpus) must render the same
+    text regardless of partitioning — the line is in the sort key."""
+    from taco_toolbox_spark.operators.transcripts import render_conversations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "user", "zzz", _s(0)),
+            ("a", 0, "user", "aaa", _s(1)),
+        ],
+        SCHEMA,
+    )
+    t1 = render_conversations(df.coalesce(1)).first()["text"]
+    t2 = render_conversations(df.repartition(7)).first()["text"]
+    assert t1 == t2 == "<user> aaa\n<user> zzz"

@@ -423,3 +423,68 @@ def test_curate_remove_boilerplate_stage(tmp_path, spark):
     toks = {r["doc_id"]: r["n_tokens"] for r in
             shards.select("doc_id", "n_tokens").collect()}
     assert toks[0] == 5  # 10-word doc minus the removed 5-word block
+
+
+def test_curate_incremental_with_bloom_manifest(tmp_path, spark):
+    """--existing-bloom-manifest pre-tests the exact check with the
+    corpus's recorded Bloom state; funnel and survivors are identical to
+    the no-bloom run (one-sidedness), and a missing/empty manifest fails
+    loudly before any work."""
+    import json
+
+    import jobs.curate as jc
+    from pyspark.sql import functions as F
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        record_bloom_state,
+    )
+    from taco_toolbox_spark.dedup.incremental import exact_keys
+
+    existing = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today", "web"),
+            (101, "settled corpus doc about distributed query engines", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "The QUICK brown   fox jumps over the lazy dog today", "web"),
+            (2, "the quick brown fox jumps over the lazy cat today", "web"),
+            (3, "fresh document with entirely novel content and words", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    inp, exdir, out = (str(tmp_path / d) for d in ("batch", "existing", "out"))
+    batch.write.parquet(inp)
+    existing.write.parquet(exdir)
+
+    # record the existing corpus's bloom state the way its build job would:
+    # over exact_keys, partitioned by source
+    man_path = str(tmp_path / "existing_manifest.json")
+    man = CheckpointManifest.load_or_create(man_path, "bloom", exdir)
+    keyed = exact_keys(
+        spark.read.parquet(exdir), id_col=None
+    ).withColumn("part", F.lit("all"))
+    record_bloom_state(man, keyed, ["_k"], num_bits=2048, num_hashes=4)
+    man.save()
+
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "2",
+         "--dedup-against", exdir, "--jaccard-threshold", "0.5",
+         "--existing-bloom-manifest", man_path,
+         "--max-shard-tokens", "1000"],
+        stop_session=False,
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["funnel"]["vs_existing"] == 1  # identical to the no-bloom run
+
+    with pytest.raises(SystemExit, match="does not exist"):
+        jc.main(
+            ["--input", inp, "--output", str(tmp_path / "out2"),
+             "--min-tokens", "2", "--dedup-against", exdir,
+             "--existing-bloom-manifest", str(tmp_path / "missing.json"),
+             "--max-shard-tokens", "1000"],
+            stop_session=False,
+        )
