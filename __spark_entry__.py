@@ -1569,6 +1569,26 @@ def q_w7_render_convs(spark, sf_dir):
     return render_conversations(corpus.corrupted)
 
 
+def q_w8_chunk_windows(spark, sf_dir):
+    """Sliding context windows (operators/transcripts.py:
+    chunk_conversations): window 4 turns, stride 2 — every turn position
+    p lands in windows ceil((p−3)/2)..floor(p/2) (clamped at 0), a PURE
+    NARROW plan (explode over integer arithmetic, no shuffle/window/
+    state) with replication factor exactly ⌈window/stride⌉ = 2, never
+    data-dependent. Negative (corrupt) positions drop rather than
+    fabricate windows. The oracle replays the identical floor arithmetic
+    through DuckDB range()."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import chunk_conversations
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    out = chunk_conversations(corpus.corrupted, window_turns=4, stride_turns=2)
+    return out.select("conv_id", "turn_idx", "window_id")
+
+
 def q_b1_bloom_contains(spark, sf_dir):
     """Bloom membership state (sketches.py): insert the normalized-text
     keys of even-id documents into a 2048-bit / 4-hash filter (md5
@@ -1700,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_reindex_turns": q_w6_reindex_turns,
         "stream_incr_dedup": q_stream_incr_dedup,
         "w7_render_convs": q_w7_render_convs,
+        "w8_chunk_windows": q_w8_chunk_windows,
     }
 
 
@@ -2533,6 +2554,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, turn_tokens, cum_tokens::BIGINT AS cum_tokens,
                    trunc_i = 1 AS truncated
             FROM f WHERE cum_tokens <= 30
+        """,
+        "w8_chunk_windows": f"""
+            SELECT conv_id, turn_idx, w AS window_id
+            FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet'),
+                 LATERAL (
+                   SELECT unnest(range(
+                     greatest(0::BIGINT,
+                              (-floor((3 - turn_idx)::DOUBLE / 2))::BIGINT),
+                     floor(turn_idx::DOUBLE / 2)::BIGINT + 1
+                   )) AS w
+                 )
         """,
         "w7_render_convs": f"""
             WITH lines AS (

@@ -102,6 +102,57 @@ def truncate_to_token_budget(
     return out.filter(F.col("cum_tokens") <= budget)
 
 
+def chunk_conversations(
+    df: DataFrame,
+    window_turns: int,
+    stride_turns: int | None = None,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Sliding context windows over each conversation: window ``w`` covers
+    turn POSITIONS ``[w·stride, w·stride + window)`` (positions =
+    ``order_col`` values, which are 0..n−1 contiguous after
+    :func:`reindex_turns`), so every consecutive-``window_turns`` slice at
+    ``stride_turns`` spacing becomes a training context. Appends
+    ``window_id``; a turn belonging to several overlapping windows is
+    REPLICATED once per window — the replication factor is exactly
+    ``⌈window/stride⌉``, a constant chosen by the caller, never data-
+    dependent (contrast a self-join formulation, whose fan-out floats
+    with conversation length).
+
+    Pure narrow plan: one ``explode(sequence(lo, hi))`` over integer
+    arithmetic — no shuffle, no window pass, no state. Downstream
+    grouping by (group, window_id) shuffles the replicated rows once,
+    exactly like any other battery pass. ``stride_turns=None`` means
+    non-overlapping back-to-back windows (stride = window)."""
+    stride = window_turns if stride_turns is None else stride_turns
+    if window_turns < 1 or stride < 1:
+        raise ValueError(
+            f"need window_turns ≥ 1 and stride_turns ≥ 1, got "
+            f"{window_turns}/{stride}"
+        )
+    if stride > window_turns:
+        raise ValueError(
+            f"stride_turns {stride} > window_turns {window_turns} would "
+            "skip turns entirely"
+        )
+    if "window_id" in df.columns:
+        raise ValueError("input column 'window_id' collides with the output")
+    p = F.col(order_col).cast("bigint")
+    # windows whose span [w*stride, w*stride+window) contains position p:
+    # ceil((p - window + 1) / stride) <= w <= floor(p / stride), clamped at 0
+    lo = F.greatest(
+        F.lit(0),
+        -F.floor((F.lit(window_turns - 1) - p) / F.lit(stride)),
+    ).cast("bigint")
+    hi = F.floor(p / F.lit(stride)).cast("bigint")
+    # hi < lo only for NEGATIVE positions (a validation problem, not a
+    # chunking one) — drop such rows rather than let sequence() run
+    # DESCENDING and fabricate windows
+    wins = F.when(hi >= lo, F.sequence(lo, hi))
+    return df.withColumn("window_id", F.explode(wins))
+
+
 def render_conversations(
     df: DataFrame,
     group_col: str = "conv_id",

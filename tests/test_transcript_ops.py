@@ -170,3 +170,44 @@ def test_render_conversations_tie_stability(spark):
     t1 = render_conversations(df.coalesce(1)).first()["text"]
     t2 = render_conversations(df.repartition(7)).first()["text"]
     assert t1 == t2 == "<user> aaa\n<user> zzz"
+
+
+# ------------------------------------------------------------------- chunk
+
+
+def test_chunk_windows_overlap_and_bounds(spark):
+    from taco_toolbox_spark.operators.transcripts import chunk_conversations
+
+    df = spark.createDataFrame(
+        [("a", i, "user", "t", _s(i)) for i in range(6)], SCHEMA
+    )
+    out = chunk_conversations(df, window_turns=4, stride_turns=2)
+    wins = {}
+    for r in out.collect():
+        wins.setdefault(r["window_id"], []).append(r["turn_idx"])
+    # window w covers positions [2w, 2w+4)
+    assert sorted(wins[0]) == [0, 1, 2, 3]
+    assert sorted(wins[1]) == [2, 3, 4, 5]
+    assert sorted(wins[2]) == [4, 5]
+    # replication factor exactly ceil(window/stride) = 2 for interior turns
+    assert out.count() == 6 + 4  # turns 2..5 appear twice
+
+
+def test_chunk_windows_nonoverlapping_default_and_guards(spark):
+    from taco_toolbox_spark.operators.transcripts import chunk_conversations
+
+    df = spark.createDataFrame(
+        [("a", i, "user", "t", _s(i)) for i in range(5)]
+        + [("a", -1, "user", "corrupt", _s(9))],
+        SCHEMA,
+    )
+    out = chunk_conversations(df, window_turns=3)
+    got = {(r["turn_idx"], r["window_id"]) for r in out.collect()}
+    # back-to-back windows, one window per turn; the negative position drops
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)}
+    with pytest.raises(ValueError, match="skip turns"):
+        chunk_conversations(df, window_turns=2, stride_turns=3)
+    with pytest.raises(ValueError, match="window_turns"):
+        chunk_conversations(df, window_turns=0)
+    with pytest.raises(ValueError, match="window_id"):
+        chunk_conversations(df.withColumn("window_id", F.lit(1)), 2)
