@@ -1033,6 +1033,30 @@ def q_s3_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_s4_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (dedup/cluster.py:
+    leakage_safe_split): the split label is hash_split of the near-dup
+    CLUSTER representative, not of the document — so a near-copy of a
+    training doc can never land in eval. Composition: n-gram Jaccard
+    pairs → connected-components closure (star fixpoint) → md5 hash
+    split keyed by cluster_id. The oracle replays the closure as a
+    recursive CTE and the split as the identical md5 arithmetic, so the
+    no-straddle guarantee is verified end to end, not assumed."""
+    from taco_toolbox_spark.dedup.cluster import leakage_safe_split
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return leakage_safe_split(
+        d,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id",
+        seed=7,
+        hash_fn="md5",
+    ).select("doc_id", "cluster_id", "split")
+
+
 def q_d3_embedding_drift(spark, sf_dir):
     """Per-label embedding-centroid drift (checks/drift.py:
     embedding_centroid_drift): cosine of each label-partition's mean
@@ -1711,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
         "s3_hash_split": q_s3_hash_split,
+        "s4_leakage_split": q_s4_leakage_split,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -2096,13 +2121,13 @@ def _jaccard_oracle(max_shingle_freq: int | None, threshold: float = 0.2) -> str
         """
 
 
-def _dedup_clusters_oracle(max_shingle_freq: int = 1000,
-                           threshold: float = 0.2) -> str:
-    """Transitive closure of the exact-Jaccard pair graph as a DuckDB
-    recursive CTE (min reachable id per node over the symmetrized edges),
-    left-joined back onto all documents so singletons cluster with
-    themselves — the independent recomputation of dedup/cluster.py's
-    hash-min fixpoint."""
+def _closure_comp_ctes(max_shingle_freq: int = 1000,
+                       threshold: float = 0.2) -> str:
+    """CTE chain computing ``comp(doc_id, cluster_id)`` — the transitive
+    closure of the exact-Jaccard pair graph as a DuckDB recursive CTE
+    (min reachable id per node over the symmetrized edges). Shared by the
+    dedup_clusters and s4_leakage_split oracles so both verify the SAME
+    independent recomputation of dedup/cluster.py's star fixpoint."""
     return f"""
             WITH RECURSIVE {_shingle_ctes(max_shingle_freq)},
             sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
@@ -2130,11 +2155,46 @@ def _dedup_clusters_oracle(max_shingle_freq: int = 1000,
             ),
             comp AS (SELECT n AS doc_id, min(r) AS cluster_id
                      FROM reach GROUP BY 1)
+        """
+
+
+def _dedup_clusters_oracle(max_shingle_freq: int = 1000,
+                           threshold: float = 0.2) -> str:
+    """Closure CTE left-joined back onto all documents so singletons
+    cluster with themselves — the full keep/drop verdict."""
+    return f"""{_closure_comp_ctes(max_shingle_freq, threshold)}
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                    coalesce(c.cluster_id, d.doc_id) = d.doc_id
                      AS is_canonical
             FROM documents d LEFT JOIN comp c USING (doc_id)
+        """
+
+
+def _leakage_split_oracle() -> str:
+    """Leakage-safe split = the SAME closure CTE, then the s3_hash_split
+    md5 arithmetic keyed by the cluster REPRESENTATIVE instead of the
+    doc id — replicating dedup/cluster.py:leakage_safe_split (closure →
+    canonical_docs → hash_split seed=7, 80/10/10) end to end."""
+    return f"""{_closure_comp_ctes()},
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c USING (doc_id)
+            )
+            SELECT doc_id, cluster_id,
+                   CASE
+                     WHEN b < 800000 THEN 'train'
+                     WHEN b < 900000 THEN 'val'
+                     WHEN b < 1000000 THEN 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id, cluster_id,
+                     ('0x' || substr(
+                        md5(cluster_id::VARCHAR || chr(31) || '7'), 1, 8)
+                     )::BIGINT % 1000000 AS b
+              FROM lab
+            )
         """
 
 
@@ -3454,4 +3514,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= ceil(n * 0.4)
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "s4_leakage_split": _leakage_split_oracle(),
     }

@@ -224,3 +224,39 @@ def canonical_docs(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate CLUSTERS never
+    straddle splits: the split label is a deterministic hash of the
+    cluster REPRESENTATIVE (min-id member), not of the document — so a
+    near-copy of a training doc can never leak into eval. Keying the
+    plain hash split by doc id does NOT give this guarantee (two
+    near-dups hash independently); keying by the component closes it.
+
+    ``pairs`` is any near-dup pair frame (n-gram Jaccard, minhash+LSH,
+    embedding cosine — whatever edge definition "leak" means for the
+    corpus). Appends ``cluster_id`` and ``split``. Plan: the components
+    fixpoint over the PAIRS (small relative to the corpus), one
+    id-keyed join onto the docs, then the zero-shuffle hash-split
+    projection (operators/sampling.py:hash_split semantics, including
+    the insertion-ordered cumulative ranges and the md5 portability
+    mode)."""
+    from ..operators.sampling import hash_split
+
+    cl = canonical_docs(pairs, df, id_col, src, dst).select(
+        id_col, "cluster_id"
+    )
+    return hash_split(
+        df.join(cl, id_col), ["cluster_id"], splits,
+        seed=seed, hash_fn=hash_fn,
+    )

@@ -609,3 +609,46 @@ def test_hash_split_guards(spark):
     df2 = spark.createDataFrame([("a",)], "conv_id string")
     with pytest.raises(ValueError, match="sum <= 1"):
         hash_split(df2, ["conv_id"], {"train": 0.9, "val": 0.2})
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster lands in the SAME split, and the
+    split is exactly hash_split of the cluster representative (verified
+    against hand-computed md5 arithmetic), so a near-copy of a training
+    doc can never leak into eval."""
+    import hashlib
+
+    from taco_toolbox_spark.dedup.cluster import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", f"text {i}") for i in range(40)],
+        "doc_id string, text string",
+    )
+    # chain d00~d01~d02 (transitive), pair d05~d06; rest singletons
+    pairs = spark.createDataFrame(
+        [("d00", "d01"), ("d01", "d02"), ("d05", "d06")],
+        "id_a string, id_b string",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25},
+        seed=11, hash_fn="md5",
+    )
+    assert set(out.columns) == {"doc_id", "text", "cluster_id", "split"}
+    rows = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(rows) == 40  # full corpus covered, singletons included
+    # cluster members share BOTH the representative and the split
+    assert rows["d00"] == rows["d01"] == rows["d02"]
+    assert rows["d05"] == rows["d06"]
+    assert rows["d00"][0] == "d00" and rows["d05"][0] == "d05"
+
+    def expected(cid):
+        b = int(hashlib.md5(f"{cid}\x1f11".encode()).hexdigest()[:8], 16)
+        b %= 1_000_000
+        if b < 500_000:
+            return "train"
+        if b < 750_000:
+            return "val"
+        return "test"
+
+    for did, (cid, s) in rows.items():
+        assert s == expected(cid), did
