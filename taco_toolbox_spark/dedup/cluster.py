@@ -260,3 +260,42 @@ def leakage_safe_split(
         df.join(cl, id_col), ["cluster_id"], splits,
         seed=seed, hash_fn=hash_fn,
     )
+
+
+def split_leakage_violations(
+    labeled: DataFrame,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Validation twin of :func:`leakage_safe_split`: the near-dup pairs
+    whose endpoints were assigned DIFFERENT splits — exact violation rows
+    for the "no near-duplicate straddles train/eval" invariant. Empty ⟺
+    no connected component of the pair graph straddles splits: any path
+    from a train member to an eval member must cross a differently-
+    labeled EDGE, so checking edges is complete without computing the
+    closure (and the violating edges are the human-readable witnesses a
+    validator should emit, unlike a closure's opaque component ids).
+
+    ``labeled`` carries (id_col, split_col) for every document. Two
+    id-keyed shuffle joins of pairs against the label projection — both
+    on well-distributed document ids; no closure fixpoint, no iteration.
+    NULL splits (hash_split's held-back remainder) count as a split of
+    their own: a near-dup half in train and half held back is still a
+    leak hazard, so NULL≠'train' fires (null-safe inequality)."""
+    lab = labeled.select(F.col(id_col), F.col(split_col))
+    a = lab.select(
+        F.col(id_col).alias(src), F.col(split_col).alias("split_a")
+    )
+    b = lab.select(
+        F.col(id_col).alias(dst), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.select(src, dst)
+        .join(a, src)
+        .join(b, dst)
+        .filter(~F.col("split_a").eqNullSafe(F.col("split_b")))
+        .select(src, dst, "split_a", "split_b")
+    )

@@ -121,3 +121,49 @@ def transition_matrix(
         wp = Window.partitionBy("prev")
         out = out.withColumn("p", F.col("n") / F.sum("n").over(wp))
     return out
+
+
+def gini_simpson(
+    df: DataFrame,
+    cat_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini–Simpson diversity index per group: the probability that two
+    rows drawn WITHOUT replacement have different ``cat_col`` values,
+    1 − Σ nᵢ(nᵢ−1) / (N(N−1)). The mixture-health metric for a data-mix
+    pipeline (is a shard/language dominated by one source?) that, unlike
+    Shannon entropy, stays in RATIONAL arithmetic: every numerator and
+    denominator is an exact BIGINT of the category counts, with ONE
+    double division at the end — so the index reproduces bit-for-bit
+    across engines, partition counts, and reruns (ln() does not).
+
+    Plan shape: two map-side-combined hash aggregations (rows → category
+    counts → per-group sums); shuffle volume is bounded by the category
+    vocabulary per group, never the row count. NULL categories count as
+    a real category (a mixture can be dominated by "unknown"). Groups
+    with N < 2 have no draw-two experiment: diversity is NULL, never a
+    division by zero. Output: group cols, ``n_rows``, ``n_cats``,
+    ``diversity``."""
+    g = [*(group_cols or [])]
+    counts = df.groupBy(*g, cat_col).agg(F.count(F.lit(1)).alias("_n"))
+    same = F.sum(F.col("_n") * (F.col("_n") - 1))
+    total = F.sum("_n")
+    return (
+        counts.groupBy(*g)
+        .agg(
+            total.alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cats"),
+            same.alias("_same"),
+        )
+        .select(
+            *g,
+            "n_rows",
+            "n_cats",
+            F.when(
+                F.col("n_rows") >= 2,
+                1.0
+                - F.col("_same")
+                / (F.col("n_rows") * (F.col("n_rows") - F.lit(1))),
+            ).alias("diversity"),
+        )
+    )

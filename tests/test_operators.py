@@ -343,3 +343,34 @@ def test_transition_matrix_counts_and_normalize(spark):
         for r in norm.groupBy("prev").agg(F.sum("p").alias("s")).collect()
     }
     assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+
+
+def test_gini_simpson_hand_computed(spark):
+    """Diversity vs hand-worked values: uniform 2-cat n=4 -> 1 - 2*2/12 =
+    2/3 exactly; single-category -> 0.0; N=1 -> NULL; NULL category is a
+    real category; grouped output covers every group."""
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.operators.distribution import gini_simpson
+
+    rows = (
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b")]
+        + [("g2", "x"), ("g2", "x"), ("g2", "x")]
+        + [("g3", "y")]
+        + [("g4", None), ("g4", None), ("g4", "z")]
+    )
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = {r.grp: r for r in gini_simpson(df, "cat", ["grp"]).collect()}
+    assert out["g1"].diversity == 1.0 - (2 * 1 + 2 * 1) / (4 * 3)
+    assert out["g1"].n_rows == 4 and out["g1"].n_cats == 2
+    assert out["g2"].diversity == 0.0
+    assert out["g3"].diversity is None  # no draw-two experiment at N=1
+    # g4: counts {NULL: 2, z: 1} -> 1 - (2*1 + 0) / (3*2) = 2/3
+    assert out["g4"].diversity == 1.0 - 2 / 6 and out["g4"].n_cats == 2
+    # ungrouped mode: one row over the whole frame
+    whole = gini_simpson(df, "grp").collect()
+    assert len(whole) == 1 and whole[0].n_cats == 4
+    # bit-identical across partitionings (integer-sum order independence)
+    a = gini_simpson(df.coalesce(1), "cat", ["grp"]).collect()
+    b = gini_simpson(df.repartition(7), "cat", ["grp"]).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}

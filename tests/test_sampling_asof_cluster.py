@@ -652,3 +652,42 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
 
     for did, (cid, s) in rows.items():
         assert s == expected(cid), did
+
+
+def test_split_leakage_violations_detects_and_clears(spark):
+    """Doc-keyed hash split leaks (crafted straddling cluster) and the
+    check emits exactly the straddling edges; leakage_safe_split over the
+    SAME pairs yields zero violations; NULL remainder counts as a split."""
+    from taco_toolbox_spark.dedup.cluster import (
+        leakage_safe_split,
+        split_leakage_violations,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", f"text {i}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("d00", "d01"), ("d01", "d02"), ("d07", "d08")],
+        "id_a string, id_b string",
+    )
+    # hand-label a straddling assignment: d01 in val, rest of its cluster
+    # in train -> the two edges touching d01 are the witnesses
+    labeled = docs.withColumn(
+        "split",
+        F.when(F.col("doc_id") == "d01", "val")
+        .when(F.col("doc_id") == "d07", F.lit(None).cast("string"))
+        .otherwise("train"),
+    )
+    viol = split_leakage_violations(labeled, pairs).collect()
+    got = {(r.id_a, r.id_b, r.split_a, r.split_b) for r in viol}
+    assert got == {
+        ("d00", "d01", "train", "val"),
+        ("d01", "d02", "val", "train"),
+        ("d07", "d08", None, "train"),  # NULL remainder is a leak hazard
+    }
+    # the constructive fix passes its own validator
+    safe = leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}, seed=3
+    )
+    assert split_leakage_violations(safe, pairs).count() == 0
