@@ -1663,6 +1663,44 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def q_a12_gini_diversity(spark, sf_dir):
+    """Gini–Simpson diversity per source (operators/distribution.py:
+    gini_simpson): probability two documents drawn without replacement
+    from a source differ in language — the mixture-health metric for a
+    data-mix pipeline. Stays in exact BIGINT rational arithmetic (category
+    counts) with ONE double division at the end, so the index reproduces
+    bit-for-bit across engines — which Shannon entropy's ln() cannot.
+    Plan: two map-side-combined hash aggregations; shuffle volume bounded
+    by the (source × lang) vocabulary, never the row count."""
+    from taco_toolbox_spark.operators.distribution import gini_simpson
+
+    d = _t(spark, sf_dir, "documents")
+    return gini_simpson(d, "lang", ["source"])
+
+
+def q_s5_split_leakage(spark, sf_dir):
+    """Split-leakage audit (dedup/cluster.py:split_leakage_violations):
+    the near-dup pairs whose endpoints landed in DIFFERENT train/val/test
+    splits under a doc-keyed hash split — the exact witness rows for the
+    leak the cluster-keyed s4_leakage_split prevents. Checking EDGES is
+    complete (any straddling path crosses a straddling edge), so no
+    closure fixpoint runs: two id-keyed joins of the pair frame against
+    the split projection. The doc-keyed split is intentionally the leaky
+    one, so this query demonstrates nonzero violations; s4's construction
+    yields zero by design (locked in pytest)."""
+    from taco_toolbox_spark.dedup.cluster import split_leakage_violations
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs
+    from taco_toolbox_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    labeled = hash_split(
+        d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, hash_fn="md5",
+    )
+    return split_leakage_violations(labeled, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,
@@ -1736,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_embedding_drift": q_d3_embedding_drift,
         "s3_hash_split": q_s3_hash_split,
         "s4_leakage_split": q_s4_leakage_split,
+        "s5_split_leakage": q_s5_split_leakage,
+        "a12_gini_diversity": q_a12_gini_diversity,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -2195,6 +2235,53 @@ def _leakage_split_oracle() -> str:
                      )::BIGINT % 1000000 AS b
               FROM lab
             )
+        """
+
+
+def _split_leakage_oracle(max_shingle_freq: int = 1000,
+                          threshold: float = 0.2) -> str:
+    """Straddling-edge audit: the SAME shingle/Jaccard pair CTEs as the
+    closure oracles, joined twice against the s3_hash_split md5
+    arithmetic (doc-keyed, seed=7, 80/10/10); a pair leaks iff its two
+    splits differ (IS DISTINCT FROM = the null-safe inequality
+    split_leakage_violations uses). No recursion: edge checking is
+    complete for the no-straddle invariant."""
+    return f"""
+            WITH {_shingle_ctes(max_shingle_freq)},
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM shared p
+              JOIN sizes sa ON p.id_a = sa.doc_id
+              JOIN sizes sb ON p.id_b = sb.doc_id
+              WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= {threshold}
+            ),
+            lab AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN b < 800000 THEN 'train'
+                       WHEN b < 900000 THEN 'val'
+                       WHEN b < 1000000 THEN 'test'
+                     END AS split
+              FROM (
+                SELECT doc_id,
+                       ('0x' || substr(
+                          md5(doc_id::VARCHAR || chr(31) || '7'), 1, 8)
+                       )::BIGINT % 1000000 AS b
+                FROM documents
+              )
+            )
+            SELECT p.id_a, p.id_b,
+                   la.split AS split_a, lb.split AS split_b
+            FROM pairs p
+            JOIN lab la ON p.id_a = la.doc_id
+            JOIN lab lb ON p.id_b = lb.doc_id
+            WHERE la.split IS DISTINCT FROM lb.split
         """
 
 
@@ -3515,4 +3602,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
         "s4_leakage_split": _leakage_split_oracle(),
+        "s5_split_leakage": _split_leakage_oracle(),
+        "a12_gini_diversity": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            ), g AS (
+              SELECT source,
+                     sum(n)::BIGINT AS n_rows,
+                     count(*)::BIGINT AS n_cats,
+                     sum(n * (n - 1))::BIGINT AS same
+              FROM c GROUP BY 1
+            )
+            -- exact BIGINT category-count arithmetic; ONE double division
+            -- at the end mirrors gini_simpson's bit-stable construction
+            SELECT source, n_rows, n_cats,
+                   CASE WHEN n_rows >= 2
+                        THEN 1.0 - same / (n_rows * (n_rows - 1))
+                   END AS diversity
+            FROM g
+        """,
     }
