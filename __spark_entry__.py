@@ -1663,6 +1663,53 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def _emb_sides(spark, sf_dir):
+    """Query/corpus split of the embeddings table for the top-k join
+    family: every 100th vector is a query, the rest are the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 100 == 0), e.filter(
+        F.col("vec_id") % 100 != 0
+    )
+
+
+def q_sim_join_topk(spark, sf_dir):
+    """Exact batch top-k similarity JOIN (similarity/join.py:
+    cosine_topk_join): k nearest corpus vectors for EVERY query row in
+    one corpus scan — the retrieval-eval / contamination-audit shape the
+    single-query operators can't serve. Broadcast query side, fold-
+    ordered double cosine, round-4, ties by corpus id; per-query top-k
+    window. The oracle replays the identical pair scoring + window."""
+    from taco_toolbox_spark.similarity.join import cosine_topk_join
+
+    q, c = _emb_sides(spark, sf_dir)
+    return cosine_topk_join(q, c, k=5)
+
+
+def q_sim_join_topk_blocked(spark, sf_dir):
+    """The 100-TB path of sim_join_topk (similarity/join.py:
+    cosine_topk_join_blocked): per-Arrow-batch cosine matmul in FOLD
+    ORDER with HALF-UP rounding, map-side per-query top-k, final window
+    over O(batches x |Q| x k) survivors — the shuffle no longer scales
+    with the corpus. Bit-identical to the anchor (pytest exact parity),
+    so it shares the anchor's oracle verbatim."""
+    from taco_toolbox_spark.similarity.join import cosine_topk_join_blocked
+
+    q, c = _emb_sides(spark, sf_dir)
+    return cosine_topk_join_blocked(q, c, k=5)
+
+
+def q_sim_join_lsh(spark, sf_dir):
+    """Sublinear candidate path of the top-k join (similarity/join.py:
+    lsh_topk_join): band-signature equi-join proposes (query, corpus)
+    candidates, exact fold-cosine re-ranks candidates only — the
+    pipeline-replica oracle recomputes signatures from the same inlined
+    plane literals, so recall is verified, not assumed."""
+    from taco_toolbox_spark.similarity.join import lsh_topk_join
+
+    q, c = _emb_sides(spark, sf_dir)
+    return lsh_topk_join(q, c, k=5)
+
+
 def q_a12_gini_diversity(spark, sf_dir):
     """Gini–Simpson diversity per source (operators/distribution.py:
     gini_simpson): probability two documents drawn without replacement
@@ -1776,6 +1823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_leakage_split": q_s4_leakage_split,
         "s5_split_leakage": q_s5_split_leakage,
         "a12_gini_diversity": q_a12_gini_diversity,
+        "sim_join_topk": q_sim_join_topk,
+        "sim_join_topk_blocked": q_sim_join_topk_blocked,
+        "sim_join_lsh": q_sim_join_lsh,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -1890,6 +1940,77 @@ def _sim_lsh_topk_oracle() -> str:
                        x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
         FROM embeddings e JOIN cand USING (vec_id), q
         ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+#: fold-ordered cosine between a corpus row ``e`` and a query vector
+#: column ``qe`` with precomputed query norm ``qn`` — the join-family
+#: scoring expression (corpus norm x query norm, one division, round-4)
+_JOIN_COS = """round(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                   x -> x::DOUBLE * x::DOUBLE))) * qn), 4)"""
+
+
+def _sim_join_topk_oracle(k: int = 5) -> str:
+    """Exact batch top-k join replica: every-100th vector is a query,
+    the rest the corpus; all pairs scored with the fold cosine, per-query
+    row_number window (cos DESC, vec_id) <= k. Shared verbatim by the
+    anchor and the blocked scale path (which is pytest-locked
+    bit-identical to the anchor)."""
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> x::DOUBLE * x::DOUBLE))) AS qn
+          FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id, {_JOIN_COS} AS cos
+          FROM embeddings e, q WHERE e.vec_id % 100 <> 0
+        )
+        SELECT query_id, vec_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+def _sim_join_lsh_oracle(k: int = 5, max_bucket: int = 10_000) -> str:
+    """LSH top-k join replica: signatures recomputed from the inlined
+    plane literals (_lsh_pipeline_sql), corpus-side bucket cap, candidate
+    equi-join on (band, sig), exact fold-cosine re-rank, per-query
+    window <= k."""
+    return f"""
+        WITH {_lsh_pipeline_sql()},
+        kept AS (
+          SELECT band, sig FROM sigs WHERE vec_id % 100 <> 0
+          GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+        ),
+        csig AS (
+          SELECT s.* FROM sigs s JOIN kept USING (band, sig)
+          WHERE s.vec_id % 100 <> 0
+        ),
+        qsig AS (SELECT * FROM sigs WHERE vec_id % 100 = 0),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+          FROM qsig q JOIN csig c ON q.band = c.band AND q.sig = c.sig
+        ),
+        scored AS (
+          SELECT cand.query_id, e.vec_id, {_JOIN_COS} AS cos
+          FROM cand
+          JOIN embeddings e ON e.vec_id = cand.vec_id
+          JOIN (SELECT vec_id, embedding AS qe,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE))) AS qn
+                FROM embeddings) qv ON qv.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
     """
 
 
@@ -3603,6 +3724,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "s4_leakage_split": _leakage_split_oracle(),
         "s5_split_leakage": _split_leakage_oracle(),
+        "sim_join_topk": _sim_join_topk_oracle(),
+        "sim_join_topk_blocked": _sim_join_topk_oracle(),
+        "sim_join_lsh": _sim_join_lsh_oracle(),
         "a12_gini_diversity": """
             WITH c AS (
               SELECT source, lang, count(*) AS n
