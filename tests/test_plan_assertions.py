@@ -413,3 +413,44 @@ def test_reindex_single_window_python_free(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") <= 2  # the window's hash partitioning (+AQE read)
     assert "BatchEvalPython" not in plan
+
+
+def test_topk_join_plans(spark):
+    """Join-family plan shapes: (a) the exact anchor broadcasts the QUERY
+    side (BroadcastNestedLoopJoin over a broadcast exchange — never a
+    shuffled cartesian) and stays Python-free; (b) the blocked path's only
+    shuffle exchange sits ABOVE the MapInPandas stage (the corpus scan
+    feeds the pandas local-top-k with no exchange below it, so shuffle
+    volume is survivors, not |Q| x |C|); (c) the LSH path plans NO
+    nested-loop join at all — candidates come from the (band, sig)
+    equi-join and the bucket cap is a semi join."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.join import (
+        cosine_topk_join,
+        cosine_topk_join_blocked,
+        lsh_topk_join,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q, c = df.filter("vec_id % 20 = 0"), df.filter("vec_id % 20 <> 0")
+
+    anchor = _plan(cosine_topk_join(q, c, k=3))
+    assert "BroadcastNestedLoopJoin" in anchor
+    assert "BroadcastExchange" in anchor
+    assert "ArrowEvalPython" not in anchor and "PythonRDD" not in anchor
+
+    blocked = _plan(cosine_topk_join_blocked(q, c, k=3))
+    assert "MapInPandas" in blocked
+    pandas_pos = blocked.index("MapInPandas")
+    first_shuffle = blocked.index("Exchange hashpartitioning")
+    # plan strings print top-down: the shuffle must appear BEFORE (above)
+    # the pandas stage, i.e. only survivors are exchanged
+    assert first_shuffle < pandas_pos
+    assert "Exchange hashpartitioning" not in blocked[pandas_pos:]
+
+    lsh = _plan(lsh_topk_join(q, c, k=3, dim=8))
+    assert "NestedLoop" not in lsh and "Cartesian" not in lsh
+    assert "LeftSemi" in lsh
