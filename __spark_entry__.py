@@ -1663,6 +1663,42 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def q_dedup_soft(spark, sf_dir):
+    """Frequency-proportional soft dedup (dedup/soft.py): keep each
+    member of an n-copy cluster with probability target_copies/n —
+    expected surviving count 1 per cluster — decided by the
+    deterministic md5 id hash (sampling.py arithmetic). Cluster key here
+    is the 40-char text prefix (the boilerplate-prefix clustering demo;
+    the corpus has no full-text exact dups by construction). Full
+    keep/drop verdict so the oracle verifies dropped rows too. Plan:
+    partial-agg count (mega-clusters cost map tasks one combiner row),
+    count join back, zero-shuffle keep predicate."""
+    from taco_toolbox_spark.dedup.soft import soft_dedup_verdict
+
+    d = _t(spark, sf_dir, "documents")
+    return soft_dedup_verdict(
+        d,
+        id_col="doc_id",
+        target_copies=1,
+        seed=0,
+        hash_fn="md5",
+        group_expr=F.substring("text", 1, 40),
+    ).select("doc_id", "n_copies", "kept")
+
+
+def q_t2_bigram_score(spark, sf_dir):
+    """Corpus-bigram quality scoring (operators/lm_score.py:
+    bigram_frequency_score): per-doc exact integer stats of its bigrams'
+    corpus-wide frequencies — the LM-free perplexity-filter analog (a
+    doc whose bigrams are rare in its own corpus is the doc an LM would
+    find surprising). Frequency-weighted occurrences, partial-agg corpus
+    counts, AQE-skew-safe count join, zeros for sub-2-token docs."""
+    from taco_toolbox_spark.operators.lm_score import bigram_frequency_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_frequency_score(d, rare_threshold=2)
+
+
 def _emb_sides(spark, sf_dir):
     """Query/corpus split of the embeddings table for the top-k join
     family: every 100th vector is a query, the rest are the corpus."""
@@ -1826,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_join_topk": q_sim_join_topk,
         "sim_join_topk_blocked": q_sim_join_topk_blocked,
         "sim_join_lsh": q_sim_join_lsh,
+        "dedup_soft": q_dedup_soft,
+        "t2_bigram_score": q_t2_bigram_score,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -3727,6 +3765,44 @@ def oracle_sql() -> dict[str, str]:
         "sim_join_topk": _sim_join_topk_oracle(),
         "sim_join_topk_blocked": _sim_join_topk_oracle(),
         "sim_join_lsh": _sim_join_lsh_oracle(),
+        "dedup_soft": """
+            WITH g AS (
+              SELECT doc_id, substr(text, 1, 40) AS k FROM documents
+            ),
+            c AS (SELECT k, count(*) AS n FROM g GROUP BY 1)
+            SELECT doc_id, n::BIGINT AS n_copies,
+                   (('0x' || substr(
+                       md5(doc_id::VARCHAR || chr(31) || '0'), 1, 8)
+                    )::BIGINT % 1000000)
+                     < least(1000000.0, floor(1000000.0 / n)) AS kept
+            FROM g JOIN c USING (k)
+        """,
+        "t2_bigram_score": """
+            WITH tok AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS w
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM tok WHERE len(w) >= 2
+            ),
+            cnt AS (SELECT bg, count(*) AS c FROM occ GROUP BY 1),
+            per AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_bigrams,
+                     sum(c)::BIGINT AS sum_freq,
+                     sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_rare
+              FROM occ JOIN cnt USING (bg) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(sum_freq, 0)::BIGINT AS sum_freq,
+                   coalesce(n_rare, 0)::BIGINT AS n_rare
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         "a12_gini_diversity": """
             WITH c AS (
               SELECT source, lang, count(*) AS n
