@@ -80,6 +80,11 @@ HEADLINE = [
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
     "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join
     "b1_bloom_contains",  # bounded membership state: build + broadcast test
+    "sim_join_topk_blocked",  # batch top-k join, map-side pandas top-k
+    "sim_join_lsh",       # batch top-k join via band-signature candidates
+    "dedup_soft",         # frequency-proportional downsampling verdict
+    "t2_bigram_score",    # corpus-bigram quality stats (perplexity analog)
+    "a12_gini_diversity",  # exact-rational mixture-health index
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
