@@ -166,7 +166,14 @@ def bench_queries(
                 break
         if best_quiet is None:
             poisoned.append(name)
-        out[name] = best_quiet if best_quiet is not None else best_any
+        # headline = MIN over all tries: co-tenant interference only ever
+        # INFLATES elapsed time, so the fastest sample is a valid engine
+        # measurement even when its window showed steal — a "quiet" sample
+        # can still be slower than a mislabeled-stormy one (steal is an
+        # incomplete contention signal; observed live: 16.7s at steal 0.56
+        # vs 99.9s at steal 0.28 for the same query). The poisoned flag
+        # still means "no interference-free window was ever observed".
+        out[name] = best_any if best_quiet is None else min(best_quiet, best_any)
         telemetry[name] = tries
         print(
             f"  bench {name}: {out[name]}s tries={tries}"
@@ -395,7 +402,10 @@ def bench_validation(spark, data_dir: str, turns_target: int) -> dict:
             # early exit only ever on a QUIET demonstration; past the
             # minimum repeats, stop at the first quiet sample
             break
-    headline = quiet_best if quiet_best is not None else best
+    # min over ALL repeats (see bench_queries: interference only inflates,
+    # so the fastest repeat stands even if its window showed steal); the
+    # poisoned flag still discloses "no quiet repeat was observed"
+    headline = best if quiet_best is None else min(best, quiet_best)
     med = sorted(all_secs)[len(all_secs) // 2]
     return {
         "turns": n_turns,
