@@ -1663,6 +1663,23 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def q_dedup_clusters_best(spark, sf_dir):
+    """Quality-aware canonical election (dedup/cluster.py:canonical_docs
+    prefer_col): within each near-dup cluster keep the member with the
+    most characters (ties to min id) — "keep the longest copy", the
+    curation rule min-id election cannot express. Same star-fixpoint
+    closure as dedup_clusters; election is two map-side-combinable
+    cluster-keyed aggs (max quality, min id among maxima) — deliberately
+    no per-cluster window (a giant cluster would serialize one task).
+    Oracle: the shared recursive-CTE closure + the identical election."""
+    from taco_toolbox_spark.dedup.cluster import canonical_docs
+    from taco_toolbox_spark.dedup.ngram import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return canonical_docs(pairs, d, prefer_col="n_chars")
+
+
 def q_dedup_soft(spark, sf_dir):
     """Frequency-proportional soft dedup (dedup/soft.py): keep each
     member of an n-copy cluster with probability target_copies/n —
@@ -1864,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_join_lsh": q_sim_join_lsh,
         "dedup_soft": q_dedup_soft,
         "t2_bigram_score": q_t2_bigram_score,
+        "dedup_clusters_best": q_dedup_clusters_best,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -2367,6 +2385,32 @@ def _dedup_clusters_oracle(max_shingle_freq: int = 1000,
                    coalesce(c.cluster_id, d.doc_id) = d.doc_id
                      AS is_canonical
             FROM documents d LEFT JOIN comp c USING (doc_id)
+        """
+
+
+def _dedup_clusters_best_oracle(max_shingle_freq: int = 1000,
+                                threshold: float = 0.2) -> str:
+    """Quality-aware election over the shared closure: max n_chars per
+    cluster, min doc_id among the maxima (IS NOT DISTINCT FROM keeps the
+    all-NULL-cluster fallback identical to the Spark eqNullSafe)."""
+    return f"""{_closure_comp_ctes(max_shingle_freq, threshold)},
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN comp c USING (doc_id)
+            ),
+            best AS (
+              SELECT cluster_id, max(n_chars) AS b FROM lab GROUP BY 1
+            ),
+            win AS (
+              SELECT l.cluster_id, min(l.doc_id) AS w
+              FROM lab l JOIN best bb ON l.cluster_id = bb.cluster_id
+                AND l.n_chars IS NOT DISTINCT FROM bb.b
+              GROUP BY 1
+            )
+            SELECT l.doc_id, l.cluster_id, l.doc_id = w.w AS is_canonical
+            FROM lab l JOIN win w USING (cluster_id)
         """
 
 
@@ -3760,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= ceil(n * 0.4)
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_clusters_best": _dedup_clusters_best_oracle(),
         "s4_leakage_split": _leakage_split_oracle(),
         "s5_split_leakage": _split_leakage_oracle(),
         "sim_join_topk": _sim_join_topk_oracle(),

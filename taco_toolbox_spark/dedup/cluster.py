@@ -207,22 +207,59 @@ def canonical_docs(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Dedup verdict per document: every doc in ``docs`` mapped to its
     cluster (singletons cluster with themselves) plus ``is_canonical`` —
-    true for the min-id member, the row a dedup pipeline keeps. The
-    component join is on the doc id (well-distributed); docs never paired
-    survive via the left join + coalesce, so the output is a full
-    keep/drop decision for the corpus, not just for the paired subset."""
+    the row a dedup pipeline keeps. Default representative: the min-id
+    member (pure tie-free rule, zero extra passes). ``prefer_col`` (a
+    numeric quality column on ``docs``) switches to QUALITY-AWARE
+    election: the member with the highest value wins, ties broken by
+    min id — "keep the longest / highest-scoring copy", the curation
+    rule min-id cannot express. The component join is on the doc id
+    (well-distributed); docs never paired survive via the left join +
+    coalesce, so the output is a full keep/drop decision for the corpus,
+    not just for the paired subset.
+
+    Quality election costs two map-side-combinable aggregations keyed by
+    cluster_id (max prefer, then min id among the maxima) — deliberately
+    NOT a per-cluster window: a giant near-dup cluster would serialize a
+    window task, while partial aggs give every map task one combiner row
+    per cluster. NULL prefer values never win unless the whole cluster
+    is NULL (then min id, the default rule)."""
+    cols = [F.col(id_col)] + ([F.col(prefer_col)] if prefer_col else [])
     comp = connected_components(pairs, src, dst)
-    return (
-        docs.select(F.col(id_col))
+    labeled = (
+        docs.select(*cols)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            *([F.col(prefer_col)] if prefer_col else []),
         )
-        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+    if prefer_col is None:
+        return labeled.withColumn(
+            "is_canonical", F.col(id_col) == F.col("cluster_id")
+        )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(prefer_col).alias("_best")
+    )
+    winner = (
+        labeled.join(best, "cluster_id")
+        .filter(
+            F.col(prefer_col).eqNullSafe(F.col("_best"))
+        )
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("_win"))
+    )
+    return (
+        labeled.join(winner, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("_win")).alias("is_canonical"),
+        )
     )
 
 

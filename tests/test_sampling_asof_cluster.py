@@ -691,3 +691,43 @@ def test_split_leakage_violations_detects_and_clears(spark):
         docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}, seed=3
     )
     assert split_leakage_violations(safe, pairs).count() == 0
+
+
+def test_canonical_docs_prefer_col_elects_best(spark):
+    """Quality-aware election: highest prefer_col wins, ties break to min
+    id, all-NULL clusters fall back to min id, singletons stay canonical;
+    default (no prefer_col) behavior unchanged (min id)."""
+    from taco_toolbox_spark.dedup.cluster import canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", 1), ("d1", 9), ("d2", 9),   # cluster {d0,d1,d2}: tie 9
+            ("d3", None), ("d4", None),        # all-NULL cluster
+            ("d5", 2),                         # singleton
+        ],
+        "doc_id string, quality int",
+    )
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d3", "d4")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in canonical_docs(pairs, docs, prefer_col="quality").collect()
+    }
+    assert got == {
+        "d0": ("d0", False),
+        "d1": ("d0", True),   # max quality, min id among the tie
+        "d2": ("d0", False),
+        "d3": ("d3", True),   # all-NULL cluster -> min id
+        "d4": ("d3", False),
+        "d5": ("d5", True),
+    }
+    default = {
+        r["doc_id"]: r["is_canonical"]
+        for r in canonical_docs(pairs, docs).collect()
+    }
+    assert default == {
+        "d0": True, "d1": False, "d2": False,
+        "d3": True, "d4": False, "d5": True,
+    }
