@@ -1663,6 +1663,45 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def q_t3_robust_outliers(spark, sf_dir):
+    """Robust outlier flag (operators/outliers.py:robust_outliers):
+    |x − median| > k·MAD per event type — the mean/stddev rule breaks on
+    exactly the spikes it should catch; median/MAD does not. method=
+    'exact' (type-7 percentile == DuckDB quantile_cont, the equality the
+    stats_quantiles oracle already locks); the scale default is the
+    mergeable GK sketch with the same plan shape. Two one-row-per-group
+    aggregation passes joined back (AQE broadcasts)."""
+    from taco_toolbox_spark.operators.outliers import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        k=3.0,
+        method="exact",
+    )
+
+
+def q_t4_winsorize(spark, sf_dir):
+    """Per-group quantile clipping (operators/outliers.py:winsorize):
+    values clipped into the event type's [p05, p95] — the heavy-tail
+    treatment applied before features feed scoring models. NULL values
+    stay NULL (greatest/least skip nulls; the operator gates on
+    non-null). One group aggregation + one broadcastable join."""
+    from taco_toolbox_spark.operators.outliers import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        lo=0.05,
+        hi=0.95,
+        method="exact",
+    )
+
+
 def q_dedup_clusters_best(spark, sf_dir):
     """Quality-aware canonical election (dedup/cluster.py:canonical_docs
     prefer_col): within each near-dup cluster keep the member with the
@@ -1882,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_soft": q_dedup_soft,
         "t2_bigram_score": q_t2_bigram_score,
         "dedup_clusters_best": q_dedup_clusters_best,
+        "t3_robust_outliers": q_t3_robust_outliers,
+        "t4_winsorize": q_t4_winsorize,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -3821,6 +3862,37 @@ def oracle_sql() -> dict[str, str]:
                     )::BIGINT % 1000000)
                      < least(1000000.0, floor(1000000.0 / n)) AS kept
             FROM g JOIN c USING (k)
+        """,
+        "t3_robust_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS d
+              FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, quantile_cont(d, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT dev.event_id, dev.event_type, dev.value, dev.med,
+                   mad.mad, dev.d > 3.0 * mad.mad AS is_outlier
+            FROM dev JOIN mad USING (event_type)
+        """,
+        "t4_winsorize": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS qlo,
+                     quantile_cont(value, 0.95) AS qhi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL
+                        THEN least(greatest(e.value, qlo), qhi)
+                   END AS value_wins
+            FROM events e JOIN q USING (event_type)
         """,
         "t2_bigram_score": """
             WITH tok AS (
