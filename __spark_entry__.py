@@ -1663,6 +1663,22 @@ def q_w6_reindex_turns(spark, sf_dir):
     return out.select("conv_id", "orig_turn_idx", "turn_idx")
 
 
+def q_w9_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle (operators/shuffling.py): a seeded
+    global permutation materialized as (shard, pos) — the layout a
+    training dataloader reads; a pure function of (key, seed), identical
+    at any partitioning/parallelism/rerun, re-seeded per epoch. Zero-
+    shuffle shard projection + ONE shard-keyed row_number window (each
+    task sorts 1/n_shards). md5 mode (60-bit ordering hash) for the
+    oracle; xxhash64 is the library default."""
+    from taco_toolbox_spark.operators.shuffling import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(
+        d, ["doc_id"], n_shards=4, seed=7, hash_fn="md5"
+    ).select("doc_id", "shard", "pos")
+
+
 def q_t3_robust_outliers(spark, sf_dir):
     """Robust outlier flag (operators/outliers.py:robust_outliers):
     |x − median| > k·MAD per event type — the mean/stddev rule breaks on
@@ -1923,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_best": q_dedup_clusters_best,
         "t3_robust_outliers": q_t3_robust_outliers,
         "t4_winsorize": q_t4_winsorize,
+        "w9_shuffle_shards": q_w9_shuffle_shards,
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
@@ -3862,6 +3879,19 @@ def oracle_sql() -> dict[str, str]:
                     )::BIGINT % 1000000)
                      < least(1000000.0, floor(1000000.0 / n)) AS kept
             FROM g JOIN c USING (k)
+        """,
+        "w9_shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(
+                        md5(doc_id::VARCHAR || chr(31) || '7'), 1, 15)
+                     )::BIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id, (hv % 4)::INT AS shard,
+                   (row_number() OVER (PARTITION BY hv % 4
+                                       ORDER BY hv, doc_id) - 1)::INT AS pos
+            FROM h
         """,
         "t3_robust_outliers": """
             WITH med AS (

