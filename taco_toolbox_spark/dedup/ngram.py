@@ -24,8 +24,15 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     Precondition: ``id_col`` is a document key (one row per id). Per-doc
     distinctness comes from ``array_distinct`` BEFORE the explode, so the
     output needs no row-level ``.distinct()`` — each (id, shingle) row is
-    unique by construction and the operator is a pure narrow map (scan →
-    project → explode), no shuffle."""
+    unique by construction and the operator is a narrow map (scan →
+    project → explode). The input is spread to the session's parallelism
+    first when it arrives under-partitioned (scale.spread_for_compute —
+    a single-row-group parquet file scans as ONE partition and would
+    serialize the gram work behind one core; at warehouse scale the
+    spread is a plan no-op)."""
+    from ..scale import spread_for_compute
+
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     toks = tokens(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

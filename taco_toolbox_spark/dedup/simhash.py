@@ -42,8 +42,13 @@ def simhash(
     ``hash_fn``: "xxhash64" (default — fastest, Spark-only) or "md5"
     (first 64 bits of md5, bit-identical to DuckDB's md5() so the whole
     pipeline is independently recomputable by another engine; ~2x slower
-    token hashing, same everything else)."""
-    tok = df.select(
+    token hashing, same everything else). An under-partitioned input is
+    spread to the session parallelism before the token explode
+    (scale.spread_for_compute; no-op at warehouse scale)."""
+    from ..scale import spread_for_compute
+
+    slim = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    tok = slim.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
     if hash_fn == "xxhash64":

@@ -50,7 +50,12 @@ def positional_shingles(
 ) -> DataFrame:
     """(id, pos, shingle) with pos the 1-based token index of the shingle
     start. Unlike ngram.shingles this keeps EVERY occurrence — repeats and
-    their positions are the signal for run detection. Pure narrow map."""
+    their positions are the signal for run detection. Narrow map over an
+    input spread to the session parallelism when under-partitioned
+    (scale.spread_for_compute; no-op at warehouse scale)."""
+    from ..scale import spread_for_compute
+
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     toks = tokens(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

@@ -91,7 +91,13 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Exploded fingerprint table ``(id_col, pos, h)`` — what a curation
     pipeline persists per document. One narrow projection + explode;
-    column pruning keeps the scan to (id, text)."""
+    column pruning keeps the scan to (id, text). The md5-per-gram work is
+    the heavy stage, so an under-partitioned input is spread to the
+    session parallelism first (scale.spread_for_compute — measured 390s
+    → seconds on a one-row-group file at local[32]; no-op at scale)."""
+    from ..scale import spread_for_compute
+
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     return df.select(
         F.col(id_col),
         F.explode(winnow_selection(F.col(text_col), k, w)).alias("fp"),

@@ -58,12 +58,15 @@ def bigram_frequency_score(
             f"columns {sorted(reserved)} collide with "
             "bigram_frequency_score's internal names; rename them first"
         )
+    from ..scale import spread_for_compute
+
+    slim = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     toks = tokens(text_col)
     bg = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
     )
-    occ = df.filter(F.size(toks) >= 2).select(
+    occ = slim.filter(F.size(toks) >= 2).select(
         F.col(id_col), F.explode(bg).alias("_bg")
     )
     counts = occ.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))

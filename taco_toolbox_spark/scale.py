@@ -68,3 +68,26 @@ def pack_bucket_count(
     rows keeps each bucket's sequential pandas walk bounded (~250k rows)
     while small corpora get the exact single-walk result."""
     return max(1, -(-n_rows // rows_per_bucket))
+
+
+def spread_for_compute(df, min_partitions: int | None = None):
+    """Give a compute-heavy per-row stage at least the session's
+    parallelism beneath it — rule 3, surfaced by the round-5 bench: a
+    single-row-group parquet file scans as ONE partition no matter the
+    split settings, so md5 gram hashing / winnowing HOF projections above
+    it serialize behind one core (measured: winnowing 5k docs ran 390s
+    using 2-3 of 32 cores; the same work spreads to seconds).
+
+    The repartition triggers ONLY when the input has fewer partitions
+    than ``min_partitions`` (default: the session's default parallelism)
+    — at warehouse scale inputs carry thousands of splits and this is a
+    plan no-op with zero added shuffle. A round-robin repartition of the
+    (column-pruned) input is exactly one narrow-row shuffle when it does
+    trigger — the price of using the other 30 cores."""
+    if df.isStreaming:  # micro-batch sizing is the source's job
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
