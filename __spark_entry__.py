@@ -993,6 +993,50 @@ def q_v15_turn_gap(spark, sf_dir):
     return res.violations.select("part", "check_id", "conv_id", "turn_idx")
 
 
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup pairs: shingle-set containment |A∩B|/min(|A|,|B|)
+    >= 0.8 (dedup/ngram.py:containment_pairs) — the doc-inside-doc shape
+    symmetric Jaccard structurally misses (a short quote fully embedded in
+    a long page has containment 1.0 but Jaccard ~0.01). Same distributed
+    shape as the Jaccard path: shingle equi-join with the frequency cap,
+    never a cross join; contained_id = the smaller side (ties to id_a) is
+    the copy a curation pipeline drops. The oracle recomputes the exact
+    formula over DuckDB's independent shingle join."""
+    from taco_toolbox_spark.dedup.ngram import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8, max_shingle_freq=1000
+    )
+
+
+def q_v16_fd_tool_role(spark, sf_dir):
+    """Functional-dependency validation (checks/fd.py:fd_violations):
+    tool -> role must hold per partition — every tool name is used by
+    exactly one role. The tool_on_chat corruption (tool='search' on a chat
+    turn) and bad_role corruption (role='narrator' on a tool turn) both
+    break it; tool-less turns are exempt (skip_null_determinant — NULL
+    tool legitimately spans roles). Two stacked map-side-combinable hash
+    aggregations, no expand, no window: determinant skew is absorbed at
+    the (determinant, combo) grain, so one tool used by 10^9 turns crosses
+    the shuffle as one combiner row per (task, role). The oracle replays
+    the two-level GROUP BY with the same chr(0) NULL sentinel."""
+    from taco_toolbox_spark.checks.fd import fd_violations
+    from taco_toolbox_spark.datagen import generate_transcripts
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return fd_violations(
+        corpus.corrupted,
+        ["tool"],
+        ["role"],
+        "part",
+        skip_null_determinant=True,
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -1924,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v13_role_seq": q_v13_role_seq,
         "v14_role_close": q_v14_role_close,
         "v15_turn_gap": q_v15_turn_gap,
+        "v16_fd_tool_role": q_v16_fd_tool_role,
+        "dedup_containment": q_dedup_containment,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
@@ -3012,6 +3058,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev, role AS cur, count(*)::BIGINT AS n
             FROM p WHERE rn > 1 GROUP BY prev, role
         """,
+        "v16_fd_tool_role": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            ),
+            combos AS (
+              SELECT part, tool,
+                     coalesce(role::VARCHAR, chr(0)) AS combo,
+                     count(*) AS n
+              FROM t WHERE tool IS NOT NULL
+              GROUP BY 1, 2, 3
+            )
+            SELECT part::VARCHAR AS part, tool::VARCHAR AS tool,
+                   count(*)::BIGINT AS n_variants,
+                   sum(n)::BIGINT AS n_rows,
+                   min(combo) AS variant_min,
+                   max(combo) AS variant_max
+            FROM combos GROUP BY part, tool
+            HAVING count(*) > 1
+        """,
         "v15_turn_gap": f"""
             WITH p AS (
               SELECT part, conv_id, turn_idx, ts,
@@ -3334,6 +3399,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_dups,
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS ids
             FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "dedup_containment": f"""
+            WITH {_shingle_ctes(1000)},
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   shared::DOUBLE / least(sa.n, sb.n) AS containment,
+                   CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END
+                     AS contained_id
+            FROM shared p
+            JOIN sizes sa ON p.id_a = sa.doc_id
+            JOIN sizes sb ON p.id_b = sb.doc_id
+            WHERE shared::DOUBLE / least(sa.n, sb.n) >= 0.8
         """,
         "dedup_ngram_jaccard": _jaccard_oracle(max_shingle_freq=1000),
         # independent realization: DuckDB computes the CAPLESS exact join

@@ -117,6 +117,24 @@ class UniquenessCheck(Check):
 
 
 @dataclass
+class FunctionalDependencyCheck(Check):
+    """``determinant → dependent`` must hold per partition: every distinct
+    determinant value maps to exactly ONE combination of dependent values
+    (NULL is a real value). The declarative generalization of the
+    reference's per-object field-consistency rules (checks/fd.py has the
+    full scale rationale); compiled into two stacked map-side-combinable
+    hash aggregations — no expand, no window, determinant skew absorbed at
+    the (determinant, combo) grain."""
+
+    determinant: Sequence[str] = ()
+    dependent: Sequence[str] = ()
+    #: exempt rows whose determinant is (partly) NULL — "optional key"
+    #: semantics: a turn with no tool is not a counterexample to
+    #: "each tool is used by one role"
+    skip_null_determinant: bool = False
+
+
+@dataclass
 class ContiguityCheck(Check):
     """Per group, the index column must be exactly 0..n-1 (PIT-analog
     structural invariant, taco/datamodel.py:294-390)."""

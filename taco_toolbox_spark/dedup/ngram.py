@@ -168,13 +168,13 @@ def jaccard_pairs_prefix(
     return verify_pairs_exact(cand, sh, threshold)
 
 
-def pairs_from_shingles(
-    sh: DataFrame,
-    threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+def _shared_counts(
+    sh: DataFrame, max_shingle_freq: int | None = None
 ) -> DataFrame:
-    """Jaccard pairs from a prebuilt (id, shingle) frame — lets callers
-    (MinHash verification) reuse one persisted shingle computation."""
+    """(id_a < id_b, shared, na, nb) for every pair sharing ≥ 1 shingle —
+    the common core of the Jaccard and containment pair builders. Shingle
+    frequency cap applied BEFORE sizing, so na/nb count capped shingles
+    consistently with the shared count."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
@@ -190,6 +190,18 @@ def pairs_from_shingles(
     return (
         shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+    )
+
+
+def pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Jaccard pairs from a prebuilt (id, shingle) frame — lets callers
+    (MinHash verification) reuse one persisted shingle computation."""
+    return (
+        _shared_counts(sh, max_shingle_freq)
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -197,3 +209,54 @@ def pairs_from_shingles(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Containment pairs from a prebuilt (id, shingle) frame: see
+    :func:`containment_pairs`."""
+    sc = _shared_counts(sh, max_shingle_freq)
+    return (
+        sc.withColumn(
+            "containment", F.col("shared") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            ),
+        )
+        .select("id_a", "id_b", "containment", "contained_id")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs: shingle-set containment
+    ``|A∩B| / min(|A|, |B|)`` ≥ threshold — the smaller document's shingles
+    are (almost) all inside the larger one. Catches the doc-inside-doc
+    shape symmetric Jaccard structurally misses: a 50-shingle quote fully
+    embedded in a 5000-shingle page has containment 1.0 but Jaccard ~0.01,
+    invisible at any sane Jaccard threshold (Broder's resemblance vs
+    containment distinction, SEQUENCES'97 — public formulation). The
+    standard curation use: drop or down-weight the contained copy
+    (``contained_id`` — the smaller side, ties to ``id_a``) while keeping
+    the containing page.
+
+    Same distributed shape as :func:`jaccard_pairs` — shingle equi-join,
+    never a cross join; the frequency cap bounds hot-shingle fan-out
+    identically (capped shingles leave both the shared count AND the set
+    sizes, so the ratio stays internally consistent). Columns: id_a, id_b
+    (id_a < id_b), containment, contained_id."""
+    sh = shingles(df, text_col, id_col, n)
+    return containment_from_shingles(sh, threshold, max_shingle_freq)

@@ -39,6 +39,7 @@ from .checks.base import (
     Check,
     ContiguityCheck,
     DriftCheck,
+    FunctionalDependencyCheck,
     GapCheck,
     GroupAggCheck,
     MonotoneCheck,
@@ -47,6 +48,7 @@ from .checks.base import (
     TextEqualityCheck,
     UniquenessCheck,
 )
+from .checks.fd import fd_violations
 from .checks.drift import (
     approx_global_quantiles,
     approx_quantiles_by_partition,
@@ -474,6 +476,41 @@ def _uniqueness_via_window(
     )
 
 
+def _fd_pass(
+    df: DataFrame, check: FunctionalDependencyCheck, cfg: EngineConfig
+) -> DataFrame:
+    """Functional-dependency violations as standard violation rows. The
+    two-stage agg (checks/fd.py) is scoped by the engine's partition
+    column — per-partition verdicts like every other pass. The violation
+    coordinate is the first determinant column (the uniqueness-pass
+    convention); the detail carries the variant count and both witness
+    combos so the row is actionable without a second query."""
+    viol = fd_violations(
+        df,
+        check.determinant,
+        check.dependent,
+        cfg.partition_col,
+        skip_null_determinant=check.skip_null_determinant,
+    )
+    det0 = list(check.determinant)[0]
+    return _viol(
+        cfg,
+        viol,
+        check.check_id,
+        F.format_string(
+            "%s -> %s broken: %s variants over %s rows (e.g. %s vs %s)",
+            F.lit(",".join(check.determinant)),
+            F.lit(",".join(check.dependent)),
+            F.col("n_variants").cast("string"),
+            F.col("n_rows").cast("string"),
+            F.col("variant_min"),
+            F.col("variant_max"),
+        ),
+        conv=F.col(det0).cast("string"),
+        turn=F.lit(None),
+    )
+
+
 def _group_agg_pass(
     df: DataFrame,
     contig: list[ContiguityCheck],
@@ -579,6 +616,7 @@ def run_validation(
     gap_checks = [c for c in checks if isinstance(c, GapCheck)]
     seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
+    fd_checks = [c for c in checks if isinstance(c, FunctionalDependencyCheck)]
     contig_checks = [c for c in checks if isinstance(c, ContiguityCheck)]
     group_checks = [c for c in checks if isinstance(c, GroupAggCheck)]
     drift_checks = [c for c in checks if isinstance(c, DriftCheck)]
@@ -615,6 +653,8 @@ def run_validation(
             pieces.append(_uniqueness_via_window(df, c, cfg))
         else:
             pieces.append(_uniqueness_pass(df, c, cfg))
+    for c in fd_checks:
+        pieces.append(_fd_pass(df, c, cfg))
     if contig_checks or group_checks:
         pieces.append(_group_agg_pass(df, contig_checks, group_checks, cfg))
     for c in drift_checks:
@@ -684,8 +724,9 @@ def run_validation(
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
-            "UniquenessCheck, ContiguityCheck, GroupAggCheck, DriftCheck, "
-            "CategoricalDriftCheck, TextEqualityCheck)"
+            "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
+            "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
+            "TextEqualityCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

@@ -314,3 +314,65 @@ def test_decontaminate_broadcast_plan(spark):
     # shingles() contributes none
     sh_plan = shingles(corpus, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in sh_plan
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric near-dup: doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from taco_toolbox_spark.dedup.ngram import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    page = quote + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    rows = [(0, page), (1, quote), (2, "unrelated text about query engines entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = containment_pairs(df, threshold=0.99, max_shingle_freq=None).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    # the quote's shingles are fully inside the page
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["containment"] == 1.0
+    assert r["contained_id"] == 1  # the smaller side
+    # symmetric Jaccard misses the same pair at any usable threshold
+    jac = jaccard_pairs(df, threshold=0.2, max_shingle_freq=None).collect()
+    assert all((p["id_a"], p["id_b"]) != (0, 1) for p in jac)
+
+
+def test_containment_matches_python_oracle(docs):
+    from taco_toolbox_spark.dedup.ngram import containment_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+        for r in containment_pairs(
+            docs, threshold=0.5, max_shingle_freq=None
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            continue
+        c = len(sa & sb) / min(len(sa), len(sb))
+        if c >= 0.5:
+            want[(a, b)] = (c, a if len(sa) <= len(sb) else b)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1] == want[k][1]
+
+
+def test_containment_tie_sizes_contained_is_id_a(spark):
+    from taco_toolbox_spark.dedup.ngram import containment_pairs
+
+    t = "one two three four five six"
+    df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
+    r = containment_pairs(df, threshold=0.9, max_shingle_freq=None).collect()
+    assert len(r) == 1 and r[0]["contained_id"] == 7
