@@ -454,3 +454,22 @@ def test_topk_join_plans(spark):
     lsh = _plan(lsh_topk_join(q, c, k=3, dim=8))
     assert "NestedLoop" not in lsh and "Cartesian" not in lsh
     assert "LeftSemi" in lsh
+
+
+def test_fd_violations_no_expand_stacked_partial_aggs(spark):
+    """fd_violations must plan as two stacked hash aggregations with
+    map-side partials and NO Expand: a count_distinct realization would
+    plan an Expand that doubles the first shuffle's rows, and a window
+    realization would serialize a hot determinant through one task."""
+    from taco_toolbox_spark.checks.fd import fd_violations
+
+    df = spark.createDataFrame(
+        [("p1", "search", "tool"), ("p1", "search", "user")],
+        "part string, tool string, role string",
+    )
+    plan = _plan(fd_violations(df, ["tool"], ["role"], "part"))
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    assert plan.count("partial_count") >= 1  # map-side combine, stage 1
+    # stage 2 re-aggregates the (det, combo) rows: min/max/sum partials
+    assert "partial_min" in plan and "partial_max" in plan
