@@ -63,8 +63,14 @@ def common_segments(
 ) -> DataFrame:
     """The boilerplate dictionary: ``(segment, n_docs)`` for every segment
     occurring in >= ``min_docs`` distinct documents. One shuffle
-    (count-distinct agg over (segment, id) pairs)."""
-    seg = df.select(
+    (count-distinct agg over (segment, id) pairs). The segmentation HOF is
+    the heavy per-row stage, so an under-partitioned input is spread to
+    the session parallelism first (scale.spread_for_compute; plan no-op at
+    warehouse scale)."""
+    from ..scale import spread_for_compute
+
+    src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    seg = src.select(
         F.col(id_col).alias("_id"),
         F.explode(segments(F.col(text_col), delim, block_words)).alias(
             "segment"
@@ -96,8 +102,12 @@ def remove_common_segments(
         df, id_col, text_col, min_docs, delim, block_words
     ).select(F.col("segment").alias("_seg"))
 
+    from ..scale import spread_for_compute
+
     seg_arr = segments(F.col(text_col), delim, block_words)
-    exploded = df.select(
+    exploded = spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.posexplode(seg_arr).alias("_blk", "_seg"),
     )

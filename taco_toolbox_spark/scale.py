@@ -83,7 +83,16 @@ def spread_for_compute(df, min_partitions: int | None = None):
     — at warehouse scale inputs carry thousands of splits and this is a
     plan no-op with zero added shuffle. A round-robin repartition of the
     (column-pruned) input is exactly one narrow-row shuffle when it does
-    trigger — the price of using the other 30 cores."""
+    trigger — the price of using the other 30 cores.
+
+    Known blind spot, accepted deliberately: the partition COUNT is the
+    planner's split count, so one HUGE single-row-group file (splittable
+    by byte range but readable only from the split holding the row
+    group's start) shows many splits with all rows in one of them, and
+    the spread won't trigger. Detecting that case needs a row-count job —
+    costlier than the problem. Writers in this package never produce such
+    files (session.py row-group sizing); for foreign data, pass
+    ``min_partitions`` explicitly or repartition upstream."""
     if df.isStreaming:  # micro-batch sizing is the source's job
         return df
     sc = df.sparkSession.sparkContext
