@@ -81,6 +81,22 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "adds no scans)",
     )
     p.add_argument(
+        "--fd",
+        action="append",
+        metavar="DET->DEP",
+        help="add a FunctionalDependencyCheck: 'det1,det2->dep1,dep2' means "
+        "every distinct determinant combination must map to exactly one "
+        "dependent combination per partition (e.g. --fd tool->role). "
+        "Repeatable. Rows with a NULL determinant are exempt unless "
+        "--fd-null-strict",
+    )
+    p.add_argument(
+        "--fd-null-strict",
+        action="store_true",
+        help="treat NULL determinants as a real key group in every --fd "
+        "check instead of exempting those rows",
+    )
+    p.add_argument(
         "--cat-drift",
         metavar="COL",
         help="add a CategoricalDriftCheck on COL (e.g. role): per-partition "
@@ -175,6 +191,29 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 description=f"consecutive turns <= {args.max_gap}s apart",
                 value_col="ts",
                 max_step=args.max_gap,
+            )
+        )
+    for spec in args.fd or []:
+        from taco_toolbox_spark.checks import FunctionalDependencyCheck
+
+        if "->" not in spec:
+            raise SystemExit(
+                f"--fd {spec!r}: expected 'det1,det2->dep1,dep2'"
+            )
+        det_s, dep_s = spec.split("->", 1)
+        det = [c.strip() for c in det_s.split(",") if c.strip()]
+        dep = [c.strip() for c in dep_s.split(",") if c.strip()]
+        if not det or not dep:
+            raise SystemExit(
+                f"--fd {spec!r}: both sides need at least one column"
+            )
+        checks.append(
+            FunctionalDependencyCheck(
+                check_id=f"fd_{'_'.join(det)}__{'_'.join(dep)}",
+                description=f"{','.join(det)} -> {','.join(dep)}",
+                determinant=det,
+                dependent=dep,
+                skip_null_determinant=not args.fd_null_strict,
             )
         )
     if args.cat_drift:

@@ -488,3 +488,40 @@ def test_curate_incremental_with_bloom_manifest(tmp_path, spark):
              "--max-shard-tokens", "1000"],
             stop_session=False,
         )
+
+
+def test_validate_cli_fd_flag(spark, corpus_dir, tmp_path):
+    """--fd tool->role compiles a per-partition FunctionalDependencyCheck;
+    the tool_on_chat / bad_role corruptions must surface and the flagged
+    determinants must be real tool names (NULL tools exempt by default)."""
+    out = str(tmp_path / "out_fd")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--fd", "tool->role",
+            "--run-id", "fd",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    viol = spark.read.parquet(os.path.join(out, "violations")).filter(
+        "check_id = 'fd_tool__role'"
+    )
+    rows = viol.collect()
+    assert rows
+    from taco_toolbox_spark.schema import TOOL_VOCAB
+
+    assert {r["conv_id"] for r in rows} <= set(TOOL_VOCAB)
+
+
+def test_validate_cli_fd_bad_spec(corpus_dir, tmp_path):
+    with pytest.raises(SystemExit, match="expected"):
+        validate_main(
+            [
+                "--input", f"{corpus_dir}/transcripts",
+                "--output", str(tmp_path / "y"),
+                "--fd", "tool role",
+            ],
+            stop_session=False,
+        )
