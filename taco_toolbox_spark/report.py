@@ -64,3 +64,46 @@ def assert_valid(result: ValidationResult, max_examples: int = 10) -> None:
     report = render_report(result, max_examples)
     if not report.startswith("validation: PASS"):
         raise TacoValidationError(report)
+
+
+def verdict_diff(prev, cur, include_unchanged: bool = False):
+    """Regression diff between two validation runs' verdict matrices —
+    the operational question a recurring validation job answers: WHAT
+    CHANGED since the last run, not just what is red today.
+
+    ``prev`` / ``cur`` are verdict frames (part, check_id, passed, ...).
+    Returns (part, check_id, prev_passed, cur_passed, status) with status
+
+    * ``new_failure``  — passed before, fails now (the page-the-owner row)
+    * ``fixed``        — failed before, passes now
+    * ``still_failing``— known-bad both runs
+    * ``new_cell``     — (part, check) absent from prev (new partition
+                         arrived, or a check was added)
+    * ``removed_cell`` — present in prev, absent now (partition dropped
+                         or check removed)
+
+    ``include_unchanged`` adds ``still_passing`` rows (off by default —
+    the diff is meant to be small). Both inputs are verdict-matrix-sized
+    (|partitions| x |checks|), so the full-outer join is metadata-scale;
+    no salting or skew handling warranted."""
+    p = prev.select(
+        "part", "check_id", F.col("passed").alias("prev_passed")
+    )
+    c = cur.select(
+        "part", "check_id", F.col("passed").alias("cur_passed")
+    )
+    j = p.join(c, ["part", "check_id"], "full_outer")
+    pp, cp = F.col("prev_passed"), F.col("cur_passed")
+    status = (
+        F.when(pp.isNull(), F.lit("new_cell"))
+        .when(cp.isNull(), F.lit("removed_cell"))
+        .when(pp & ~cp, F.lit("new_failure"))
+        .when(~pp & cp, F.lit("fixed"))
+        .when(~pp & ~cp, F.lit("still_failing"))
+        .otherwise(F.lit("still_passing"))
+    )
+    out = j.select("part", "check_id", "prev_passed", "cur_passed",
+                   status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "still_passing")
+    return out

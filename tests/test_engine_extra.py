@@ -86,3 +86,63 @@ def test_report_and_assert(corpus):
     clean_res = run_validation(corpus.clean, checks, EngineConfig())
     assert render_report(clean_res).startswith("validation: PASS")
     assert_valid(clean_res)  # no raise
+
+
+def test_verdict_diff_statuses(spark):
+    from taco_toolbox_spark.report import verdict_diff
+
+    prev = spark.createDataFrame(
+        [
+            ("p1", "a", True),   # -> fails now: new_failure
+            ("p1", "b", False),  # -> passes now: fixed
+            ("p1", "c", False),  # -> still failing
+            ("p1", "d", True),   # -> still passing (hidden by default)
+            ("p2", "a", True),   # absent now: removed_cell
+        ],
+        "part string, check_id string, passed boolean",
+    )
+    cur = spark.createDataFrame(
+        [
+            ("p1", "a", False),
+            ("p1", "b", True),
+            ("p1", "c", False),
+            ("p1", "d", True),
+            ("p3", "a", False),  # absent before: new_cell
+        ],
+        "part string, check_id string, passed boolean",
+    )
+    got = {
+        (r["part"], r["check_id"]): r["status"]
+        for r in verdict_diff(prev, cur).collect()
+    }
+    assert got == {
+        ("p1", "a"): "new_failure",
+        ("p1", "b"): "fixed",
+        ("p1", "c"): "still_failing",
+        ("p2", "a"): "removed_cell",
+        ("p3", "a"): "new_cell",
+    }
+    full = verdict_diff(prev, cur, include_unchanged=True)
+    assert full.filter("status = 'still_passing'").count() == 1
+
+
+def test_verdict_diff_clean_vs_corrupted(spark, corpus):
+    """Diffing a clean run against a corrupted run labels exactly the
+    corrupted run's failing cells as new failures."""
+    from taco_toolbox_spark.checks import transcript_checks
+    from taco_toolbox_spark.engine import run_validation
+    from taco_toolbox_spark.report import verdict_diff
+
+    checks = [
+        c for c in transcript_checks()
+        if c.check_id not in ("text_len_drift", "text_equality")
+    ]
+    prev = run_validation(corpus.clean, checks).verdicts
+    cur = run_validation(corpus.corrupted, checks).verdicts
+    diff = verdict_diff(prev, cur)
+    # clean partitions == corrupted partitions (same corpus layout), so
+    # every diff row is a new_failure matching cur's failing cells
+    assert {r["status"] for r in diff.select("status").distinct().collect()} \
+        <= {"new_failure", "new_cell"}
+    n_fail = cur.filter("NOT passed").count()
+    assert diff.filter("status = 'new_failure'").count() == n_fail
