@@ -714,6 +714,132 @@ def stream_dedup(
     )
 
 
+def fd_violations_stateful(
+    stream_df: DataFrame,
+    determinant: list[str],
+    dependent: list[str],
+    check_id: str = "fd",
+    skip_null_determinant: bool = False,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming functional-dependency validation — the micro-batch twin
+    of checks/fd.py: every determinant value must keep mapping to the ONE
+    dependent combination it was FIRST seen with; a later row carrying a
+    different combo flags the determinant. Flag semantics are
+    order-independent (a determinant is flagged ⟺ it ever shows ≥2
+    distinct combos — exactly the batch violation set on a bounded
+    stream), only the reported witness pair depends on arrival order.
+
+    Plan shape: the dependent combo is serialized JVM-side with the SAME
+    sentinel expression as the batch path (checks/fd.py:dependent_combo),
+    so Python sees two strings per row, never the value columns. State per
+    determinant is two scalars — (first_combo, reported) — constant
+    regardless of how hot the determinant is, and each violating
+    determinant emits ONE row ever (the reported latch), so emission
+    volume is bounded by |violating determinants|, not rows. Within a
+    micro-batch everything is a vectorized pandas filter; only the
+    boundary consults state.
+
+    Emits (determinant..., check_id, detail, passed=false, n_seen) where
+    n_seen counts the determinant's rows up to the flagging batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..checks.fd import dependent_combo
+
+    det = list(determinant)
+    if not det or not dependent:
+        raise ValueError("determinant and dependent must each name columns")
+    src = stream_df
+    if skip_null_determinant:
+        pred = F.lit(True)
+        for c in det:
+            pred = pred & F.col(c).isNotNull()
+        src = src.filter(pred)
+    keyed = src.select(
+        *[F.col(c).cast("string").alias(c) for c in det],
+        dependent_combo(list(dependent)).alias("_combo"),
+    )
+    det_schema = ", ".join(f"{c} string" for c in det)
+    out_schema = (
+        f"{det_schema}, check_id string, detail string, "
+        "passed boolean, n_seen long"
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            first, reported, n_seen = state.get
+        else:
+            first, reported, n_seen = None, False, 0
+        emit = None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n_seen += len(pdf)
+            if first is None:
+                first = pdf["_combo"].iloc[0]
+            if not reported:
+                bad = pdf.loc[pdf["_combo"] != first, "_combo"]
+                if len(bad):
+                    reported = True
+                    emit = pd.DataFrame(
+                        [
+                            [
+                                *key,
+                                check_id,
+                                f"fd broken: first saw {first!r}, "
+                                f"then {bad.iloc[0]!r}",
+                                False,
+                                n_seen,
+                            ]
+                        ],
+                        columns=[*det, "check_id", "detail", "passed", "n_seen"],
+                    )
+        state.update((first, reported, n_seen))
+        if emit is not None:
+            yield emit
+
+    return keyed.groupBy(*det).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="first_combo string, reported boolean, n_seen long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_fd_smoke(
+    spark,
+    parquet_dir: str,
+    determinant: list[str],
+    dependent: list[str],
+    query_name: str = "stream_fd",
+    skip_null_determinant: bool = False,
+    max_files_per_trigger: int = 8,
+):
+    """Drive fd_violations_stateful over a bounded parquet dir with the
+    memory sink (update mode — each violating determinant emits once)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = fd_violations_stateful(
+        stream, determinant, dependent,
+        skip_null_determinant=skip_null_determinant,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def _event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks demand TIMESTAMP, but parquet sources yield
     TIMESTAMP_NTZ — re-interpret in the session timezone (UTC here,

@@ -728,3 +728,59 @@ def test_stream_incremental_requires_hash_count(spark):
         stream_incremental_exact(
             df, exact_keys(df), bloom_words=[0] * 16
         )
+
+
+def test_stream_fd_matches_batch_violation_set(tmp_path, spark):
+    """Streaming FD flags exactly the determinants the batch fd_violations
+    flags on the same bounded corpus, regardless of micro-batch split; a
+    violating determinant emits ONE row (the reported latch)."""
+    from taco_toolbox_spark.checks.fd import fd_violations
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_fd_smoke,
+    )
+
+    rows = [
+        ("search", "tool"), ("search", "tool"), ("search", "user"),  # broken
+        ("code", "tool"), ("code", "tool"),                          # holds
+        ("browser", "tool"), ("browser", None),                      # NULL variant
+        (None, "user"), (None, "assistant"),                         # NULL det
+    ]
+    df = spark.createDataFrame(rows, "tool string, role string")
+    inp = str(tmp_path / "fd_stream_in")
+    # one file per row -> many micro-batches at maxFilesPerTrigger=2
+    df.repartition(len(rows)).write.parquet(inp)
+
+    got = run_stream_fd_smoke(
+        spark, inp, ["tool"], ["role"],
+        skip_null_determinant=True, max_files_per_trigger=2,
+    )
+    flagged = {r["tool"] for r in got.collect()}
+    want = {
+        r["tool"]
+        for r in fd_violations(
+            spark.read.parquet(inp), ["tool"], ["role"],
+            skip_null_determinant=True,
+        ).collect()
+    }
+    assert flagged == want == {"search", "browser"}
+    # one emission per violating determinant
+    assert got.count() == 2
+    assert all(not r["passed"] for r in got.collect())
+
+
+def test_stream_fd_strict_null_determinant(tmp_path, spark):
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_fd_smoke,
+    )
+
+    rows = [(None, "user"), (None, "assistant"), ("x", "tool")]
+    df = spark.createDataFrame(rows, "tool string, role string")
+    inp = str(tmp_path / "fd_strict_in")
+    df.repartition(3).write.parquet(inp)
+    got = run_stream_fd_smoke(
+        spark, inp, ["tool"], ["role"], query_name="stream_fd_strict",
+        max_files_per_trigger=1,
+    )
+    # strict mode: the NULL-determinant group (cast to string -> grouped
+    # together) is flagged for spanning {user, assistant}
+    assert got.count() == 1
