@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_soft",         # frequency-proportional downsampling verdict
     "t2_bigram_score",    # corpus-bigram quality stats (perplexity analog)
     "a12_gini_diversity",  # exact-rational mixture-health index
+    "dedup_containment",  # asymmetric doc-inside-doc pairs (shared shingle core)
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
