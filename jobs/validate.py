@@ -196,9 +196,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     for spec in args.fd or []:
         from taco_toolbox_spark.checks import FunctionalDependencyCheck
 
-        if "->" not in spec:
+        if spec.count("->") != 1:
             raise SystemExit(
-                f"--fd {spec!r}: expected 'det1,det2->dep1,dep2'"
+                f"--fd {spec!r}: expected exactly one '->' as in "
+                "'det1,det2->dep1,dep2'"
             )
         det_s, dep_s = spec.split("->", 1)
         det = [c.strip() for c in det_s.split(",") if c.strip()]

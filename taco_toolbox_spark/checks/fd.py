@@ -59,6 +59,43 @@ def dependent_combo(dependent: Sequence[str]) -> Column:
     )
 
 
+def validate_fd_args(
+    determinant: Sequence[str],
+    dependent: Sequence[str],
+    partition_col: str | None = None,
+) -> tuple[list[str], list[str]]:
+    """Shared argument validation for the batch and streaming FD paths —
+    one place so optional-key / overlap semantics can never diverge."""
+    det = list(determinant)
+    dep = list(dependent)
+    if not det or not dep:
+        raise ValueError("determinant and dependent must each name columns")
+    overlap = set(det) & set(dep)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} appear in both determinant and "
+            "dependent; an FD onto itself is vacuous"
+        )
+    if partition_col is not None and partition_col in set(det) | set(dep):
+        raise ValueError(
+            f"partition column {partition_col!r} cannot be part of the FD: "
+            "as a dependent the per-partition scoping makes the combo "
+            "constant (the check can never fail); as a determinant it "
+            "duplicates the grouping key. Scope an FD ONTO the partition "
+            "(e.g. conv_id -> part) by passing partition_col=None"
+        )
+    return det, dep
+
+
+def null_free_determinant(det: Sequence[str]) -> Column:
+    """Predicate: every determinant column is non-NULL — the optional-key
+    exemption shared by batch and streaming FD."""
+    pred = F.lit(True)
+    for c in det:
+        pred = pred & F.col(c).isNotNull()
+    return pred
+
+
 def fd_violations(
     df: DataFrame,
     determinant: Sequence[str],
@@ -83,16 +120,7 @@ def fd_violations(
     not a counterexample to "each tool is used by one role"); the filter
     is a scan-level predicate, pushdown-eligible.
     """
-    det = list(determinant)
-    dep = list(dependent)
-    if not det or not dep:
-        raise ValueError("determinant and dependent must each name columns")
-    overlap = set(det) & set(dep)
-    if overlap:
-        raise ValueError(
-            f"columns {sorted(overlap)} appear in both determinant and "
-            "dependent; an FD onto itself is vacuous"
-        )
+    det, dep = validate_fd_args(determinant, dependent, partition_col)
     reserved = set(_OUT_COLS + _INTERNAL) & set(df.columns)
     if reserved:
         raise ValueError(
@@ -100,10 +128,7 @@ def fd_violations(
             "output/internal names; rename them first"
         )
     if skip_null_determinant:
-        pred = F.lit(True)
-        for c in det:
-            pred = pred & F.col(c).isNotNull()
-        df = df.filter(pred)
+        df = df.filter(null_free_determinant(det))
     keys = ([partition_col] if partition_col else []) + det
     combos = (
         df.select(*keys, dependent_combo(dep).alias("_combo"))

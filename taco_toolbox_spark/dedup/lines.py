@@ -118,7 +118,10 @@ def remove_common_segments(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("_blk")).alias("_rm"))
     )
-    out = df.join(removal, id_col, "left")
+    # the splice projection below re-runs the segmentation HOF over EVERY
+    # row — the same per-row cost class as the dictionary passes — so the
+    # full frame needs the spread too (all columns: the rewrite keeps them)
+    out = spread_for_compute(df).join(removal, id_col, "left")
     kept = F.filter(
         seg_arr,
         lambda s, i: ~F.array_contains(F.col("_rm"), i),

@@ -482,9 +482,10 @@ def _fd_pass(
     """Functional-dependency violations as standard violation rows. The
     two-stage agg (checks/fd.py) is scoped by the engine's partition
     column — per-partition verdicts like every other pass. The violation
-    coordinate is the first determinant column (the uniqueness-pass
-    convention); the detail carries the variant count and both witness
-    combos so the row is actionable without a second query."""
+    coordinate is the FULL determinant value tuple (comma-joined, NULLs
+    marked) so multi-column determinants stay distinguishable; the detail
+    carries the variant count and both witness combos so the row is
+    actionable without a second query."""
     viol = fd_violations(
         df,
         check.determinant,
@@ -492,21 +493,28 @@ def _fd_pass(
         cfg.partition_col,
         skip_null_determinant=check.skip_null_determinant,
     )
-    det0 = list(check.determinant)[0]
+    det_vals = F.concat_ws(
+        ",",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in check.determinant
+        ],
+    )
     return _viol(
         cfg,
         viol,
         check.check_id,
         F.format_string(
-            "%s -> %s broken: %s variants over %s rows (e.g. %s vs %s)",
+            "%s=(%s) -> %s broken: %s variants over %s rows (e.g. %s vs %s)",
             F.lit(",".join(check.determinant)),
+            det_vals,
             F.lit(",".join(check.dependent)),
             F.col("n_variants").cast("string"),
             F.col("n_rows").cast("string"),
             F.col("variant_min"),
             F.col("variant_max"),
         ),
-        conv=F.col(det0).cast("string"),
+        conv=det_vals,
         turn=F.lit(None),
     )
 

@@ -87,12 +87,24 @@ def verdict_diff(prev, cur, include_unchanged: bool = False):
     (|partitions| x |checks|), so the full-outer join is metadata-scale;
     no salting or skew handling warranted."""
     p = prev.select(
-        "part", "check_id", F.col("passed").alias("prev_passed")
+        F.col("part").alias("_pp_part"),
+        F.col("check_id").alias("_pp_check"),
+        F.col("passed").alias("prev_passed"),
     )
     c = cur.select(
-        "part", "check_id", F.col("passed").alias("cur_passed")
+        F.col("part").alias("_cp_part"),
+        F.col("check_id").alias("_cp_check"),
+        F.col("passed").alias("cur_passed"),
     )
-    j = p.join(c, ["part", "check_id"], "full_outer")
+    # null-safe key equality: a NULL-part cell (the engine stringifies raw
+    # partition values, so NULL is representable) must match itself across
+    # runs rather than splitting into a removed_cell + new_cell pair
+    j = p.join(
+        c,
+        F.col("_pp_part").eqNullSafe(F.col("_cp_part"))
+        & F.col("_pp_check").eqNullSafe(F.col("_cp_check")),
+        "full_outer",
+    )
     pp, cp = F.col("prev_passed"), F.col("cur_passed")
     status = (
         F.when(pp.isNull(), F.lit("new_cell"))
@@ -102,8 +114,13 @@ def verdict_diff(prev, cur, include_unchanged: bool = False):
         .when(~pp & ~cp, F.lit("still_failing"))
         .otherwise(F.lit("still_passing"))
     )
-    out = j.select("part", "check_id", "prev_passed", "cur_passed",
-                   status.alias("status"))
+    out = j.select(
+        F.coalesce(F.col("_pp_part"), F.col("_cp_part")).alias("part"),
+        F.coalesce(F.col("_pp_check"), F.col("_cp_check")).alias("check_id"),
+        "prev_passed",
+        "cur_passed",
+        status.alias("status"),
+    )
     if not include_unchanged:
         out = out.filter(F.col("status") != "still_passing")
     return out

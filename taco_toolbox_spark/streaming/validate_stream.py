@@ -501,8 +501,10 @@ def run_ordering_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -644,8 +646,10 @@ def run_battery_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -674,8 +678,10 @@ def run_memory_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -745,20 +751,19 @@ def fd_violations_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..checks.fd import dependent_combo
+    from ..checks.fd import (
+        dependent_combo,
+        null_free_determinant,
+        validate_fd_args,
+    )
 
-    det = list(determinant)
-    if not det or not dependent:
-        raise ValueError("determinant and dependent must each name columns")
+    det, dep = validate_fd_args(determinant, dependent)
     src = stream_df
     if skip_null_determinant:
-        pred = F.lit(True)
-        for c in det:
-            pred = pred & F.col(c).isNotNull()
-        src = src.filter(pred)
+        src = src.filter(null_free_determinant(det))
     keyed = src.select(
         *[F.col(c).cast("string").alias(c) for c in det],
-        dependent_combo(list(dependent)).alias("_combo"),
+        dependent_combo(dep).alias("_combo"),
     )
     det_schema = ", ".join(f"{c} string" for c in det)
     out_schema = (
@@ -835,8 +840,10 @@ def run_stream_fd_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -874,8 +881,10 @@ def run_stream_dedup_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -937,8 +946,10 @@ def run_stream_sessionize_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -1114,8 +1125,10 @@ def run_stream_cms_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -1143,8 +1156,10 @@ def run_stream_minhash_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -1235,6 +1250,8 @@ def run_stream_incremental_smoke(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -146,3 +146,17 @@ def test_verdict_diff_clean_vs_corrupted(spark, corpus):
         <= {"new_failure", "new_cell"}
     n_fail = cur.filter("NOT passed").count()
     assert diff.filter("status = 'new_failure'").count() == n_fail
+
+
+def test_verdict_diff_null_part_is_null_safe(spark):
+    from taco_toolbox_spark.report import verdict_diff
+
+    prev = spark.createDataFrame(
+        [(None, "a", True)], "part string, check_id string, passed boolean"
+    )
+    cur = spark.createDataFrame(
+        [(None, "a", False)], "part string, check_id string, passed boolean"
+    )
+    rows = verdict_diff(prev, cur).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "new_failure"
+    assert rows[0]["part"] is None and rows[0]["check_id"] == "a"

@@ -125,3 +125,42 @@ def test_fd_null_determinant_group_strict_vs_skip(spark):
         fd_violations(df, ["tool"], ["role"], skip_null_determinant=True).count()
         == 0
     )
+
+
+def test_fd_partition_col_overlap_guard(fd_df):
+    with pytest.raises(ValueError, match="partition column"):
+        fd_violations(fd_df, ["conv_id"], ["part"], "part")
+    with pytest.raises(ValueError, match="partition column"):
+        fd_violations(fd_df, ["part"], ["role"], "part")
+    # the FD ONTO the partition is expressible unscoped
+    assert fd_violations(fd_df, ["conv_id"], ["part"]).count() == 0
+
+
+def test_fd_multi_determinant_battery_coordinate(spark):
+    """The violation coordinate must carry the FULL determinant tuple so
+    multi-column determinants stay distinguishable and actionable."""
+    df = spark.createDataFrame(
+        [
+            ("p1", "search", "m1", "tool"),
+            ("p1", "search", "m1", "user"),   # (search, m1) broken
+            ("p1", "search", "m2", "tool"),   # (search, m2) holds
+            ("p1", None, "m1", "tool"),
+            ("p1", None, "m1", "user"),       # (NULL, m1) broken (strict)
+        ],
+        "part string, tool string, model string, role string",
+    )
+    res = run_validation(
+        df,
+        [
+            FunctionalDependencyCheck(
+                check_id="fd2",
+                determinant=["tool", "model"],
+                dependent=["role"],
+            )
+        ],
+    )
+    rows = res.violations.collect()
+    assert {r["conv_id"] for r in rows} == {"search,m1", "<null>,m1"}
+    assert all("(search,m1)" in r["detail"] or "(<null>,m1)" in r["detail"]
+               for r in rows)
+    res.release()

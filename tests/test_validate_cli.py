@@ -525,3 +525,15 @@ def test_validate_cli_fd_bad_spec(corpus_dir, tmp_path):
             ],
             stop_session=False,
         )
+
+
+def test_validate_cli_fd_double_arrow_rejected(corpus_dir, tmp_path):
+    with pytest.raises(SystemExit, match="exactly one"):
+        validate_main(
+            [
+                "--input", f"{corpus_dir}/transcripts",
+                "--output", str(tmp_path / "z"),
+                "--fd", "tool->role->part",
+            ],
+            stop_session=False,
+        )
