@@ -1037,6 +1037,36 @@ def q_v16_fd_tool_role(spark, sf_dir):
     )
 
 
+def q_t5_budget_select(spark, sf_dir):
+    """Budget-capped quality selection (operators/partitioning.py:
+    select_top_quality_to_budget): keep the highest-scoring documents
+    until a global token budget — the data-selection primitive behind
+    "best docs until N tokens" curation. Exact distributed prefix sum
+    (the assign_size_bins machinery: order-monotone buckets + window
+    cumsums + a broadcast offset table — no single-partition window), so
+    the kept set is exactly an order-prefix under the total
+    (score desc, doc_id asc) order. Score = length(text) and tokens =
+    whitespace token count, both integers, so the DuckDB window-cumsum
+    oracle reproduces the selection bit-for-bit."""
+    from taco_toolbox_spark.functions.text import token_count
+    from taco_toolbox_spark.operators.partitioning import (
+        select_top_quality_to_budget,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("score"),
+            token_count("text").alias("toks"),
+        )
+    )
+    out = select_top_quality_to_budget(d, "score", "toks", 10_000, "doc_id")
+    return out.filter("selected").select(
+        "doc_id", "score", "toks", F.col("cum_size").cast("long").alias("cum_toks")
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -1970,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_turn_gap": q_v15_turn_gap,
         "v16_fd_tool_role": q_v16_fd_tool_role,
         "dedup_containment": q_dedup_containment,
+        "t5_budget_select": q_t5_budget_select,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
@@ -3057,6 +3088,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT prev, role AS cur, count(*)::BIGINT AS n
             FROM p WHERE rn > 1 GROUP BY prev, role
+        """,
+        "t5_budget_select": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS score,
+                     len(string_split(text, ' ')) AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, score, toks,
+                     sum(toks) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, score::INT AS score, toks::INT AS toks,
+                   cum::BIGINT AS cum_toks
+            FROM c WHERE cum <= 10000
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

@@ -124,6 +124,109 @@ def assign_size_bins(
     )
 
 
+def select_to_budget(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_cols: list[str],
+    keep_col: str = "selected",
+    cum_col: str = "cum_size",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Budget-capped prefix selection: walk rows in the deterministic
+    ``order_cols`` order and keep the maximal prefix whose cumulative
+    ``size_col`` stays within ``budget`` — the data-selection primitive
+    ("best documents until N tokens") behind quality-thresholded corpus
+    curation. Appends ``cum_col`` (cumulative size INCLUDING the row) and
+    ``keep_col`` (cum <= budget).
+
+    Sizes are clamped to >= 0 inside the cumulative sums (and NULL sizes
+    contribute 0), so the running total is monotone along the order and
+    the kept set is EXACTLY an order-prefix — no skip-and-continue
+    ambiguity, and an independent engine reproduces it with one window
+    cumsum. A NULL/negative-size row itself is never selected (its size
+    is not a meaningful budget contribution) but does not poison the
+    rows after it.
+
+    Same distributed shape as :func:`assign_size_bins` — this is a global
+    ordered prefix sum with a threshold predicate instead of a floor
+    division: per-bucket window cumsums over order-monotone buckets plus
+    a broadcast offset table, no single-partition window anywhere."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    reserved = {keep_col, cum_col, "_sb_bucket", "_sb_off", "_sb_tot"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with select_to_budget's "
+            "output/internal names; rename them first"
+        )
+    first = order_cols[0]
+    clamped = F.greatest(F.coalesce(F.col(size_col), F.lit(0)), F.lit(0))
+    b = df.withColumn(
+        "_sb_bucket", _monotone_bucket(df, first, n_buckets)
+    )
+    totals = b.groupBy("_sb_bucket").agg(F.sum(clamped).alias("_sb_tot"))
+    w_off = Window.orderBy("_sb_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_sb_bucket",
+        F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
+    )
+    w_local = (
+        Window.partitionBy("_sb_bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("_sb_off") + F.sum(clamped).over(w_local)
+    return (
+        b.join(F.broadcast(offsets), "_sb_bucket")
+        .withColumn(cum_col, cum)
+        .withColumn(
+            keep_col,
+            F.coalesce(
+                (F.col(size_col) >= 0) & (F.col(cum_col) <= F.lit(budget)),
+                F.lit(False),
+            ),
+        )
+        .drop("_sb_bucket", "_sb_off")
+    )
+
+
+def select_top_quality_to_budget(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    budget: int,
+    id_col: str,
+    keep_col: str = "selected",
+    cum_col: str = "cum_size",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Curation wrapper over :func:`select_to_budget`: keep the
+    highest-``score_col`` documents until ``budget`` total ``size_col``
+    (e.g. "best docs until 10B tokens"). Order is (score desc, id asc) —
+    a total order, so reruns and other engines agree; NULL scores sort
+    LAST (an unscored doc is never preferred over any scored one)."""
+    if "_nscore" in df.columns:
+        raise ValueError("column '_nscore' collides; rename it first")
+    nscore = F.when(
+        F.col(score_col).isNull(), F.lit(float("inf"))
+    ).otherwise(-F.col(score_col).cast("double"))
+    out = select_to_budget(
+        df.withColumn("_nscore", nscore),
+        size_col,
+        budget,
+        ["_nscore", id_col],
+        keep_col,
+        cum_col,
+        n_buckets,
+    )
+    return out.drop("_nscore")
+
+
 def greedy_pack_bins(
     df: DataFrame,
     size_col: str,

@@ -374,3 +374,87 @@ def test_gini_simpson_hand_computed(spark):
     a = gini_simpson(df.coalesce(1), "cat", ["grp"]).collect()
     b = gini_simpson(df.repartition(7), "cat", ["grp"]).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+# ---------------------------------------------------------------------------
+# budget-capped prefix selection
+# ---------------------------------------------------------------------------
+
+
+def test_select_to_budget_exact_prefix(spark):
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    rows = [(i, 10) for i in range(10)]  # sizes 10 each, ordered by id
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = select_to_budget(df, "toks", 35, ["doc_id"]).collect()
+    got = {r["doc_id"]: (r["cum_size"], r["selected"]) for r in out}
+    # prefix of 3 rows fits 35 (10,20,30); the 4th (40) exceeds
+    assert [got[i][1] for i in range(10)] == [True] * 3 + [False] * 7
+    assert got[2][0] == 30 and got[3][0] == 40
+
+
+def test_select_to_budget_matches_python_walk_any_partitioning(spark):
+    import random
+
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long").repartition(7)
+    out = select_to_budget(df, "toks", 3000, ["doc_id"], n_buckets=8)
+    got = {r["doc_id"] for r in out.collect() if r["selected"]}
+    cum, want = 0, set()
+    for i, t in rows:
+        cum += t
+        if cum <= 3000:
+            want.add(i)
+    assert got == want
+
+
+def test_select_to_budget_null_and_negative_sizes(spark):
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    rows = [(0, 10), (1, None), (2, -5), (3, 10), (4, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["doc_id"]: (r["cum_size"], r["selected"])
+        for r in select_to_budget(df, "toks", 20, ["doc_id"]).collect()
+    }
+    # NULL/negative contribute 0 to the running total and are never kept
+    assert got[0] == (10, True)
+    assert got[1] == (10, False)
+    assert got[2] == (10, False)
+    assert got[3] == (20, True)
+    assert got[4] == (120, False)
+
+
+def test_select_top_quality_to_budget_order_and_null_scores(spark):
+    from taco_toolbox_spark.operators.partitioning import (
+        select_top_quality_to_budget,
+    )
+
+    rows = [
+        (0, 5.0, 10),
+        (1, 9.0, 10),
+        (2, 9.0, 10),   # tie with 1 -> id asc
+        (3, None, 1),   # NULL score sorts last despite tiny size
+        (4, 7.0, 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, toks long")
+    out = select_top_quality_to_budget(df, "score", "toks", 30, "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect() if r["selected"])
+    assert kept == [1, 2, 4]  # 9.0, 9.0, 7.0 fill the budget; 5.0 and NULL out
+    assert "_nscore" not in out.columns
+
+
+def test_select_to_budget_guards(spark):
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, toks long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget"):
+        select_to_budget(df, "toks", 0, ["doc_id"])
+    bad = df.withColumn("selected", df.toks * 1)
+    with _pt.raises(ValueError, match="collide"):
+        select_to_budget(bad, "toks", 5, ["doc_id"])
