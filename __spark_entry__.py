@@ -1067,6 +1067,34 @@ def q_t5_budget_select(spark, sf_dir):
     )
 
 
+def q_t6_budget_select_grouped(spark, sf_dir):
+    """Per-group budget-capped selection (select_to_budget group_cols):
+    the data-mixing form — "N tokens per domain". Domains here are a
+    deterministic doc_id bucketing so the oracle replays them verbatim;
+    windows stay keyed by (group, bucket) so a hot domain never
+    serializes one task; the offset join is null-safe on group keys."""
+    from taco_toolbox_spark.functions.text import token_count
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(5)).alias("domain"),
+        F.length("text").alias("score"),
+        token_count("text").alias("toks"),
+    )
+    out = select_to_budget(
+        d.withColumn("_nscore", -F.col("score").cast("double")),
+        "toks",
+        3_000,
+        ["_nscore", "doc_id"],
+        group_cols=["domain"],
+    )
+    return out.filter("selected").select(
+        "doc_id", "domain", "score", "toks",
+        F.col("cum_size").cast("long").alias("cum_toks"),
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -2001,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v16_fd_tool_role": q_v16_fd_tool_role,
         "dedup_containment": q_dedup_containment,
         "t5_budget_select": q_t5_budget_select,
+        "t6_budget_select_grouped": q_t6_budget_select_grouped,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
@@ -3107,6 +3136,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score::INT AS score, toks::INT AS toks,
                    cum::BIGINT AS cum_toks
             FROM c WHERE cum <= 10000
+        """,
+        "t6_budget_select_grouped": """
+            WITH t AS (
+              SELECT doc_id,
+                     doc_id % 5 AS domain,
+                     length(text) AS score,
+                     len(string_split(text, ' ')) AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, domain, score, toks,
+                     sum(toks) OVER (
+                       PARTITION BY domain
+                       ORDER BY score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, domain::INT AS domain, score::INT AS score,
+                   toks::INT AS toks, cum::BIGINT AS cum_toks
+            FROM c WHERE cum <= 3000
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

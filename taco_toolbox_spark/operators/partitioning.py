@@ -132,13 +132,17 @@ def select_to_budget(
     keep_col: str = "selected",
     cum_col: str = "cum_size",
     n_buckets: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Budget-capped prefix selection: walk rows in the deterministic
     ``order_cols`` order and keep the maximal prefix whose cumulative
     ``size_col`` stays within ``budget`` — the data-selection primitive
     ("best documents until N tokens") behind quality-thresholded corpus
     curation. Appends ``cum_col`` (cumulative size INCLUDING the row) and
-    ``keep_col`` (cum <= budget).
+    ``keep_col`` (cum <= budget). With ``group_cols`` the walk and the
+    budget apply PER GROUP ("N tokens per domain/language" — the
+    data-mixing form); a hot group never serializes one task because the
+    windows stay keyed by (group, bucket), not by the group alone.
 
     Sizes are clamped to >= 0 inside the cumulative sums (and NULL sizes
     contribute 0), so the running total is monotone along the order and
@@ -148,12 +152,15 @@ def select_to_budget(
     is not a meaningful budget contribution) but does not poison the
     rows after it.
 
-    Same distributed shape as :func:`assign_size_bins` — this is a global
+    Same distributed shape as :func:`assign_size_bins` — this is an
     ordered prefix sum with a threshold predicate instead of a floor
-    division: per-bucket window cumsums over order-monotone buckets plus
-    a broadcast offset table, no single-partition window anywhere."""
+    division: per-(group, bucket) window cumsums over order-monotone
+    buckets plus a broadcast offset table (one row per occupied
+    (group, bucket) — tiny for any realistic domain count), no
+    single-partition window over data anywhere."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
+    g = [*(group_cols or [])]
     reserved = {keep_col, cum_col, "_sb_bucket", "_sb_off", "_sb_tot"} & set(
         df.columns
     )
@@ -167,22 +174,32 @@ def select_to_budget(
     b = df.withColumn(
         "_sb_bucket", _monotone_bucket(df, first, n_buckets)
     )
-    totals = b.groupBy("_sb_bucket").agg(F.sum(clamped).alias("_sb_tot"))
-    w_off = Window.orderBy("_sb_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    totals = b.groupBy(*g, "_sb_bucket").agg(F.sum(clamped).alias("_sb_tot"))
+    w_off = (
+        Window.partitionBy(*g).orderBy("_sb_bucket")
+        if g
+        else Window.orderBy("_sb_bucket")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
+        *[F.col(c).alias(f"_sb_g_{c}") for c in g],
         "_sb_bucket",
         F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
     )
+    # null-safe group equality: a NULL group value is a real group (GROUP
+    # BY keeps it) and must still find its offset row
+    cond = b["_sb_bucket"] == offsets["_sb_bucket"]
+    for c in g:
+        cond = cond & b[c].eqNullSafe(offsets[f"_sb_g_{c}"])
     w_local = (
-        Window.partitionBy("_sb_bucket")
+        Window.partitionBy(*g, "_sb_bucket")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.col("_sb_off") + F.sum(clamped).over(w_local)
     return (
-        b.join(F.broadcast(offsets), "_sb_bucket")
+        b.join(F.broadcast(offsets), cond)
+        .drop(offsets["_sb_bucket"])
+        .drop(*[f"_sb_g_{c}" for c in g])
         .withColumn(cum_col, cum)
         .withColumn(
             keep_col,

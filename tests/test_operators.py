@@ -458,3 +458,22 @@ def test_select_to_budget_guards(spark):
     bad = df.withColumn("selected", df.toks * 1)
     with _pt.raises(ValueError, match="collide"):
         select_to_budget(bad, "toks", 5, ["doc_id"])
+
+
+def test_select_to_budget_per_group(spark):
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    rows = [
+        ("en", 0, 10), ("en", 1, 10), ("en", 2, 10), ("en", 3, 10),
+        ("fr", 0, 15), ("fr", 1, 15),
+        (None, 0, 10), (None, 1, 10), (None, 2, 10),  # NULL domain group
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, toks long")
+    out = select_to_budget(
+        df, "toks", 25, ["doc_id"], group_cols=["lang"], n_buckets=4
+    )
+    kept = {(r["lang"], r["doc_id"]) for r in out.collect() if r["selected"]}
+    # per-group budget 25: en keeps 2 (20<=25, 30>25), fr keeps 1 (15<=25,
+    # 30>25), NULL group keeps 2 — NULL groups must survive the offset join
+    assert kept == {("en", 0), ("en", 1), ("fr", 0), (None, 0), (None, 1)}
+    assert out.count() == len(rows)
