@@ -1095,6 +1095,35 @@ def q_t6_budget_select_grouped(spark, sf_dir):
     )
 
 
+def q_w10_loss_spans(spark, sf_dir):
+    """Chat rendering with SFT loss spans (operators/transcripts.py:
+    render_with_loss_spans): each conversation flattens to one document
+    plus 0-based end-exclusive char spans covering exactly the rendered
+    assistant lines — the character truth a tokenizer-side loss masker
+    consumes. ONE grouped aggregation; the span arithmetic is a pure-JVM
+    F.aggregate left-fold over the sorted line array (running position +
+    conditional append) — no window pass, no second shuffle. The oracle
+    recomputes the offsets with a per-conversation window cumsum over the
+    identical line rendering and (order, line, role) sort."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.transcripts import (
+        render_with_loss_spans,
+    )
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    out = render_with_loss_spans(corpus.corrupted)
+    return out.select(
+        "conv_id", F.explode("spans").alias("s")
+    ).select(
+        "conv_id",
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -2030,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "t5_budget_select": q_t5_budget_select,
         "t6_budget_select_grouped": q_t6_budget_select_grouped,
+        "w10_loss_spans": q_w10_loss_spans,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
@@ -3157,6 +3187,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain::INT AS domain, score::INT AS score,
                    toks::INT AS toks, cum::BIGINT AS cum_toks
             FROM c WHERE cum <= 3000
+        """,
+        "w10_loss_spans": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     coalesce(role, '') AS r,
+                     '<' || coalesce(role, '') || '> '
+                       || coalesce(text, '') AS line
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            ),
+            o AS (
+              SELECT conv_id, r, line,
+                     coalesce(sum(length(line) + 1) OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx, line, r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS span_start
+              FROM t
+            )
+            SELECT conv_id,
+                   span_start::BIGINT AS span_start,
+                   (span_start + length(line))::BIGINT AS span_end
+            FROM o WHERE r = 'assistant'
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

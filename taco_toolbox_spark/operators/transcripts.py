@@ -197,6 +197,88 @@ def render_conversations(
     )
 
 
+def render_with_loss_spans(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    mask_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """:func:`render_conversations` plus LOSS SPANS — the SFT training-prep
+    primitive: each conversation flattens to one document AND an array of
+    (start, end) character offsets covering exactly the rendered lines
+    whose role is in ``mask_roles`` (default: train on assistant turns
+    only). Offsets are 0-based, end-exclusive, over the rendered text; a
+    span covers the WHOLE ``<role> text`` line including the tag (the
+    tokenizer-side masker decides whether to drop the tag — character
+    truth is what this operator owes it). Returns
+    ``(group, text, spans array<struct<start,end>>, n_turns, n_chars)``.
+
+    Same single grouped aggregation as the renderer — the span arithmetic
+    is ONE ``F.aggregate`` left-fold over the already-sorted line array
+    (running char position + conditional span append), pure JVM
+    expressions, no window pass, no second shuffle. Duplicate order keys
+    sort by (order, line, role) so corrupted corpora render and mask
+    identically on any engine; NULL role/text render as empty strings and
+    a NULL role is never in ``mask_roles``."""
+    line = F.concat(
+        F.lit("<"),
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")),
+        F.lit("> "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    pairs = df.select(
+        group_col,
+        F.struct(
+            F.col(order_col).alias("o"),
+            line.alias("l"),
+            F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("r"),
+        ).alias("p"),
+    )
+    out = pairs.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("p")).alias("_ps"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    sep_len = len(sep)
+    roles = [F.lit(r) for r in mask_roles]
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast("array<struct<start:bigint,end:bigint>>").alias(
+            "spans"
+        ),
+    )
+    spans = F.aggregate(
+        F.col("_ps"),
+        zero,
+        lambda acc, s: F.struct(
+            (acc["pos"] + F.length(s["l"]) + F.lit(sep_len)).alias("pos"),
+            F.when(
+                s["r"].isin(*roles) if roles else F.lit(False),
+                F.array_append(
+                    acc["spans"],
+                    F.struct(
+                        acc["pos"].alias("start"),
+                        (acc["pos"] + F.length(s["l"])).alias("end"),
+                    ),
+                ),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        ),
+        lambda acc: acc["spans"],
+    )
+    text = F.array_join(F.transform(F.col("_ps"), lambda s: s["l"]), sep)
+    return out.select(
+        group_col,
+        text.alias("text"),
+        spans.alias("spans"),
+        "n_turns",
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
 def reindex_turns(
     df: DataFrame,
     group_col: str = "conv_id",

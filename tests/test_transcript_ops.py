@@ -211,3 +211,49 @@ def test_chunk_windows_nonoverlapping_default_and_guards(spark):
         chunk_conversations(df, window_turns=0)
     with pytest.raises(ValueError, match="window_id"):
         chunk_conversations(df.withColumn("window_id", F.lit(1)), 2)
+
+
+def test_render_with_loss_spans_slices_and_parity(spark):
+    from taco_toolbox_spark.operators.transcripts import (
+        render_conversations,
+        render_with_loss_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "system", "be good"),
+            ("c1", 1, "user", "hi"),
+            ("c1", 2, "assistant", "hello there"),
+            ("c1", 3, "assistant", "more"),
+            ("c2", 0, "user", "no assistant here"),
+            ("c3", 0, None, None),  # NULL role/text render empty, never masked
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r for r in render_with_loss_spans(df).collect()}
+    # rendered text identical to the plain renderer
+    plain = {r["conv_id"]: r["text"] for r in render_conversations(df).collect()}
+    assert {k: v["text"] for k, v in out.items()} == plain
+    # every span slices to a full assistant line
+    spans = out["c1"]["spans"]
+    assert [out["c1"]["text"][s["start"]:s["end"]] for s in spans] == [
+        "<assistant> hello there",
+        "<assistant> more",
+    ]
+    assert out["c2"]["spans"] == [] and out["c3"]["spans"] == []
+
+
+def test_render_with_loss_spans_custom_roles_and_dup_order(spark):
+    from taco_toolbox_spark.operators.transcripts import render_with_loss_spans
+
+    df = spark.createDataFrame(
+        [("c", 0, "tool", "a"), ("c", 0, "tool", "b"), ("c", 1, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = render_with_loss_spans(df, mask_roles=("tool",)).collect()[0]
+    # duplicate order keys sort deterministically by (order, line)
+    assert r["text"] == "<tool> a\n<tool> b\n<user> x"
+    assert [r["text"][s["start"]:s["end"]] for s in r["spans"]] == [
+        "<tool> a",
+        "<tool> b",
+    ]
