@@ -97,6 +97,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "check instead of exempting those rows",
     )
     p.add_argument(
+        "--diff-against",
+        metavar="DIR",
+        help="a previous run's verdicts parquet dir: after validating, "
+        "write the regression diff (new_failure / fixed / still_failing / "
+        "new_cell / removed_cell per (part, check)) to <output>/"
+        "verdict_diff and print the status counts — the what-changed view "
+        "a recurring job needs",
+    )
+    p.add_argument(
         "--cat-drift",
         metavar="COL",
         help="add a CategoricalDriftCheck on COL (e.g. role): per-partition "
@@ -396,6 +405,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             spark.conf.unset(_overwrite_key)
         else:
             spark.conf.set(_overwrite_key, _overwrite_prev)
+
+    if args.diff_against:
+        from taco_toolbox_spark.report import verdict_diff
+
+        prev_v = spark.read.parquet(args.diff_against)
+        cur_v = spark.read.parquet(os.path.join(args.output, "verdicts"))
+        diff = verdict_diff(prev_v, cur_v)
+        diff.write.mode("overwrite").parquet(
+            os.path.join(args.output, "verdict_diff")
+        )
+        counts = {
+            r["status"]: r["n"]
+            for r in diff.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            "verdict diff vs previous run: "
+            + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+               or "no changes")
+        )
 
     elapsed = time.time() - t0
     print(

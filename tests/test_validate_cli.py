@@ -537,3 +537,38 @@ def test_validate_cli_fd_double_arrow_rejected(corpus_dir, tmp_path):
             ],
             stop_session=False,
         )
+
+
+def test_validate_cli_diff_against(spark, corpus_dir, tmp_path):
+    """Two runs + --diff-against: a clean-baseline run diffed against the
+    corrupted run surfaces every failing cell as new_failure."""
+    out_prev = str(tmp_path / "run_prev")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts_baseline",
+            "--output", out_prev,
+            "--run-id", "prev",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    out_cur = str(tmp_path / "run_cur")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out_cur,
+            "--diff-against", os.path.join(out_prev, "verdicts"),
+            "--run-id", "cur",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    diff = spark.read.parquet(os.path.join(out_cur, "verdict_diff"))
+    statuses = {r["status"] for r in diff.select("status").distinct().collect()}
+    assert "new_failure" in statuses
+    n_fail = (
+        spark.read.parquet(os.path.join(out_cur, "verdicts"))
+        .filter("NOT passed")
+        .count()
+    )
+    assert diff.filter("status = 'new_failure'").count() == n_fail
