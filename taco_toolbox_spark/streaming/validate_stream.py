@@ -727,6 +727,7 @@ def fd_violations_stateful(
     check_id: str = "fd",
     skip_null_determinant: bool = False,
     output_mode: str = "update",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming functional-dependency validation — the micro-batch twin
     of checks/fd.py: every determinant value must keep mapping to the ONE
@@ -747,7 +748,20 @@ def fd_violations_stateful(
     boundary consults state.
 
     Emits (determinant..., check_id, detail, passed=false, n_seen) where
-    n_seen counts the determinant's rows up to the flagging batch."""
+    n_seen counts the determinant's rows up to the flagging batch.
+
+    State otherwise grows with |distinct determinants| — fine for a
+    bounded vocabulary (tools, roles, domains), unbounded for free-text
+    determinants. ``state_ttl_ms`` (processing-time milliseconds) evicts
+    a determinant's state after that long without new rows — the stream_dedup trade, stated honestly: after eviction the
+    determinant's NEXT row re-establishes "first seen", so a conflict
+    straddling an idle gap longer than the TTL is missed; unbounded-
+    horizon exactness belongs to the batch path over the accumulated
+    corpus. Operational note: a processing-time timeout makes Spark run
+    no-data batches to fire evictions, so the query's trigger never goes
+    fully idle — pair TTL mode with a ``trigger(processingTime=...)``
+    interval in production, and don't wait on ``processAllAvailable``
+    (it may not return; poll the sink instead)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -772,6 +786,9 @@ def fd_violations_stateful(
     )
 
     def fn(key, pdf_iter, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             first, reported, n_seen = state.get
         else:
@@ -801,6 +818,8 @@ def fd_violations_stateful(
                         columns=[*det, "check_id", "detail", "passed", "n_seen"],
                     )
         state.update((first, reported, n_seen))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if emit is not None:
             yield emit
 
@@ -809,7 +828,11 @@ def fd_violations_stateful(
         outputStructType=out_schema,
         stateStructType="first_combo string, reported boolean, n_seen long",
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

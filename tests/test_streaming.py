@@ -784,3 +784,48 @@ def test_stream_fd_strict_null_determinant(tmp_path, spark):
     # strict mode: the NULL-determinant group (cast to string -> grouped
     # together) is flagged for spanning {user, assistant}
     assert got.count() == 1
+
+
+def test_stream_fd_state_ttl_smoke(tmp_path, spark):
+    """TTL mode runs end-to-end and still flags conflicts arriving within
+    the horizon (a generous TTL so micro-batches all land inside it)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        fd_violations_stateful,
+    )
+
+    rows = [("search", "tool"), ("search", "user"), ("code", "tool")]
+    df = spark.createDataFrame(rows, "tool string, role string")
+    inp = str(tmp_path / "fd_ttl_in")
+    df.repartition(3).write.parquet(inp)
+    static = spark.read.parquet(inp)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = fd_violations_stateful(
+        stream, ["tool"], ["role"], state_ttl_ms=3_600_000
+    )
+    # a processing-time timeout keeps the trigger running no-data batches
+    # to fire evictions, so processAllAvailable never returns in TTL mode
+    # (documented on the operator) — poll the sink with a deadline instead
+    import time as _time
+
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_fd_ttl")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        got = []
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM stream_fd_ttl").collect()
+            if got:
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+    assert {r["tool"] for r in got} == {"search"}
