@@ -86,6 +86,7 @@ HEADLINE = [
     "t2_bigram_score",    # corpus-bigram quality stats (perplexity analog)
     "a12_gini_diversity",  # exact-rational mixture-health index
     "dedup_containment",  # asymmetric doc-inside-doc pairs (shared shingle core)
+    "t5_budget_select",   # budget-capped selection (distributed prefix sum)
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
