@@ -1124,6 +1124,34 @@ def q_w10_loss_spans(spark, sf_dir):
     )
 
 
+def q_v17_embedding_sanity(spark, sf_dir):
+    """Per-row embedding sanity battery (checks/base.py:embedding_checks
+    via apply_row_checks): dimension, null, NaN/Inf, L2-norm bounds — the
+    vector counterpart of the numeric range checks; one truncated or NaN
+    vector silently poisons every downstream dot product / ANN bucket.
+    Corruptions are injected deterministically by vec_id residue (null /
+    truncate to 32 / x100 scale / NaN append) and the oracle replays the
+    identical injection + rules; the norm is a float64 left-fold in array
+    order, so both engines agree bit-for-bit. Zero shuffles: the whole
+    battery is one projection over the scan."""
+    from taco_toolbox_spark.checks import apply_row_checks, embedding_checks
+
+    e = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corrupted = (
+        F.when(vid % 97 == 0, F.lit(None).cast("array<double>"))
+        .when(vid % 89 == 0, F.slice(dbl, 1, 32))
+        .when(vid % 83 == 0, F.transform(dbl, lambda x: x * F.lit(100.0)))
+        .when(vid % 79 == 0,
+              F.array_append(dbl, F.lit(float("nan")).cast("double")))
+        .otherwise(dbl)
+    )
+    df = e.select("vec_id", corrupted.alias("embedding"))
+    checks = embedding_checks("embedding", 64, norm_lo=0.5, norm_hi=2.0)
+    return apply_row_checks(df, checks, ["vec_id"])
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -2060,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_budget_select": q_t5_budget_select,
         "t6_budget_select_grouped": q_t6_budget_select_grouped,
         "w10_loss_spans": q_w10_loss_spans,
+        "v17_embedding_sanity": q_v17_embedding_sanity,
         "a10_transition_matrix": q_a10_transition_matrix,
         "a11_conv_profile": q_a11_conv_profile,
         "d3_embedding_drift": q_d3_embedding_drift,
@@ -3209,6 +3238,50 @@ def oracle_sql() -> dict[str, str]:
                    span_start::BIGINT AS span_start,
                    (span_start + length(line))::BIGINT AS span_end
             FROM o WHERE r = 'assistant'
+        """,
+        "v17_embedding_sanity": """
+            WITH c AS (
+              SELECT vec_id,
+                     CASE
+                       WHEN vec_id % 97 = 0 THEN NULL
+                       WHEN vec_id % 89 = 0 THEN
+                         list_transform(embedding[1:32], x -> x::DOUBLE)
+                       WHEN vec_id % 83 = 0 THEN
+                         list_transform(embedding, x -> x::DOUBLE * 100.0)
+                       WHEN vec_id % 79 = 0 THEN
+                         list_append(
+                           list_transform(embedding, x -> x::DOUBLE),
+                           'NaN'::DOUBLE)
+                       ELSE list_transform(embedding, x -> x::DOUBLE)
+                     END AS e
+              FROM embeddings
+            ),
+            m AS (
+              SELECT vec_id, e,
+                     len(e) AS n,
+                     len(list_filter(e, x -> isnan(x)
+                                            OR abs(x) = 'inf'::DOUBLE)) > 0
+                       AS bad_elem,
+                     sqrt(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                                    list_transform(e, x -> x * x)),
+                       (a, b) -> a + b)) AS norm
+              FROM c
+            )
+            SELECT vec_id, 'emb_not_null' AS check_id,
+                   'embedding is null' AS detail
+            FROM m WHERE e IS NULL
+            UNION ALL
+            SELECT vec_id, 'emb_dim',
+                   'dim=' || n || ' != 64'
+            FROM m WHERE e IS NOT NULL AND n != 64
+            UNION ALL
+            SELECT vec_id, 'emb_finite', 'non-finite element'
+            FROM m WHERE e IS NOT NULL AND bad_elem
+            UNION ALL
+            SELECT vec_id, 'emb_norm', 'norm out of bounds'
+            FROM m WHERE e IS NOT NULL
+              AND NOT coalesce(norm >= 0.5 AND norm <= 2.0, FALSE)
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

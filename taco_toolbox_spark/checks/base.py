@@ -306,6 +306,111 @@ def range_check(
     )
 
 
+def embedding_checks(
+    col: str,
+    dim: int,
+    norm_lo: float | None = None,
+    norm_hi: float | None = None,
+    prefix: str = "emb",
+) -> list[RowCheck]:
+    """Per-row sanity battery for an embedding column (``array<float>`` /
+    ``array<double>``) — the vector counterpart of :func:`range_check`:
+
+    * ``{prefix}_not_null`` — the vector exists;
+    * ``{prefix}_dim``      — exactly ``dim`` elements (a truncated or
+      padded vector poisons every downstream dot product silently);
+    * ``{prefix}_finite``   — no NaN/Inf element (one NaN makes cosine
+      NaN and ANN buckets garbage);
+    * ``{prefix}_norm``     — L2 norm within [norm_lo, norm_hi] (only when
+      bounds are given; catches unnormalized or exploded vectors).
+
+    All pure JVM higher-order expressions (exists / aggregate fold), so
+    they compile into the engine's shared zero-shuffle row pass like any
+    other RowCheck. The norm fold runs in float64 in array order, so an
+    independent engine reproduces the verdict bit-for-bit. NULL vectors
+    fail only ``{prefix}_not_null`` (the others are ``null_ok``); a NaN
+    norm fails the norm bounds (NaN comparisons are falsy, fail-closed)."""
+    c = F.col(col)
+    checks = [
+        RowCheck(
+            check_id=f"{prefix}_not_null",
+            description=f"{col} present",
+            predicate=c.isNotNull(),
+            detail=F.lit("embedding is null"),
+        ),
+        RowCheck(
+            check_id=f"{prefix}_dim",
+            description=f"{col} has exactly {dim} elements",
+            # size(NULL) is -1 with ANSI off, which would defeat null_ok;
+            # gate on isNotNull so a NULL vector yields a NULL predicate
+            predicate=F.when(c.isNotNull(), F.size(c) == dim),
+            detail=F.format_string(f"dim=%s != {dim}",
+                                   F.size(c).cast("string")),
+            null_ok=True,
+        ),
+        RowCheck(
+            check_id=f"{prefix}_finite",
+            description=f"{col} has no NaN/Inf element",
+            predicate=~F.exists(
+                c,
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+            ),
+            detail=F.lit("non-finite element"),
+            null_ok=True,
+        ),
+    ]
+    if norm_lo is not None or norm_hi is not None:
+        sq = F.aggregate(
+            c,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        norm = F.sqrt(sq)
+        pred = F.lit(True)
+        if norm_lo is not None:
+            pred = pred & (norm >= F.lit(float(norm_lo)))
+        if norm_hi is not None:
+            pred = pred & (norm <= F.lit(float(norm_hi)))
+        checks.append(
+            RowCheck(
+                check_id=f"{prefix}_norm",
+                description=f"{col} L2 norm in [{norm_lo}, {norm_hi}]",
+                predicate=pred,
+                detail=F.lit("norm out of bounds"),
+                null_ok=True,
+            )
+        )
+    return checks
+
+
+def apply_row_checks(
+    df: DataFrame, checks: Sequence[RowCheck], id_cols: Sequence[str]
+) -> DataFrame:
+    """Run a RowCheck battery on any frame WITHOUT the engine's partition
+    scaffolding — for tables that have no partition/conversation shape
+    (an embeddings table keyed by vec_id). Same compiled form as the
+    engine's row pass: one shuffle-free projection building an
+    array_compact of failed-check structs, exploded to
+    ``(*id_cols, check_id, detail)``."""
+    structs = [
+        F.when(
+            ~c.holds(),
+            F.struct(
+                F.lit(c.check_id).alias("check_id"),
+                c.detail_col().cast("string").alias("detail"),
+            ),
+        )
+        for c in checks
+    ]
+    fails = df.select(
+        *id_cols, F.array_compact(F.array(*structs)).alias("fails")
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        *id_cols, F.explode("fails").alias("f")
+    ).select(*id_cols, "f.check_id", "f.detail")
+
+
 # ---------------------------------------------------------------------------
 # the default transcript battery (BASELINE.json north_star)
 # ---------------------------------------------------------------------------
