@@ -3259,7 +3259,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT vec_id, e,
                      len(e) AS n,
-                     len(list_filter(e, x -> isnan(x)
+                     len(list_filter(e, x -> x IS NULL OR isnan(x)
                                             OR abs(x) = 'inf'::DOUBLE)) > 0
                        AS bad_elem,
                      sqrt(list_reduce(

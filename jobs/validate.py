@@ -28,6 +28,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _emit_verdict_diff(spark, args) -> None:
+    """Write <output>/verdict_diff (regression vs a previous run's
+    verdicts) and print status counts. Runs on BOTH exits — including the
+    nothing-pending --resume rerun, where the recurring job still needs
+    the what-changed answer against the existing verdicts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from taco_toolbox_spark.report import verdict_diff
+
+    prev_v = spark.read.parquet(args.diff_against)
+    cur_v = spark.read.parquet(os.path.join(args.output, "verdicts"))
+    diff = verdict_diff(prev_v, cur_v)
+    diff.write.mode("overwrite").parquet(
+        os.path.join(args.output, "verdict_diff")
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        "verdict diff vs previous run: "
+        + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+           or "no changes")
+    )
+
+
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
@@ -171,6 +201,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         df = manifest.pending_filter(df, cfg.partition_col)
     if df.select(cfg.partition_col).limit(1).count() == 0:
         print("nothing pending — all partitions already validated")
+        if args.diff_against:
+            _emit_verdict_diff(spark, args)
         if stop_session:
             spark.stop()
         return 0
@@ -407,25 +439,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             spark.conf.set(_overwrite_key, _overwrite_prev)
 
     if args.diff_against:
-        from taco_toolbox_spark.report import verdict_diff
-
-        prev_v = spark.read.parquet(args.diff_against)
-        cur_v = spark.read.parquet(os.path.join(args.output, "verdicts"))
-        diff = verdict_diff(prev_v, cur_v)
-        diff.write.mode("overwrite").parquet(
-            os.path.join(args.output, "verdict_diff")
-        )
-        counts = {
-            r["status"]: r["n"]
-            for r in diff.groupBy("status")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        print(
-            "verdict diff vs previous run: "
-            + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
-               or "no changes")
-        )
+        _emit_verdict_diff(spark, args)
 
     elapsed = time.time() - t0
     print(

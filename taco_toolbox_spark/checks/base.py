@@ -319,8 +319,9 @@ def embedding_checks(
     * ``{prefix}_not_null`` — the vector exists;
     * ``{prefix}_dim``      — exactly ``dim`` elements (a truncated or
       padded vector poisons every downstream dot product silently);
-    * ``{prefix}_finite``   — no NaN/Inf element (one NaN makes cosine
-      NaN and ANN buckets garbage);
+    * ``{prefix}_finite``   — no NULL/NaN/Inf element (one NaN makes
+      cosine NaN, one NULL element nulls every dot product, and both make
+      ANN buckets garbage);
     * ``{prefix}_norm``     — L2 norm within [norm_lo, norm_hi] (only when
       bounds are given; catches unnormalized or exploded vectors).
 
@@ -350,10 +351,13 @@ def embedding_checks(
         ),
         RowCheck(
             check_id=f"{prefix}_finite",
-            description=f"{col} has no NaN/Inf element",
+            description=f"{col} has no NULL/NaN/Inf element",
+            # the lambda returns TRUE for a NULL element (isNull first), so
+            # exists() can never silently NULL-out on a bad element
             predicate=~F.exists(
                 c,
-                lambda x: F.isnan(x.cast("double"))
+                lambda x: x.isNull()
+                | F.isnan(x.cast("double"))
                 | (F.abs(x.cast("double")) == F.lit(float("inf"))),
             ),
             detail=F.lit("non-finite element"),
@@ -390,9 +394,14 @@ def apply_row_checks(
     """Run a RowCheck battery on any frame WITHOUT the engine's partition
     scaffolding — for tables that have no partition/conversation shape
     (an embeddings table keyed by vec_id). Same compiled form as the
-    engine's row pass: one shuffle-free projection building an
-    array_compact of failed-check structs, exploded to
-    ``(*id_cols, check_id, detail)``."""
+    engine's row pass: a cheap codegen'd OR-chain prefilter narrows to the
+    violating sliver first (and is scan-pushdown-eligible), then one
+    shuffle-free projection builds the array_compact of failed-check
+    structs, exploded to ``(*id_cols, check_id, detail)``."""
+    any_bad = F.lit(False)
+    for c in checks:
+        any_bad = any_bad | ~c.holds()
+    df = df.filter(any_bad)
     structs = [
         F.when(
             ~c.holds(),

@@ -72,6 +72,62 @@ def _monotone_bucket(
     return F.coalesce(F.substring(c.cast("string"), 1, 8), F.lit(""))
 
 
+def _ordered_prefix_sum(
+    df: DataFrame,
+    size_expr: Column,
+    order_cols: list[str],
+    cum_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+    include_current: bool = True,
+) -> DataFrame:
+    """Shared distributed ordered-prefix-sum scaffolding (assign_size_bins /
+    select_to_budget): order-monotone coarse buckets over the first order
+    column, per-(group, bucket) window cumsums, and a broadcast offset
+    table (one row per occupied (group, bucket); the offset join is
+    null-safe on group keys so a NULL group value is a real group). The
+    result appends ``cum_col`` — the running total of ``size_expr`` in the
+    (group-scoped) ``order_cols`` order, INCLUDING the current row when
+    ``include_current`` (else the reference's cum-before semantics). No
+    single-partition window over data anywhere; internal columns
+    (_sb_bucket/_sb_off/_sb_tot/_sb_g_*) are dropped before returning."""
+    g = [*(group_cols or [])]
+    b = df.withColumn(
+        "_sb_bucket", _monotone_bucket(df, order_cols[0], n_buckets)
+    )
+    totals = b.groupBy(*g, "_sb_bucket").agg(F.sum(size_expr).alias("_sb_tot"))
+    w_off = (
+        Window.partitionBy(*g).orderBy("_sb_bucket")
+        if g
+        else Window.orderBy("_sb_bucket")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        *[F.col(c).alias(f"_sb_g_{c}") for c in g],
+        "_sb_bucket",
+        F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
+    )
+    cond = b["_sb_bucket"] == offsets["_sb_bucket"]
+    for c in g:
+        cond = cond & b[c].eqNullSafe(offsets[f"_sb_g_{c}"])
+    w_local = (
+        Window.partitionBy(*g, "_sb_bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(
+            Window.unboundedPreceding, 0 if include_current else -1
+        )
+    )
+    local = F.sum(size_expr).over(w_local)
+    if not include_current:
+        local = F.coalesce(local, F.lit(0))
+    return (
+        b.join(F.broadcast(offsets), cond)
+        .drop(offsets["_sb_bucket"])
+        .drop(*[f"_sb_g_{c}" for c in g])
+        .withColumn(cum_col, F.col("_sb_off") + local)
+        .drop("_sb_bucket", "_sb_off")
+    )
+
+
 def assign_size_bins(
     df: DataFrame,
     size_col: str,
@@ -95,33 +151,17 @@ def assign_size_bins(
     pure aggregate of the input (no partition-id dependence), so no persist
     or double-computation hazard exists.
     """
-    first = order_cols[0]
-    bucket = _monotone_bucket(df, first, n_buckets).alias("_sb_bucket")
-    b = df.withColumn("_sb_bucket", bucket)
-
-    # tiny: one row per bucket; single-partition window over <= n_buckets rows
-    totals = b.groupBy("_sb_bucket").agg(F.sum(size_col).alias("_sb_tot"))
-    w_off = Window.orderBy("_sb_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    out = _ordered_prefix_sum(
+        df,
+        F.col(size_col),
+        order_cols,
+        "_sb_cum_before",
+        n_buckets,
+        include_current=False,
     )
-    offsets = totals.select(
-        "_sb_bucket",
-        F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
-    )
-
-    w_local = (
-        Window.partitionBy("_sb_bucket")
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.col("_sb_off") + F.coalesce(
-        F.sum(size_col).over(w_local), F.lit(0)
-    )
-    return (
-        b.join(F.broadcast(offsets), "_sb_bucket")
-        .withColumn(bin_col, F.floor(cum_before / F.lit(max_bin_size)))
-        .drop("_sb_bucket", "_sb_off")
-    )
+    return out.withColumn(
+        bin_col, F.floor(F.col("_sb_cum_before") / F.lit(max_bin_size))
+    ).drop("_sb_cum_before")
 
 
 def select_to_budget(
@@ -144,13 +184,15 @@ def select_to_budget(
     data-mixing form); a hot group never serializes one task because the
     windows stay keyed by (group, bucket), not by the group alone.
 
-    Sizes are clamped to >= 0 inside the cumulative sums (and NULL sizes
-    contribute 0), so the running total is monotone along the order and
-    the kept set is EXACTLY an order-prefix — no skip-and-continue
-    ambiguity, and an independent engine reproduces it with one window
-    cumsum. A NULL/negative-size row itself is never selected (its size
-    is not a meaningful budget contribution) but does not poison the
-    rows after it.
+    Sizes are clamped to >= 0 inside the cumulative sums (NULL, negative
+    AND NaN sizes contribute 0 — Spark's ``greatest`` would keep NaN, so
+    the clamp tests it explicitly), so the running total is monotone
+    along the order and the kept set is EXACTLY an order-prefix — no
+    skip-and-continue ambiguity, and an independent engine reproduces it
+    with one window cumsum. A NULL/NaN/negative-size row itself is never
+    selected (its size is not a meaningful budget contribution; NaN >= 0
+    is TRUE under Spark's NaN ordering, so the keep predicate excludes
+    NaN explicitly) but does not poison the rows after it.
 
     Same distributed shape as :func:`assign_size_bins` — this is an
     ordered prefix sum with a threshold predicate instead of a floor
@@ -161,54 +203,28 @@ def select_to_budget(
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     g = [*(group_cols or [])]
-    reserved = {keep_col, cum_col, "_sb_bucket", "_sb_off", "_sb_tot"} & set(
-        df.columns
-    )
+    reserved = (
+        {keep_col, cum_col, "_sb_bucket", "_sb_off", "_sb_tot"}
+        | {f"_sb_g_{c}" for c in g}
+    ) & set(df.columns)
     if reserved:
         raise ValueError(
             f"columns {sorted(reserved)} collide with select_to_budget's "
             "output/internal names; rename them first"
         )
-    first = order_cols[0]
-    clamped = F.greatest(F.coalesce(F.col(size_col), F.lit(0)), F.lit(0))
-    b = df.withColumn(
-        "_sb_bucket", _monotone_bucket(df, first, n_buckets)
+    size_d = F.col(size_col).cast("double")
+    size_ok = (
+        F.col(size_col).isNotNull() & ~F.isnan(size_d) & (size_d >= 0)
     )
-    totals = b.groupBy(*g, "_sb_bucket").agg(F.sum(clamped).alias("_sb_tot"))
-    w_off = (
-        Window.partitionBy(*g).orderBy("_sb_bucket")
-        if g
-        else Window.orderBy("_sb_bucket")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        *[F.col(c).alias(f"_sb_g_{c}") for c in g],
-        "_sb_bucket",
-        F.coalesce(F.sum("_sb_tot").over(w_off), F.lit(0)).alias("_sb_off"),
+    clamped = F.when(size_ok, F.col(size_col)).otherwise(F.lit(0))
+    out = _ordered_prefix_sum(
+        df, clamped, order_cols, cum_col, n_buckets, group_cols=g
     )
-    # null-safe group equality: a NULL group value is a real group (GROUP
-    # BY keeps it) and must still find its offset row
-    cond = b["_sb_bucket"] == offsets["_sb_bucket"]
-    for c in g:
-        cond = cond & b[c].eqNullSafe(offsets[f"_sb_g_{c}"])
-    w_local = (
-        Window.partitionBy(*g, "_sb_bucket")
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.col("_sb_off") + F.sum(clamped).over(w_local)
-    return (
-        b.join(F.broadcast(offsets), cond)
-        .drop(offsets["_sb_bucket"])
-        .drop(*[f"_sb_g_{c}" for c in g])
-        .withColumn(cum_col, cum)
-        .withColumn(
-            keep_col,
-            F.coalesce(
-                (F.col(size_col) >= 0) & (F.col(cum_col) <= F.lit(budget)),
-                F.lit(False),
-            ),
-        )
-        .drop("_sb_bucket", "_sb_off")
+    return out.withColumn(
+        keep_col,
+        F.coalesce(
+            size_ok & (F.col(cum_col) <= F.lit(budget)), F.lit(False)
+        ),
     )
 
 

@@ -54,3 +54,14 @@ def test_embedding_checks_detail_strings(emb_df):
     }
     assert viol[(2, "emb_dim")] == "dim=1 != 2"
     assert viol[(1, "emb_not_null")] == "embedding is null"
+
+
+def test_embedding_checks_null_element_flagged(spark):
+    checks = embedding_checks("e", 2, norm_lo=0.5, norm_hi=2.0)
+    df = spark.createDataFrame(
+        [(0, [None, 0.8]), (1, [0.6, 0.8])], "vec_id long, e array<double>"
+    )
+    viol = apply_row_checks(df, checks, ["vec_id"])
+    got = {(r["vec_id"], r["check_id"]) for r in viol.collect()}
+    assert (0, "emb_finite") in got
+    assert not any(v == 1 for v, _ in got)

@@ -477,3 +477,16 @@ def test_select_to_budget_per_group(spark):
     # 30>25), NULL group keeps 2 — NULL groups must survive the offset join
     assert kept == {("en", 0), ("en", 1), ("fr", 0), (None, 0), (None, 1)}
     assert out.count() == len(rows)
+
+
+def test_select_to_budget_nan_size_does_not_poison(spark):
+    from taco_toolbox_spark.operators.partitioning import select_to_budget
+
+    rows = [(0, 1.0), (1, float("nan")), (2, 1.0), (3, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, toks double")
+    got = {
+        r["doc_id"]: r["selected"]
+        for r in select_to_budget(df, "toks", 10, ["doc_id"]).collect()
+    }
+    # NaN contributes 0 and is never selected; later rows still fit
+    assert got == {0: True, 1: False, 2: True, 3: True}

@@ -572,3 +572,34 @@ def test_validate_cli_diff_against(spark, corpus_dir, tmp_path):
         .count()
     )
     assert diff.filter("status = 'new_failure'").count() == n_fail
+
+
+def test_validate_cli_diff_against_on_nothing_pending(
+    spark, corpus_dir, tmp_path, capsys
+):
+    """--resume with nothing pending must STILL emit the verdict diff —
+    the recurring no-new-data rerun is exactly when the what-changed
+    answer matters."""
+    out_prev = str(tmp_path / "np_prev")
+    assert validate_main(
+        ["--input", f"{corpus_dir}/transcripts_baseline",
+         "--output", out_prev, "--run-id", "p"],
+        stop_session=False,
+    ) == 0
+    out_cur = str(tmp_path / "np_cur")
+    args = [
+        "--input", f"{corpus_dir}/transcripts",
+        "--output", out_cur,
+        "--diff-against", os.path.join(out_prev, "verdicts"),
+        "--run-id", "c",
+    ]
+    assert validate_main(args, stop_session=False) == 0
+    # rerun with --resume: all partitions done -> early exit path
+    assert validate_main(args + ["--resume"], stop_session=False) == 0
+    captured = capsys.readouterr().out
+    assert "nothing pending" in captured
+    assert "verdict diff vs previous run" in captured.rsplit(
+        "nothing pending", 1
+    )[1]
+    diff = spark.read.parquet(os.path.join(out_cur, "verdict_diff"))
+    assert diff.filter("status = 'new_failure'").count() > 0
