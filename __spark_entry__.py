@@ -1152,6 +1152,30 @@ def q_v17_embedding_sanity(spark, sf_dir):
     return apply_row_checks(df, checks, ["vec_id"])
 
 
+def q_t7_group_percentile(spark, sf_dir):
+    """Within-group percentile rank under the total (value, id) order
+    (operators/partitioning.py:group_percentile) — cross-domain score
+    calibration: raw quality scores are not comparable across domains,
+    within-domain percentiles are, so one pct_rank >= q filter keeps each
+    domain's own top slice. Distributed rank = the shared
+    _ordered_prefix_sum machinery with size 1 (per-(group, bucket) window
+    row counts + broadcast offsets — a hot domain never serializes one
+    task); exact integer (row_number-1)/(n-1) with one final division, so
+    the DuckDB window replica agrees bit-for-bit (NULLS FIRST pinned in
+    the oracle: Spark sorts NULLs first ascending, DuckDB defaults
+    last)."""
+    from taco_toolbox_spark.operators.partitioning import group_percentile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(5)).alias("domain"),
+        F.length("text").alias("score"),
+    )
+    return group_percentile(d, "score", "doc_id", ["domain"]).select(
+        "doc_id", "domain", "score", "pct_rank"
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -2087,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "t5_budget_select": q_t5_budget_select,
         "t6_budget_select_grouped": q_t6_budget_select_grouped,
+        "t7_group_percentile": q_t7_group_percentile,
         "w10_loss_spans": q_w10_loss_spans,
         "v17_embedding_sanity": q_v17_embedding_sanity,
         "a10_transition_matrix": q_a10_transition_matrix,
@@ -3282,6 +3307,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, 'emb_norm', 'norm out of bounds'
             FROM m WHERE e IS NOT NULL
               AND NOT coalesce(norm >= 0.5 AND norm <= 2.0, FALSE)
+        """,
+        "t7_group_percentile": """
+            WITH t AS (
+              SELECT doc_id,
+                     doc_id % 5 AS domain,
+                     length(text) AS score
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, domain, score,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY score ASC NULLS FIRST, doc_id
+                     ) AS rk,
+                     count(*) OVER (PARTITION BY domain) AS n
+              FROM t
+            )
+            SELECT doc_id, domain::INT AS domain, score::INT AS score,
+                   CASE WHEN n > 1
+                        THEN (rk - 1)::DOUBLE / (n - 1)
+                   END AS pct_rank
+            FROM r
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

@@ -260,6 +260,74 @@ def select_top_quality_to_budget(
     return out.drop("_nscore")
 
 
+def group_percentile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct_rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Within-group percentile rank under the TOTAL order
+    (value, id): ``out_col`` = (rank − 1) / (n − 1) in [0, 1], NULL for
+    singleton groups (no second member to rank against). The score-
+    calibration primitive for data mixing: raw quality scores are not
+    comparable across domains (a 0.7 in code ≠ a 0.7 in web text), but
+    within-domain percentiles are — filter at ``pct_rank >= q`` uniformly
+    across groups and every domain keeps its own top (1−q).
+
+    Ties break by ``id_col`` (documented: this is the row_number
+    percentile, not SQL ``percent_rank``'s shared-rank-on-ties — the
+    total order makes the output reproducible bit-for-bit on any engine
+    via (row_number−1)/(n−1) in exact integer arithmetic with one final
+    division). NULL values sort FIRST (Spark's ascending default) and so
+    take the lowest percentiles — an unscored row never outranks a scored
+    one; an independent engine must order NULLS FIRST to reproduce this
+    (DuckDB defaults to NULLS LAST). A hot group never serializes one
+    task: the rank is
+    :func:`_ordered_prefix_sum` with size 1 — per-(group, bucket) window
+    row counts plus the broadcast offset table — and the group sizes come
+    from one map-side-combinable aggregation joined back (AQE broadcasts
+    it for any realistic group count)."""
+    g = [*(group_cols or [])]
+    reserved = {out_col, "_gp_rank", "_gp_n"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with group_percentile's "
+            "output/internal names; rename them first"
+        )
+    ranked = _ordered_prefix_sum(
+        df,
+        F.lit(1),
+        [value_col, id_col],
+        "_gp_rank",
+        n_buckets,
+        group_cols=g,
+    )
+    sizes = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_gp_n"))
+    if g:
+        # null-safe: a NULL group value is a real group and must find its n
+        szs = sizes.select(
+            *[F.col(c).alias(f"_gp_g_{c}") for c in g], "_gp_n"
+        )
+        cond = F.lit(True)
+        for c in g:
+            cond = cond & ranked[c].eqNullSafe(szs[f"_gp_g_{c}"])
+        joined = ranked.join(F.broadcast(szs), cond).drop(
+            *[f"_gp_g_{c}" for c in g]
+        )
+    else:
+        joined = ranked.crossJoin(F.broadcast(sizes))
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col("_gp_n") > 1,
+            (F.col("_gp_rank") - 1).cast("double")
+            / (F.col("_gp_n") - 1).cast("double"),
+        ),
+    ).drop("_gp_rank", "_gp_n")
+
+
 def greedy_pack_bins(
     df: DataFrame,
     size_col: str,

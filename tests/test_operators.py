@@ -490,3 +490,63 @@ def test_select_to_budget_nan_size_does_not_poison(spark):
     }
     # NaN contributes 0 and is never selected; later rows still fit
     assert got == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_group_percentile_matches_python(spark):
+    import random
+
+    from taco_toolbox_spark.operators.partitioning import group_percentile
+
+    rng = random.Random(3)
+    rows = [
+        (i, ["en", "fr", None][i % 3], rng.randint(0, 100)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    got = {
+        r["doc_id"]: r["pct_rank"]
+        for r in group_percentile(
+            df, "score", "doc_id", ["lang"], n_buckets=8
+        ).collect()
+    }
+    by_group = {}
+    for i, lang, s in rows:
+        by_group.setdefault(lang, []).append((s, i))
+    want = {}
+    for members in by_group.values():
+        members.sort()
+        n = len(members)
+        for rank, (_, i) in enumerate(members):
+            want[i] = rank / (n - 1) if n > 1 else None
+    assert got.keys() == want.keys()
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_group_percentile_null_scores_rank_lowest(spark):
+    from taco_toolbox_spark.operators.partitioning import group_percentile
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 5), (2, 10)], "doc_id long, score long"
+    )
+    got = {
+        r["doc_id"]: r["pct_rank"]
+        for r in group_percentile(df, "score", "doc_id").collect()
+    }
+    assert got == {0: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_group_percentile_singleton_group_is_null(spark):
+    from taco_toolbox_spark.operators.partitioning import group_percentile
+
+    df = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 1), (2, "b", 2)],
+        "doc_id long, g string, score long",
+    )
+    got = {
+        r["doc_id"]: r["pct_rank"]
+        for r in group_percentile(df, "score", "doc_id", ["g"]).collect()
+    }
+    assert got[0] is None and got[1] == 0.0 and got[2] == 1.0
