@@ -1176,6 +1176,29 @@ def q_t7_group_percentile(spark, sf_dir):
     )
 
 
+def q_d4_profile_drift(spark, sf_dir):
+    """Per-column profile drift between the clean and corrupted corpus
+    versions (stats.py:profile_drift) — the profile-level complement of
+    verdict_diff: exact row/non-null/distinct counts and min/max per
+    column on BOTH sides plus null_frac_delta and distinct_ratio, every
+    drift number exact-integer arithmetic with one division. One
+    single-pass aggregation per side; the col_name join is
+    metadata-scale. The injected corruptions move every column: dup_turn
+    changes n, null_text moves the null fraction, gap_turn (+1000)
+    stretches turn_idx's max, narrator/hammer grow the role/tool
+    vocabularies."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.stats import profile_drift
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return profile_drift(
+        corpus.clean, corpus.corrupted, ["turn_idx", "role", "tool", "text"]
+    )
+
+
 def q_a10_transition_matrix(spark, sf_dir):
     """Role transition matrix (operators/distribution.py:transition_matrix):
     adjacent (prev, cur) role-pair counts across all conversations — the
@@ -2112,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_budget_select": q_t5_budget_select,
         "t6_budget_select_grouped": q_t6_budget_select_grouped,
         "t7_group_percentile": q_t7_group_percentile,
+        "d4_profile_drift": q_d4_profile_drift,
         "w10_loss_spans": q_w10_loss_spans,
         "v17_embedding_sanity": q_v17_embedding_sanity,
         "a10_transition_matrix": q_a10_transition_matrix,
@@ -3329,6 +3353,60 @@ def oracle_sql() -> dict[str, str]:
                         THEN (rk - 1)::DOUBLE / (n - 1)
                    END AS pct_rank
             FROM r
+        """,
+        "d4_profile_drift": f"""
+            WITH prof AS (
+              SELECT src, col_name, n_rows, n_nonnull, n_distinct,
+                     min_val, max_val
+              FROM (
+                SELECT src,
+                       unnest(['turn_idx', 'role', 'tool', 'text'])
+                         AS col_name,
+                       n_rows,
+                       unnest([nn_ti, nn_ro, nn_to, nn_tx]) AS n_nonnull,
+                       unnest([nd_ti, nd_ro, nd_to, nd_tx]) AS n_distinct,
+                       unnest([mn_ti, mn_ro, mn_to, mn_tx]) AS min_val,
+                       unnest([mx_ti, mx_ro, mx_to, mx_tx]) AS max_val
+                FROM (
+                  SELECT src, count(*) AS n_rows,
+                         count(turn_idx) AS nn_ti, count(role) AS nn_ro,
+                         count(tool) AS nn_to, count(text) AS nn_tx,
+                         count(DISTINCT turn_idx) AS nd_ti,
+                         count(DISTINCT role) AS nd_ro,
+                         count(DISTINCT tool) AS nd_to,
+                         count(DISTINCT text) AS nd_tx,
+                         min(turn_idx)::VARCHAR AS mn_ti,
+                         min(role) AS mn_ro, min(tool) AS mn_to,
+                         min(text) AS mn_tx,
+                         max(turn_idx)::VARCHAR AS mx_ti,
+                         max(role) AS mx_ro, max(tool) AS mx_to,
+                         max(text) AS mx_tx
+                  FROM (
+                    SELECT 'prev' AS src, * FROM
+                      read_parquet('{_ORACLE_DUMP}/baseline/*.parquet')
+                    UNION ALL
+                    SELECT 'cur', * FROM
+                      read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+                  ) GROUP BY src
+                )
+              )
+            )
+            SELECT p.col_name,
+                   p.n_rows::BIGINT AS n_prev, p.n_nonnull::BIGINT AS nn_prev,
+                   p.n_distinct::BIGINT AS nd_prev,
+                   p.min_val AS min_prev, p.max_val AS max_prev,
+                   c.n_rows::BIGINT AS n_cur, c.n_nonnull::BIGINT AS nn_cur,
+                   c.n_distinct::BIGINT AS nd_cur,
+                   c.min_val AS min_cur, c.max_val AS max_cur,
+                   (c.n_rows - c.n_nonnull)::DOUBLE / c.n_rows
+                     - (p.n_rows - p.n_nonnull)::DOUBLE / p.n_rows
+                     AS null_frac_delta,
+                   CASE WHEN p.n_distinct > 0
+                        THEN c.n_distinct::DOUBLE / p.n_distinct
+                   END AS distinct_ratio
+            FROM prof p JOIN prof c
+              ON p.col_name = c.col_name
+             AND p.src = 'prev' AND c.src = 'cur'
         """,
         "v16_fd_tool_role": f"""
             WITH t AS (

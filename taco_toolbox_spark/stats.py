@@ -199,3 +199,82 @@ def merge_distinct_sketches(sketches: DataFrame) -> DataFrame:
             "approx_distinct"
         )
     )
+
+
+def _exact_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One single-pass aggregation -> long (col_name, n_rows, n_nonnull,
+    n_distinct, min_val, max_val) with min/max cast to string (type-
+    uniform across heterogeneous columns, lexicographic-safe for the
+    numeric casts the caller applies)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_{c}_nn") for c in columns],
+        *[F.countDistinct(c).alias(f"_{c}_nd") for c in columns],
+        *[F.min(F.col(c)).cast("string").alias(f"_{c}_mn") for c in columns],
+        *[F.max(F.col(c)).cast("string").alias(f"_{c}_mx") for c in columns],
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_{c}_nn").alias("n_nonnull"),
+            F.col(f"_{c}_nd").alias("n_distinct"),
+            F.col(f"_{c}_mn").alias("min_val"),
+            F.col(f"_{c}_mx").alias("max_val"),
+        )
+        for c in columns
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def profile_drift(
+    prev: DataFrame, cur: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Per-column profile drift between two corpus versions — the
+    profile-level complement of report.verdict_diff (which diffs CHECK
+    verdicts; this diffs the raw shape even where no check is defined):
+    one row per column with both sides' exact row/non-null/distinct
+    counts and min/max, plus ``null_frac_delta`` (cur − prev null
+    fraction) and ``distinct_ratio`` (cur/prev distinct count; NULL when
+    prev had none). All drift numbers derive from exact integer counts
+    through one final division each, so an independent engine reproduces
+    them bit-for-bit.
+
+    Scale shape: ONE single-pass aggregation per side (every stat
+    map-side combinable except countDistinct's expand — the exact-count
+    oracle anchor; swap in stats.distinct_sketches' HLL state for the
+    10^12-row path), then a col_name-keyed join of two |columns|-row
+    frames — metadata-scale, broadcast by AQE."""
+    if not columns:
+        raise ValueError("columns must name at least one column")
+    p = _exact_profile(prev, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_prev"),
+        F.col("n_nonnull").alias("nn_prev"),
+        F.col("n_distinct").alias("nd_prev"),
+        F.col("min_val").alias("min_prev"),
+        F.col("max_val").alias("max_prev"),
+    )
+    c = _exact_profile(cur, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_cur"),
+        F.col("n_nonnull").alias("nn_cur"),
+        F.col("n_distinct").alias("nd_cur"),
+        F.col("min_val").alias("min_cur"),
+        F.col("max_val").alias("max_cur"),
+    )
+    null_frac = lambda n, nn: (F.col(n) - F.col(nn)).cast("double") / F.col(n)  # noqa: E731
+    return (
+        p.join(c, "col_name")
+        .withColumn(
+            "null_frac_delta",
+            null_frac("n_cur", "nn_cur") - null_frac("n_prev", "nn_prev"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.when(
+                F.col("nd_prev") > 0,
+                F.col("nd_cur").cast("double") / F.col("nd_prev"),
+            ),
+        )
+    )

@@ -31,3 +31,45 @@ def test_global_stats_one_row_per_column(corpus):
     assert set(g.column) == {"conv_id", "turn_idx", "role", "text", "tool", "ts", "part"} - {"part"} | {"part"} or True
     assert (g.part == "_all").all()
     assert g.column.is_unique
+
+
+def test_profile_drift_exact_deltas(spark):
+    from taco_toolbox_spark.stats import profile_drift
+
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], "k long, v string"
+    )
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (9, "c"), (10, "c")],
+        "k long, v string",
+    )
+    got = {
+        r["col_name"]: r for r in profile_drift(prev, cur, ["k", "v"]).collect()
+    }
+    k = got["k"]
+    assert (k["n_prev"], k["n_cur"]) == (4, 5)
+    assert (k["min_prev"], k["max_cur"]) == ("1", "10")
+    assert k["null_frac_delta"] == 0.0
+    assert k["distinct_ratio"] == 5 / 4
+    v = got["v"]
+    assert (v["nn_prev"], v["nn_cur"]) == (3, 3)
+    # null frac 1/4 -> 2/5
+    assert abs(v["null_frac_delta"] - (2 / 5 - 1 / 4)) < 1e-15
+    assert v["distinct_ratio"] == 1.0  # {a,b} -> {a,c}
+
+
+def test_profile_drift_guards(spark):
+    from taco_toolbox_spark.stats import profile_drift
+
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="columns"):
+        profile_drift(df, df, [])
+    # zero prev distincts -> NULL ratio, no division error
+    empty_v = spark.createDataFrame([(1, None)], "k long, v string")
+    r = {
+        x["col_name"]: x
+        for x in profile_drift(empty_v, df.withColumn("v", df.k.cast("string")), ["v"]).collect()
+    }
+    assert r["v"]["distinct_ratio"] is None
