@@ -68,6 +68,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--partition-col", default="part")
     p.add_argument("--run-id", default=None)
     p.add_argument(
+        "--suite",
+        default=None,
+        help="JSON constraint-suite file (taco_toolbox_spark.suite grammar)"
+        " — REPLACES the stock transcript battery and the engine keys with"
+        " the declared ones; flag-built extras (--fd, --role-grammar,"
+        " --max-gap, --cat-drift) still append on top. A text_equality"
+        " entry binds to --baseline; a drift entry without inline"
+        " baseline_quantiles also needs --baseline",
+    )
+    p.add_argument(
         "--record-sketches",
         action="store_true",
         help="store per-partition sketch state in the manifest alongside "
@@ -176,13 +186,50 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     spark = get_spark("validate")
     df = spark.read.parquet(args.input)
     ref = spark.read.parquet(args.baseline) if args.baseline else None
-    cfg = EngineConfig(
-        partition_col=args.partition_col,
-        persist_violations=True,
-        concurrent_actions=(
+    suite = None
+    if args.suite:
+        from taco_toolbox_spark.suite import SuiteError, load_suite
+
+        try:
+            suite = load_suite(args.suite, reference=ref)
+        except SuiteError as e:
+            raise SystemExit(f"--suite {args.suite}: {e}")
+        for entry in suite.spec["checks"]:
+            if (
+                entry["type"] == "drift"
+                and entry.get("baseline_quantiles") is None
+                and ref is None
+            ):
+                raise SystemExit(
+                    f"--suite {args.suite}: drift check {entry['id']!r} has"
+                    " no inline baseline_quantiles; pass --baseline"
+                )
+    if suite is not None:
+        # the declared engine section is authoritative; job-level knobs
+        # (violation caching for the batched loop, action pipelining)
+        # stay with the CLI
+        cfg = suite.cfg
+        if (
+            args.partition_col != "part"
+            and args.partition_col != cfg.partition_col
+        ):
+            raise SystemExit(
+                f"--partition-col {args.partition_col!r} conflicts with the"
+                f" suite's engine.partition_col {cfg.partition_col!r};"
+                " declare it in one place"
+            )
+        cfg.persist_violations = True
+        cfg.concurrent_actions = (
             None if args.actions == "auto" else args.actions == "concurrent"
-        ),
-    )
+        )
+    else:
+        cfg = EngineConfig(
+            partition_col=args.partition_col,
+            persist_violations=True,
+            concurrent_actions=(
+                None if args.actions == "auto" else args.actions == "concurrent"
+            ),
+        )
 
     from taco_toolbox_spark.sources.catalog import snapshot_id as snap
 
@@ -207,10 +254,22 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             spark.stop()
         return 0
 
-    checks = transcript_checks(reference=ref) if ref is not None else [
-        c for c in transcript_checks()
-        if c.check_id not in ("text_len_drift", "text_equality")
-    ]
+    if suite is not None:
+        checks = list(suite.checks)
+        # coverage lint: a declared suite with a silent blind spot is the
+        # exact failure mode a validation run should surface up front
+        from taco_toolbox_spark.suite import rule_coverage
+
+        uncovered = [
+            c for c, ids in rule_coverage(suite, df.columns).items() if not ids
+        ]
+        if uncovered:
+            print(f"suite coverage warning: no rule touches {uncovered}")
+    else:
+        checks = transcript_checks(reference=ref) if ref is not None else [
+            c for c in transcript_checks()
+            if c.check_id not in ("text_len_drift", "text_equality")
+        ]
     if args.role_grammar:
         from taco_toolbox_spark.checks import role_sequence_check
 

@@ -1,0 +1,512 @@
+"""Declarative constraint suites: a JSON document → the engine battery.
+
+The north-star contract ("evaluates declarative constraint predicates")
+needs constraints a data owner can declare WITHOUT writing Spark code —
+checked into the dataset repo next to the data, diffable, reviewable,
+and replayable by any engine. This module is that surface: a plain JSON
+suite is parsed into the exact `EngineConfig` + `Check` battery that
+`engine.run_validation` compiles into its shared passes, so a declared
+suite costs the same plan as the hand-built one (one row-pass
+projection, one shared lag window, map-side-combinable aggregations —
+nothing is interpreted per row at execution time; parsing happens once
+on the driver).
+
+Reference analog: the reference validator hard-codes its rule battery
+per datamodel (sample/datamodel.py field validators, taco/datamodel.py
+structural rules); the declarative form generalizes it the same way
+`FunctionalDependencyCheck` generalizes field-consistency. The spec
+grammar covers every check family the engine executes; arbitrary
+row-level business rules ("a tool turn must name a tool") ride the
+``row`` type as an ANSI-SQL boolean expression compiled through
+`F.expr` — JVM-side, whole-stage-codegen'd, never a Python UDF.
+
+Suite shape::
+
+    {
+      "engine": {"partition_col": "part", "group_col": "conv_id", ...},
+      "checks": [
+        {"type": "not_null", "id": "text_not_null", "col": "text"},
+        {"type": "row", "id": "tool_iff_role", "null_ok": false,
+         "predicate": "(role = 'tool') = (tool IS NOT NULL)"},
+        {"type": "fd", "id": "tool_role", "determinant": ["tool"],
+         "dependent": ["role"], "skip_null_determinant": true},
+        ...
+      ]
+    }
+
+Every entry is validated strictly: unknown ``type``, unknown keys
+(typo safety — a misspelled field in a VALIDATION suite must fail
+loudly, not silently relax the rule), duplicate ids, and malformed
+values all raise ``SuiteError`` naming the offending entry. A parsed
+:class:`Suite` carries its normalized spec (defaults resolved), so
+``dump()`` round-trips bit-for-bit through ``parse_suite(dump())`` —
+the audit trail of exactly which rules ran.
+
+``text_equality`` needs a reference DataFrame at bind time (it cannot
+live in JSON); declare it in the spec and pass ``reference=`` to the
+parser. ``drift`` / ``cat_drift`` baselines may be inline (quantiles /
+counts) or resolved by the engine from its ``baseline`` frame, same as
+code-built checks.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checks.base import (
+    CategoricalDriftCheck,
+    Check,
+    ContiguityCheck,
+    DriftCheck,
+    FunctionalDependencyCheck,
+    GapCheck,
+    GroupAggCheck,
+    MonotoneCheck,
+    RowCheck,
+    SequenceCheck,
+    TextEqualityCheck,
+    UniquenessCheck,
+    format_check,
+    not_null_check,
+    range_check,
+    vocab_check,
+)
+from .engine import EngineConfig
+
+
+class SuiteError(ValueError):
+    """A malformed suite document. Always names the offending entry."""
+
+
+# keys every check entry may carry
+_COMMON = {"type", "id", "description"}
+
+# per-type extra keys (strict: anything else is a typo and raises)
+_TYPE_KEYS: dict[str, set[str]] = {
+    "not_null": {"col"},
+    "format": {"col", "pattern"},
+    "range": {"col", "min", "max", "null_ok"},
+    "vocab": {"col", "allowed", "nullable"},
+    "row": {"predicate", "detail", "null_ok"},
+    "uniqueness": {"keys"},
+    "fd": {"determinant", "dependent", "skip_null_determinant"},
+    "monotone": {"col", "strict"},
+    "gap": {"col", "max_step", "min_step"},
+    "contiguity": {"col"},
+    "sequence": {"col", "allowed", "first", "last"},
+    "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
+    "cat_drift": {"col", "threshold", "baseline_counts"},
+    "group_agg": {"aggs", "predicate", "detail"},
+    "text_equality": {"text_col", "colocated"},
+}
+
+_ENGINE_KEYS = {
+    "partition_col",
+    "group_col",
+    "order_col",
+    "key_cols",
+    "drift_salt_buckets",
+    "drift_centroids",
+    "persist_violations",
+    "share_group_shuffle",
+    "uniqueness_via_window",
+    "window_chunk_size",
+    "concurrent_actions",
+}
+
+
+def _sql_expr(s: str, where: str, what: str):
+    """``F.expr`` with EAGER syntax validation. pyspark 4 defers parsing
+    to plan build, which would surface a typo'd suite predicate as an
+    opaque failure at run time, far from the suite file — a validation
+    engine must reject a bad rule at load. Syntax-only (no analysis:
+    unknown columns are a bind-time concern the engine reports against
+    the actual frame); the JVM parser handle is internal API, so its
+    absence (e.g. Spark Connect) degrades gracefully to lazy parsing."""
+    from pyspark.sql import SparkSession
+
+    if not isinstance(s, str) or not s.strip():
+        raise SuiteError(f"{where}: {what} must be a non-empty SQL string")
+    spark = SparkSession.getActiveSession()
+    try:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+    except AttributeError:
+        parser = None
+    if parser is not None:
+        try:
+            parser.parseExpression(s)
+        except Exception as e:
+            first = str(e).splitlines()[0]
+            raise SuiteError(
+                f"{where}: unparseable {what} {s!r}: {first}"
+            ) from None
+    return F.expr(s)
+
+
+def _require(entry: dict, where: str, *keys: str) -> None:
+    for k in keys:
+        if k not in entry:
+            raise SuiteError(f"{where}: missing required key {k!r}")
+
+
+def _str_list(entry: dict, where: str, key: str) -> list[str]:
+    v = entry[key]
+    if not isinstance(v, (list, tuple)) or not v or not all(
+        isinstance(x, str) for x in v
+    ):
+        raise SuiteError(f"{where}: {key!r} must be a non-empty list of strings")
+    return list(v)
+
+
+def _build_check(entry: dict, where: str, reference: DataFrame | None):
+    t = entry["type"]
+    cid = entry["id"]
+    desc = entry.get("description", "")
+    if t == "not_null":
+        _require(entry, where, "col")
+        c = not_null_check(cid, entry["col"])
+    elif t == "format":
+        _require(entry, where, "col", "pattern")
+        c = format_check(cid, entry["col"], entry["pattern"])
+    elif t == "range":
+        _require(entry, where, "col")
+        if entry.get("min") is None and entry.get("max") is None:
+            raise SuiteError(f"{where}: range needs 'min' and/or 'max'")
+        c = range_check(
+            cid,
+            entry["col"],
+            lo=entry.get("min"),
+            hi=entry.get("max"),
+            null_ok=entry.get("null_ok", True),
+        )
+    elif t == "vocab":
+        _require(entry, where, "col", "allowed")
+        c = vocab_check(
+            cid,
+            entry["col"],
+            _str_list(entry, where, "allowed"),
+            nullable=entry.get("nullable", False),
+        )
+    elif t == "row":
+        _require(entry, where, "predicate")
+        # ANSI-SQL boolean expression — compiled once through the parser
+        # into the same JVM Column any code-built RowCheck carries.
+        # Arbitrary conditional business rules live here
+        # ("role != 'tool' OR tool IS NOT NULL").
+        pred = _sql_expr(entry["predicate"], where, "predicate")
+        det = (
+            _sql_expr(entry["detail"], where, "detail").cast("string")
+            if entry.get("detail")
+            else None
+        )
+        c = RowCheck(
+            check_id=cid,
+            predicate=pred,
+            detail=det,
+            null_ok=entry.get("null_ok", False),
+        )
+    elif t == "uniqueness":
+        keys = entry.get("keys")
+        c = UniquenessCheck(
+            check_id=cid,
+            keys=tuple(_str_list(entry, where, "keys")) if keys else None,
+        )
+    elif t == "fd":
+        _require(entry, where, "determinant", "dependent")
+        c = FunctionalDependencyCheck(
+            check_id=cid,
+            determinant=tuple(_str_list(entry, where, "determinant")),
+            dependent=tuple(_str_list(entry, where, "dependent")),
+            skip_null_determinant=entry.get("skip_null_determinant", False),
+        )
+    elif t == "monotone":
+        _require(entry, where, "col")
+        c = MonotoneCheck(
+            check_id=cid,
+            value_col=entry["col"],
+            strict=entry.get("strict", False),
+        )
+    elif t == "gap":
+        _require(entry, where, "col")
+        try:
+            c = GapCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                max_step=entry.get("max_step"),
+                min_step=entry.get("min_step"),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "contiguity":
+        _require(entry, where, "col")
+        c = ContiguityCheck(check_id=cid, idx_col=entry["col"])
+    elif t == "sequence":
+        _require(entry, where, "col")
+        allowed = entry.get("allowed")
+        if allowed is not None:
+            if not all(
+                isinstance(p, (list, tuple)) and len(p) == 2 for p in allowed
+            ):
+                raise SuiteError(
+                    f"{where}: sequence 'allowed' must be a list of "
+                    "[prev, cur] pairs"
+                )
+            allowed = tuple((str(a), str(b)) for a, b in allowed)
+        first = entry.get("first")
+        last = entry.get("last")
+        if allowed is None and first is None and last is None:
+            raise SuiteError(
+                f"{where}: sequence needs 'allowed', 'first' and/or 'last'"
+            )
+        c = SequenceCheck(
+            check_id=cid,
+            value_col=entry["col"],
+            allowed=allowed,
+            first=tuple(first) if first is not None else None,
+            last=tuple(last) if last is not None else None,
+        )
+    elif t == "drift":
+        _require(entry, where, "expr")
+        method = entry.get("method", "approx")
+        if method not in ("approx", "tdigest", "exact"):
+            raise SuiteError(
+                f"{where}: drift method must be approx|tdigest|exact, "
+                f"got {method!r}"
+            )
+        _sql_expr(entry["expr"], where, "expr")  # eager syntax gate only
+        bq = entry.get("baseline_quantiles")
+        c = DriftCheck(
+            check_id=cid,
+            value_expr=entry["expr"],
+            probes=tuple(entry.get("probes", (0.1, 0.25, 0.5, 0.75, 0.9))),
+            threshold=float(entry.get("threshold", 0.25)),
+            baseline_quantiles=list(bq) if bq is not None else None,
+            method=method,
+        )
+    elif t == "cat_drift":
+        _require(entry, where, "col")
+        bc = entry.get("baseline_counts")
+        c = CategoricalDriftCheck(
+            check_id=cid,
+            cat_col=entry["col"],
+            threshold=float(entry.get("threshold", 0.25)),
+            baseline_counts=dict(bc) if bc is not None else None,
+        )
+    elif t == "group_agg":
+        _require(entry, where, "aggs", "predicate")
+        aggs = _str_list(entry, where, "aggs")
+        c = GroupAggCheck(
+            check_id=cid,
+            aggs=[_sql_expr(a, where, "agg") for a in aggs],
+            predicate=_sql_expr(entry["predicate"], where, "predicate"),
+            detail=(
+                _sql_expr(entry["detail"], where, "detail").cast("string")
+                if entry.get("detail")
+                else None
+            ),
+        )
+    elif t == "text_equality":
+        if reference is None:
+            raise SuiteError(
+                f"{where}: text_equality requires parse_suite(...,"
+                " reference=<clean DataFrame>) at bind time"
+            )
+        c = TextEqualityCheck(
+            check_id=cid,
+            reference=reference,
+            text_col=entry.get("text_col", "text"),
+            colocated=entry.get("colocated", False),
+        )
+    else:  # pragma: no cover - guarded by caller
+        raise SuiteError(f"{where}: unknown type {t!r}")
+    c.description = desc or c.description
+    return c
+
+
+@dataclass
+class Suite:
+    """A parsed suite: the engine config + battery, plus the normalized
+    spec it came from (``dump()`` returns it — the audit trail of exactly
+    which rules ran, defaults resolved)."""
+
+    cfg: EngineConfig
+    checks: list[Check] = field(default_factory=list)
+    spec: dict = field(default_factory=dict)
+
+    def dump(self) -> dict:
+        return json.loads(json.dumps(self.spec))  # deep copy, JSON-clean
+
+    def run(self, df: DataFrame, baseline: DataFrame | None = None):
+        """`engine.run_validation` with this suite's config + battery."""
+        from .engine import run_validation
+
+        return run_validation(df, self.checks, self.cfg, baseline=baseline)
+
+
+def parse_suite(spec: dict, reference: DataFrame | None = None) -> Suite:
+    """Validate + compile a suite document. Strict on unknown keys and
+    duplicate ids; raises :class:`SuiteError` naming the offending entry."""
+    if not isinstance(spec, dict):
+        raise SuiteError(f"suite must be a JSON object, got {type(spec).__name__}")
+    unknown_top = set(spec) - {"engine", "checks"}
+    if unknown_top:
+        raise SuiteError(f"unknown top-level keys: {sorted(unknown_top)}")
+    eng = spec.get("engine", {})
+    if not isinstance(eng, dict):
+        raise SuiteError("'engine' must be an object")
+    bad = set(eng) - _ENGINE_KEYS
+    if bad:
+        raise SuiteError(f"engine: unknown keys {sorted(bad)}")
+    kw = dict(eng)
+    if "key_cols" in kw:
+        kw["key_cols"] = tuple(kw["key_cols"])
+    cfg = EngineConfig(**kw)
+
+    entries = spec.get("checks", [])
+    if not isinstance(entries, list):
+        raise SuiteError("'checks' must be a list")
+    checks: list[Check] = []
+    norm_entries: list[dict] = []
+    seen: set[str] = set()
+    for i, entry in enumerate(entries):
+        where = f"checks[{i}]"
+        if not isinstance(entry, dict):
+            raise SuiteError(f"{where}: must be an object")
+        t = entry.get("type")
+        if t not in _TYPE_KEYS:
+            raise SuiteError(
+                f"{where}: unknown type {t!r}; expected one of "
+                f"{sorted(_TYPE_KEYS)}"
+            )
+        if not isinstance(entry.get("id"), str) or not entry["id"]:
+            raise SuiteError(f"{where}: missing non-empty string 'id'")
+        where = f"checks[{i}] ({entry['id']})"
+        if entry["id"] in seen:
+            raise SuiteError(f"{where}: duplicate check id")
+        seen.add(entry["id"])
+        bad = set(entry) - _COMMON - _TYPE_KEYS[t]
+        if bad:
+            raise SuiteError(
+                f"{where}: unknown keys {sorted(bad)} for type {t!r}"
+            )
+        checks.append(_build_check(entry, where, reference))
+        norm_entries.append(dict(entry))
+
+    from dataclasses import asdict
+
+    norm = {
+        "engine": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in asdict(cfg).items()
+        },
+        "checks": norm_entries,
+    }
+    return Suite(cfg=cfg, checks=checks, spec=norm)
+
+
+def load_suite(path: str, reference: DataFrame | None = None) -> Suite:
+    """Parse a suite from a JSON file."""
+    with open(path) as f:
+        try:
+            spec = json.load(f)
+        except json.JSONDecodeError as e:
+            raise SuiteError(f"{path}: not valid JSON: {e}") from None
+    return parse_suite(spec, reference=reference)
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _entry_columns(entry: dict, columns: set[str]) -> set[str]:
+    """Columns of ``columns`` an entry references. Typed entries name
+    their columns directly; SQL-string fields (row predicates, drift
+    exprs, group_agg) are matched by identifier intersection — a
+    heuristic (an identifier inside a string literal counts), adequate
+    for a lint and documented as such."""
+    cols: set[str] = set()
+    for k in ("col",):
+        if isinstance(entry.get(k), str):
+            cols.add(entry[k])
+    for k in ("keys", "determinant", "dependent"):
+        v = entry.get(k)
+        if isinstance(v, (list, tuple)):
+            cols.update(x for x in v if isinstance(x, str))
+    for k in ("predicate", "detail", "expr"):
+        v = entry.get(k)
+        if isinstance(v, str):
+            cols.update(set(_IDENT.findall(v)) & columns)
+    for a in entry.get("aggs", []) or []:
+        if isinstance(a, str):
+            cols.update(set(_IDENT.findall(a)) & columns)
+    if entry.get("type") == "text_equality":
+        cols.add(entry.get("text_col", "text"))
+    return cols & columns
+
+
+def rule_coverage(suite: Suite, columns: list[str]) -> dict[str, list[str]]:
+    """Lint: which declared table columns are covered by which checks.
+
+    Returns ``{column: [check ids touching it]}`` for every column in
+    ``columns`` — empty list ⇒ the column has NO rule at all, the silent
+    blind spot a validation suite review should catch. Engine key
+    columns (partition/group/order) count as covered by the structural
+    passes that consume them. Driver-side metadata arithmetic: no Spark
+    job, no data touched."""
+    colset = set(columns)
+    out: dict[str, list[str]] = {c: [] for c in columns}
+    structural = {
+        suite.cfg.partition_col: "(engine: partition attribution)",
+        suite.cfg.group_col: "(engine: group key)",
+        suite.cfg.order_col: "(engine: order key)",
+    }
+    for c, tag in structural.items():
+        if c in out:
+            out[c].append(tag)
+    for entry in suite.spec.get("checks", []):
+        for c in sorted(_entry_columns(entry, colset)):
+            out[c].append(entry["id"])
+    return out
+
+
+def transcript_suite_spec() -> dict:
+    """The stock transcript battery (checks/base.py:transcript_checks) as
+    a suite document — the template a dataset owner copies and edits.
+    ``text_equality`` is included; parse with ``reference=`` to bind it,
+    or drop the entry for reference-free runs."""
+    from .schema import CONV_ID_PATTERN, ROLE_VOCAB, TOOL_VOCAB
+
+    return {
+        "engine": {
+            "partition_col": "part",
+            "group_col": "conv_id",
+            "order_col": "turn_idx",
+            "key_cols": ["conv_id", "turn_idx"],
+        },
+        "checks": [
+            {"type": "uniqueness", "id": "unique_turn",
+             "description": "(conv_id, turn_idx) unique",
+             "keys": ["conv_id", "turn_idx"]},
+            {"type": "format", "id": "conv_id_format", "col": "conv_id",
+             "pattern": CONV_ID_PATTERN},
+            {"type": "vocab", "id": "role_vocab", "col": "role",
+             "allowed": list(ROLE_VOCAB)},
+            {"type": "vocab", "id": "tool_vocab", "col": "tool",
+             "allowed": list(TOOL_VOCAB), "nullable": True},
+            {"type": "row", "id": "tool_iff_role",
+             "description": "tool set iff role='tool'",
+             "predicate": "(role = 'tool') = (tool IS NOT NULL)",
+             "detail": "format_string('role=%s tool=%s', role, tool)"},
+            {"type": "not_null", "id": "text_not_null", "col": "text"},
+            {"type": "range", "id": "turn_idx_nonneg", "col": "turn_idx",
+             "min": 0, "null_ok": False},
+            {"type": "not_null", "id": "ts_not_null", "col": "ts"},
+            {"type": "monotone", "id": "ts_monotone", "col": "ts"},
+            {"type": "contiguity", "id": "turn_contiguous", "col": "turn_idx"},
+            {"type": "drift", "id": "text_len_drift", "expr": "length(text)"},
+        ],
+    }

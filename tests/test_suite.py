@@ -1,0 +1,194 @@
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from taco_toolbox_spark.checks import transcript_checks
+from taco_toolbox_spark.engine import run_validation
+from taco_toolbox_spark.suite import (
+    Suite,
+    SuiteError,
+    load_suite,
+    parse_suite,
+    rule_coverage,
+    transcript_suite_spec,
+)
+
+TRANSCRIPT_COLS = ["part", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _verdict_map(res):
+    return {
+        (r["part"], r["check_id"]): (r["passed"], r["n_violations"])
+        for r in res.verdicts.collect()
+    }
+
+
+def test_stock_suite_matches_code_built_battery(spark, corpus):
+    """The declarative transcript template must produce the IDENTICAL
+    verdict matrix as the hand-built transcript_checks battery (minus
+    text_equality, which needs a bound reference)."""
+    suite = parse_suite(transcript_suite_spec(), reference=corpus.clean)
+    declared = _verdict_map(
+        suite.run(corpus.corrupted, baseline=corpus.clean)
+    )
+    code = _verdict_map(
+        run_validation(
+            corpus.corrupted,
+            transcript_checks(reference=None),
+            baseline=corpus.clean,
+        )
+    )
+    assert declared == code
+    # and the corrupted corpus actually fails somewhere (not a vacuous test)
+    assert any(not ok for ok, _ in declared.values())
+
+
+def test_suite_round_trips_through_dump(spark):
+    suite = parse_suite(transcript_suite_spec())
+    again = parse_suite(suite.dump())
+    assert again.dump() == suite.dump()
+    assert [c.check_id for c in again.checks] == [
+        c.check_id for c in suite.checks
+    ]
+    assert again.cfg == suite.cfg
+
+
+def test_load_suite_from_file(tmp_path, spark, corpus):
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps(transcript_suite_spec()))
+    suite = load_suite(str(p))
+    res = suite.run(corpus.corrupted, baseline=corpus.clean)
+    assert res.summary()["n_violations"] > 0
+
+
+def test_conditional_row_rule_fires(spark):
+    df = spark.createDataFrame(
+        [
+            ("p", "c", 0, "tool", None),  # violates: tool role, no tool name
+            ("p", "c", 1, "user", None),  # fine
+            ("p", "c", 2, "tool", "search"),  # fine
+        ],
+        "part string, conv_id string, turn_idx int, role string, tool string",
+    )
+    suite = parse_suite(
+        {
+            "checks": [
+                {
+                    "type": "row",
+                    "id": "tool_named",
+                    "predicate": "role != 'tool' OR tool IS NOT NULL",
+                }
+            ]
+        }
+    )
+    v = suite.run(df).violations.collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("c", 0)]
+
+
+def test_every_type_constructs_and_runs(spark):
+    df = spark.createDataFrame(
+        [
+            ("p", "c1", 0, "system", "hi", None, 0.0),
+            ("p", "c1", 1, "user", "yo", None, 1.0),
+            ("p", "c1", 2, "assistant", "ok", None, 2.0),
+        ],
+        "part string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts double",
+    )
+    spec = {
+        "engine": {"partition_col": "part"},
+        "checks": [
+            {"type": "not_null", "id": "t1", "col": "text"},
+            {"type": "format", "id": "t2", "col": "conv_id", "pattern": "^c"},
+            {"type": "range", "id": "t3", "col": "turn_idx", "min": 0, "max": 10},
+            {"type": "vocab", "id": "t4", "col": "role",
+             "allowed": ["system", "user", "assistant"]},
+            {"type": "row", "id": "t5", "predicate": "length(text) > 0"},
+            {"type": "uniqueness", "id": "t6", "keys": ["conv_id", "turn_idx"]},
+            {"type": "fd", "id": "t7", "determinant": ["role"],
+             "dependent": ["tool"], "skip_null_determinant": True},
+            {"type": "monotone", "id": "t8", "col": "ts"},
+            {"type": "gap", "id": "t9", "col": "ts", "max_step": 10},
+            {"type": "contiguity", "id": "t10", "col": "turn_idx"},
+            {"type": "sequence", "id": "t11", "col": "role",
+             "allowed": [["system", "user"], ["user", "assistant"]],
+             "first": ["system"], "last": ["assistant"]},
+            {"type": "drift", "id": "t12", "expr": "length(text)",
+             "baseline_quantiles": [2, 2, 2, 2, 2], "method": "exact"},
+            {"type": "cat_drift", "id": "t13", "col": "role",
+             "baseline_counts": {"system": 1, "user": 1, "assistant": 1}},
+            {"type": "group_agg", "id": "t14",
+             "aggs": ["count(1) as n"], "predicate": "n <= 100"},
+        ],
+    }
+    suite = parse_suite(spec)
+    res = suite.run(df)
+    verd = _verdict_map(res)
+    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 15)}
+    assert all(ok for ok, _ in verd.values())
+
+
+@pytest.mark.parametrize(
+    "spec,frag",
+    [
+        ({"checks": [{"type": "nope", "id": "x"}]}, "unknown type"),
+        ({"checks": [{"type": "not_null", "id": "x", "col": "c",
+                      "colmun": "c"}]}, "unknown keys"),
+        ({"checks": [{"type": "not_null", "col": "c"}]}, "string 'id'"),
+        ({"checks": [{"type": "not_null", "id": "x", "col": "a"},
+                     {"type": "not_null", "id": "x", "col": "b"}]},
+         "duplicate"),
+        ({"engine": {"partition_cols": "part"}, "checks": []},
+         "engine: unknown keys"),
+        ({"checks": [{"type": "row", "id": "x",
+                      "predicate": "SELEC bogus ("}]}, "unparseable"),
+        ({"checks": [{"type": "range", "id": "x", "col": "c"}]},
+         "'min' and/or 'max'"),
+        ({"checks": [{"type": "gap", "id": "x", "col": "c"}]}, "max_step"),
+        ({"checks": [{"type": "sequence", "id": "x", "col": "c"}]},
+         "'allowed', 'first'"),
+        ({"checks": [{"type": "drift", "id": "x", "expr": "1",
+                      "method": "bogus"}]}, "approx|tdigest|exact"),
+        ({"checks": [{"type": "fd", "id": "x", "determinant": [],
+                      "dependent": ["r"]}]}, "non-empty list"),
+        ({"checks": [{"type": "text_equality", "id": "x"}]},
+         "reference"),
+        ({"extra": 1}, "unknown top-level"),
+    ],
+)
+def test_malformed_suites_raise(spark, spec, frag):
+    with pytest.raises(SuiteError, match=frag.replace("(", "\\(").replace("|", "\\|")):
+        parse_suite(spec)
+
+
+def test_rule_coverage_lint(spark):
+    suite = parse_suite(transcript_suite_spec())
+    cov = rule_coverage(suite, TRANSCRIPT_COLS + ["extra_col"])
+    # every transcript column is covered...
+    for c in TRANSCRIPT_COLS:
+        assert cov[c], f"{c} uncovered"
+    # ...the undeclared column is the blind spot the lint exists to catch
+    assert cov["extra_col"] == []
+    # SQL-string predicate references are picked up (tool_iff_role on tool)
+    assert "tool_iff_role" in cov["tool"]
+    # engine keys are credited to the structural passes
+    assert any(x.startswith("(engine:") for x in cov["part"])
+
+
+def test_suite_engine_config_applies(spark):
+    suite = parse_suite(
+        {
+            "engine": {
+                "partition_col": "pp",
+                "group_col": "g",
+                "order_col": "o",
+                "key_cols": ["g", "o"],
+                "window_chunk_size": 512,
+            },
+            "checks": [],
+        }
+    )
+    assert suite.cfg.partition_col == "pp"
+    assert suite.cfg.key_cols == ("g", "o")
+    assert suite.cfg.window_chunk_size == 512

@@ -603,3 +603,99 @@ def test_validate_cli_diff_against_on_nothing_pending(
     )[1]
     diff = spark.read.parquet(os.path.join(out_cur, "verdict_diff"))
     assert diff.filter("status = 'new_failure'").count() > 0
+
+
+def test_validate_cli_suite_flag(spark, corpus_dir, tmp_path):
+    """--suite replaces the stock battery with the declared one: the run
+    executes exactly the declared check ids (plus any flag extras), honors
+    the suite's engine section, and surfaces the coverage lint."""
+    from taco_toolbox_spark.suite import transcript_suite_spec
+
+    spec = transcript_suite_spec()
+    # declare ONLY a slim battery to prove replacement (not augmentation)
+    spec["checks"] = [
+        e for e in spec["checks"]
+        if e["id"] in ("unique_turn", "role_vocab", "text_not_null")
+    ] + [
+        {"type": "row", "id": "declared_rule",
+         "predicate": "turn_idx < 100000"},
+    ]
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    out = str(tmp_path / "out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--suite", str(suite_path),
+            "--run-id", "rs",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    got = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert got == {"unique_turn", "role_vocab", "text_not_null",
+                   "declared_rule"}
+
+
+def test_validate_cli_suite_flag_composes_with_fd(spark, corpus_dir, tmp_path):
+    from taco_toolbox_spark.suite import transcript_suite_spec
+
+    spec = transcript_suite_spec()
+    spec["checks"] = [
+        e for e in spec["checks"] if e["id"] == "text_not_null"
+    ]
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    out = str(tmp_path / "out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--suite", str(suite_path),
+            "--fd", "tool->role",
+            "--run-id", "rs2",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    got = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert got == {"text_not_null", "fd_tool__role"}
+
+
+def test_validate_cli_suite_errors(corpus_dir, tmp_path):
+    # malformed suite -> clean SystemExit naming the file
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"checks": [{"type": "nope", "id": "x"}]}))
+    with pytest.raises(SystemExit, match="bad.json"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "o1"), "--suite", str(bad)],
+            stop_session=False,
+        )
+    # drift without inline baseline and no --baseline -> actionable exit
+    drift = tmp_path / "drift.json"
+    drift.write_text(json.dumps(
+        {"checks": [{"type": "drift", "id": "d", "expr": "length(text)"}]}
+    ))
+    with pytest.raises(SystemExit, match="baseline"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "o2"), "--suite", str(drift)],
+            stop_session=False,
+        )
+    # conflicting partition-col declarations -> refuse
+    ok = tmp_path / "ok.json"
+    ok.write_text(json.dumps(
+        {"engine": {"partition_col": "part"},
+         "checks": [{"type": "not_null", "id": "t", "col": "text"}]}
+    ))
+    with pytest.raises(SystemExit, match="conflicts"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "o3"), "--suite", str(ok),
+             "--partition-col", "other"],
+            stop_session=False,
+        )
