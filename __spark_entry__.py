@@ -475,7 +475,7 @@ def q_text_winnow(spark, sf_dir):
     from taco_toolbox_spark.dedup.winnow import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4, hash_fn="md5")
 
 
 def q_dedup_winnow_pairs(spark, sf_dir):
@@ -483,7 +483,27 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     (dedup/winnow.py): distinct selected hashes per doc, boilerplate cap
     (hash in > 100 docs dropped), equi-join on the hash, pairs with >= 2
     shared fingerprints. The fingerprint-set join replaces a full shingle
-    join at ~40% the state with the same run-detection guarantee."""
+    join at ~40% the state with the same run-detection guarantee. md5
+    portability mode (the oracle family); the library default is
+    xxhash64, benched separately as dedup_winnow_default."""
+    from taco_toolbox_spark.dedup.winnow import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, "text", "doc_id", k=3, w=4, min_shared=2, max_hash_freq=100,
+        hash_fn="md5",
+    )
+
+
+def q_dedup_winnow_default(spark, sf_dir):
+    """Bench-only twin of q_dedup_winnow_pairs on the LIBRARY-DEFAULT
+    xxhash64 gram-hash family (not registered in queries(): xxhash64
+    exists in no other engine, so there is no honest oracle —
+    correctness of the shared selection/join pipeline is carried by the
+    md5-mode oracle plus pytest parity). Benched separately so the
+    headline suite reports the default fast path and the portable mode
+    without conflating them (same discipline as dedup_minhash_default,
+    VERDICT r3)."""
     from taco_toolbox_spark.dedup.winnow import winnow_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")

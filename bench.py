@@ -78,7 +78,8 @@ HEADLINE = [
     "d3_embedding_drift",  # exact centroid-cosine drift per label
     "dedup_common_spans",  # aligned-block boilerplate removal + splice
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
-    "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join
+    "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join (md5 oracle mode)
+    "dedup_winnow_default",  # library-default xxhash64 gram hashes — the 100-TB path
     "b1_bloom_contains",  # bounded membership state: build + broadcast test
     "sim_join_topk_blocked",  # batch top-k join, map-side pandas top-k
     "sim_join_lsh",       # batch top-k join via band-signature candidates

@@ -40,16 +40,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def segments(text: Column, delim: str, block_words: int) -> Column:
+def segments_from_words(words: Column, delim: str, block_words: int) -> Column:
     """Array of aligned segments of ``block_words`` elements each (the
-    last may be shorter). NULL text -> NULL array."""
-    words = F.split(text, re.escape(delim))
+    last may be shorter) over an ALREADY-MATERIALIZED word-array column.
+    ``words`` must be a plain column reference: the block lambda inlines
+    its captured expression tree, so an inline split re-splits the whole
+    text once per block (the HOF pitfall documented at
+    dedup/winnow.py:_selection_from_hashes)."""
     n_blocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), n_blocks - 1),
         lambda i: F.array_join(
             F.slice(words, i * block_words + 1, block_words), delim
         ),
+    )
+
+
+def segments(text: Column, delim: str, block_words: int) -> Column:
+    """Array of aligned segments of ``block_words`` elements each (the
+    last may be shorter). NULL text -> NULL array. Column-level
+    convenience; the inline split re-evaluates per block, so DataFrame
+    paths materialize the word array and use
+    :func:`segments_from_words`."""
+    return segments_from_words(
+        F.split(text, re.escape(delim)), delim, block_words
     )
 
 
@@ -70,11 +84,13 @@ def common_segments(
     from ..scale import spread_for_compute
 
     src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-    seg = src.select(
+    seg = src.withColumn(
+        "_words", F.split(F.col(text_col), re.escape(delim))
+    ).select(
         F.col(id_col).alias("_id"),
-        F.explode(segments(F.col(text_col), delim, block_words)).alias(
-            "segment"
-        ),
+        F.explode(
+            segments_from_words(F.col("_words"), delim, block_words)
+        ).alias("segment"),
     )
     return (
         seg.groupBy("segment")
@@ -95,7 +111,9 @@ def remove_common_segments(
     """All input columns plus ``out_col`` (text with boilerplate segments
     spliced out) and ``n_removed`` (blocks dropped). Documents untouched by
     the dictionary keep their text verbatim through a NULL-map fast path."""
-    reserved = {"_rm", "_blk", "_seg", "n_removed", out_col} & set(df.columns)
+    reserved = {"_rm", "_blk", "_seg", "_words", "n_removed", out_col} & set(
+        df.columns
+    )
     if reserved:
         raise ValueError(f"input columns collide with internals: {reserved}")
     common = common_segments(
@@ -104,12 +122,14 @@ def remove_common_segments(
 
     from ..scale import spread_for_compute
 
-    seg_arr = segments(F.col(text_col), delim, block_words)
-    exploded = spread_for_compute(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col),
-        F.posexplode(seg_arr).alias("_blk", "_seg"),
+    seg_arr = segments_from_words(F.col("_words"), delim, block_words)
+    exploded = (
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("_words", F.split(F.col(text_col), re.escape(delim)))
+        .select(
+            F.col(id_col),
+            F.posexplode(seg_arr).alias("_blk", "_seg"),
+        )
     )
     # only docs that actually lose a block reach the removal map: the join
     # back to the full frame is tiny relative to the corpus
@@ -121,7 +141,11 @@ def remove_common_segments(
     # the splice projection below re-runs the segmentation HOF over EVERY
     # row — the same per-row cost class as the dictionary passes — so the
     # full frame needs the spread too (all columns: the rewrite keeps them)
-    out = spread_for_compute(df).join(removal, id_col, "left")
+    out = (
+        spread_for_compute(df)
+        .join(removal, id_col, "left")
+        .withColumn("_words", F.split(F.col(text_col), re.escape(delim)))
+    )
     kept = F.filter(
         seg_arr,
         lambda s, i: ~F.array_contains(F.col("_rm"), i),

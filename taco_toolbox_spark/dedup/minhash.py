@@ -159,8 +159,13 @@ def minhash_signature_col(
     That is what lets a STREAMING frame carry signatures: a projection
     streams, a groupBy would demand watermark/state machinery. NULL for
     docs shorter than one shingle (no signature in the batch path
-    either). Cost: num_hashes array traversals per row, all inside
-    WholeStageCodegen. ``hash_fn="md5"`` computes the engine-portable
+    either). As a single expression the captured shingle array is
+    re-evaluated inside every hash function's lambda (HOF expression
+    substitution — see dedup/winnow.py:_selection_from_hashes), so
+    DataFrame paths use :func:`with_minhash_signature`, which stages the
+    token/shingle/half arrays as bound columns first; keep this form for
+    composing into other column expressions on small frames.
+    ``hash_fn="md5"`` computes the engine-portable
     family — ONE md5 per shingle into (h1, h2) halves, then the
     permutation per hash function, mirroring :func:`add_portable_hash` +
     :func:`shingle_hash` value-for-value."""
@@ -215,6 +220,93 @@ def minhash_signature_col(
             )
             for i in range(num_hashes)
         ]
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    n: int = 3,
+    num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``df`` plus a per-row minhash signature column ``out_col`` — the
+    same values as :func:`minhash_signature_col`, but computed through
+    STAGED projections that materialize the token array, the shingle
+    array, and (md5 mode) the per-shingle hash halves as bound columns
+    before any lambda references them. A higher-order-function lambda
+    inlines its captured expression tree, so the single-expression
+    variant re-splits the text per shingle and rebuilds the shingle
+    array per hash function — O(num_hashes x grams x text_len) per row
+    (the pitfall documented at dedup/winnow.py:_selection_from_hashes).
+    Here each of the ``num_hashes`` traversals walks an
+    already-materialized array. Pure projections throughout, so it works
+    on STREAMING frames (the stream_minhash_candidates path)."""
+    from ..functions.text import tokens
+
+    internals = {"_mh_toks", "_mh_sh", "_mh_hh"}
+    clash = internals & set(df.columns)
+    if clash or out_col in internals:
+        raise ValueError(
+            f"with_minhash_signature reserves columns {sorted(internals)}"
+        )
+    toks = F.col("_mh_toks")
+    sh_expr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    )
+    staged = df.withColumn("_mh_toks", tokens(text_col)).withColumn(
+        "_mh_sh", sh_expr
+    )
+    sh = F.col("_mh_sh")
+    if hash_fn == "xxhash64":
+        sig = F.array(
+            *[
+                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        )
+        return staged.withColumn(out_col, sig).drop("_mh_toks", "_mh_sh")
+    if hash_fn != "md5":
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    _ensure_perm_constants(num_hashes)
+    p = F.lit(MINHASH_P)
+
+    def _halves(s: F.Column) -> F.Column:
+        m = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+
+    staged = staged.withColumn("_mh_hh", F.transform(sh, _halves))
+    hh = F.col("_mh_hh")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hh,
+                    lambda x: (
+                        (F.lit(MINHASH_A[i]) * x["h1"]) % p
+                        + (F.lit(MINHASH_B[i]) * x["h2"]) % p
+                        + F.lit(MINHASH_C[i])
+                    )
+                    % p,
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return staged.withColumn(out_col, sig).drop(
+        "_mh_toks", "_mh_sh", "_mh_hh"
     )
 
 

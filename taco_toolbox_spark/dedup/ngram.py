@@ -29,17 +29,31 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     first when it arrives under-partitioned (scale.spread_for_compute —
     a single-row-group parquet file scans as ONE partition and would
     serialize the gram work behind one core; at warehouse scale the
-    spread is a plan no-op)."""
+    spread is a plan no-op).
+
+    The token array is materialized as its own projection column before
+    the gram lambda references it: a lambda inlines its captured
+    expression tree, so an inline ``tokens(text)`` re-splits the whole
+    text once PER GRAM — O(grams x text_len) per document (the HOF
+    pitfall documented at dedup/winnow.py:_selection_from_hashes;
+    measured ~1.8x on this builder at sf0.1)."""
     from ..scale import spread_for_compute
 
+    if "_toks" in (id_col, text_col):
+        raise ValueError("shingles reserves column name '_toks'")
     df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-    toks = tokens(text_col)
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.filter(F.size(toks) >= n).select(  # docs shorter than one shingle: no output
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .filter(F.size(toks) >= n)  # docs shorter than one shingle: no output
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
     )
 
 

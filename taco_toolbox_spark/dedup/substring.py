@@ -55,14 +55,20 @@ def positional_shingles(
     (scale.spread_for_compute; no-op at warehouse scale)."""
     from ..scale import spread_for_compute
 
+    if "_toks" in (id_col, text_col):
+        raise ValueError("positional_shingles reserves column name '_toks'")
     df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-    toks = tokens(text_col)
+    # Materialized token column: an inline tokens(text) captured by the
+    # gram lambda is re-split once per gram (HOF expression substitution
+    # — see dedup/winnow.py:_selection_from_hashes).
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        df.filter(F.size(toks) >= n)
+        df.withColumn("_toks", tokens(text_col))
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col).alias("id"), F.posexplode(sh).alias("pos0", "shingle"))
         .select("id", (F.col("pos0") + 1).alias("pos"), "shingle")
     )

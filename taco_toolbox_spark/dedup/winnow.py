@@ -18,10 +18,12 @@ Implementation notes (scale):
     higher-order-function expressions over the split array — one
     projection, no word-level explode/regroup shuffle; the only shuffle
     in pair finding is the equi-join on the selected hash.
-  * The hash is the engine-portable md5 prefix (32-bit) used by every
-    oracled pipeline replica in this repo — DuckDB reproduces it
-    bit-for-bit. Tie frequency at 32 bits is negligible for selection
-    (ties resolve leftmost deterministically anyway).
+  * Two gram-hash families (dedup/minhash.py discipline): xxhash64 is
+    the library default — native 64-bit JVM hash, no hex decode — and
+    "md5" is the engine-portable 32-bit prefix every oracled pipeline
+    replica in this repo uses (DuckDB reproduces it bit-for-bit). Tie
+    frequency is negligible for selection at either width (ties resolve
+    leftmost deterministically anyway).
   * Hot (boilerplate) fingerprints are frequency-capped in the pair
     join, the same discipline as the shingle/minhash paths.
 
@@ -36,29 +38,54 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_hashes(text: Column, k: int) -> Column:
-    """Array of 32-bit md5-prefix hashes of the k-word grams of ``text``
-    (empty array when the text has fewer than k words; NULL for NULL)."""
+def _gram_hashes(text: Column, k: int, hash_fn: str = "xxhash64") -> Column:
+    """Array of gram hashes of the k-word grams of ``text`` (empty array
+    when the text has fewer than k words; NULL for NULL).
+
+    ``hash_fn="xxhash64"`` (library default): native 64-bit JVM hash —
+    the fast path; no hex decode, no base conversion. ``hash_fn="md5"``:
+    32-bit md5-prefix, the engine-portable family every oracled pipeline
+    replica in this repo uses (DuckDB reproduces it bit-for-bit). Same
+    dual-family discipline as dedup/minhash.py:shingle_hash: the
+    selection/join structure is identical under either family, so the
+    md5-mode oracle plus pytest parity carries correctness for both."""
     words = F.split(text, " ")
     ng = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    if hash_fn == "xxhash64":
+        def gram_hash(i: Column) -> Column:
+            return F.xxhash64(F.array_join(F.slice(words, i, k), " "))
+    elif hash_fn == "md5":
+        def gram_hash(i: Column) -> Column:
+            return F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
     arr = F.transform(
         # sequence throws on start > stop: clamp, and return empty below
         F.sequence(F.lit(1), F.greatest(ng, F.lit(1)), F.lit(1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8),
-            16,
-            10,
-        ).cast("long"),
+        gram_hash,
     )
     return F.when(ng < 1, F.array().cast("array<bigint>")).otherwise(arr)
 
 
-def winnow_selection(text: Column, k: int = 3, w: int = 4) -> Column:
-    """The winnowing fingerprint set of ``text`` as an array of
-    ``struct(pos int, h long)`` — ``pos`` is the 0-based gram position.
-    Documents with fewer than ``w`` grams contribute the single minimum
-    of all their grams (the standard short-document convention)."""
-    hs = _gram_hashes(text, k)
+def _selection_from_hashes(hs: Column, w: int) -> Column:
+    """Winnowing selection over an ALREADY-MATERIALIZED gram-hash array
+    column. ``hs`` must be a plain column reference, not an inline
+    expression: Catalyst substitutes lambda-captured expression TREES
+    into every reference inside higher-order functions, so an inline
+    ``transform(...)`` gram-hash array is re-evaluated per window — the
+    selection degenerates to O(n_windows x n_grams) gram hashing per
+    document (measured 19s -> 2.2s on 5k docs / 250k windows at
+    local[32] after materializing). ``winnow_fingerprints`` binds the
+    hash array with ``withColumn`` first; CollapseProject leaves the
+    projection split because the reference count is > 1."""
     ng = F.size(hs)
     n_windows = F.greatest(ng - (w - 1), F.least(ng, F.lit(1)))
     sel = F.transform(
@@ -82,26 +109,56 @@ def winnow_selection(text: Column, k: int = 3, w: int = 4) -> Column:
     ).otherwise(F.array_distinct(sel))
 
 
+def winnow_selection(
+    text: Column, k: int = 3, w: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """The winnowing fingerprint set of ``text`` as an array of
+    ``struct(pos int, h long)`` — ``pos`` is the 0-based gram position.
+    Documents with fewer than ``w`` grams contribute the single minimum
+    of all their grams (the standard short-document convention).
+
+    Column-level convenience for composing into arbitrary expressions;
+    the INLINE gram-hash array is re-evaluated per window inside the
+    selection lambdas (the HOF expression-substitution pitfall documented
+    at :func:`_selection_from_hashes`), so on wide tables prefer
+    :func:`winnow_fingerprints`, which materializes the hash array as a
+    column first (measured ~9x faster on real documents)."""
+    return _selection_from_hashes(_gram_hashes(text, k, hash_fn), w)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     w: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exploded fingerprint table ``(id_col, pos, h)`` — what a curation
-    pipeline persists per document. One narrow projection + explode;
-    column pruning keeps the scan to (id, text). The md5-per-gram work is
-    the heavy stage, so an under-partitioned input is spread to the
-    session parallelism first (scale.spread_for_compute — measured 390s
-    → seconds on a one-row-group file at local[32]; no-op at scale)."""
+    pipeline persists per document. Two stacked narrow projections + one
+    explode; column pruning keeps the scan to (id, text). The gram-hash
+    array is materialized as its own column BEFORE the selection lambdas
+    reference it — inlining it re-evaluates the whole hash array per
+    window (see :func:`_selection_from_hashes`; measured 19s -> 2.2s on
+    5k docs at local[32]). Per-row-heavy work, so an under-partitioned
+    input is spread to the session parallelism first
+    (scale.spread_for_compute — measured 390s → seconds on a
+    one-row-group file at local[32]; no-op at scale)."""
     from ..scale import spread_for_compute
 
+    if "_hs" in (id_col, text_col):
+        raise ValueError("winnow_fingerprints reserves column name '_hs'")
     df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-    return df.select(
-        F.col(id_col),
-        F.explode(winnow_selection(F.col(text_col), k, w)).alias("fp"),
-    ).select(id_col, "fp.pos", "fp.h")
+    return (
+        df.withColumn("_hs", _gram_hashes(F.col(text_col), k, hash_fn))
+        .select(
+            F.col(id_col),
+            F.explode(
+                _selection_from_hashes(F.col("_hs"), w)
+            ).alias("fp"),
+        )
+        .select(id_col, "fp.pos", "fp.h")
+    )
 
 
 def winnow_overlap_pairs(
@@ -112,6 +169,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_hash_freq: int = 100,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints:
     ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` and at least
@@ -120,7 +178,7 @@ def winnow_overlap_pairs(
     self-join (the skew cap every candidate-pair path in this repo
     applies); the join is a plain equi-join on the hash — never
     all-pairs."""
-    fp = winnow_fingerprints(df, text_col, id_col, k, w).select(
+    fp = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn).select(
         F.col(id_col).alias("_id"), "h"
     ).distinct()
     capped = (

@@ -52,7 +52,7 @@ def bigram_frequency_score(
     across engines."""
     if rare_threshold < 1:
         raise ValueError(f"rare_threshold must be >= 1, got {rare_threshold}")
-    reserved = {"_bg", "_c"} & set(df.columns)
+    reserved = {"_bg", "_c", "_tk"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"columns {sorted(reserved)} collide with "
@@ -61,13 +61,18 @@ def bigram_frequency_score(
     from ..scale import spread_for_compute
 
     slim = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-    toks = tokens(text_col)
+    # Materialized token column: an inline tokens(text) captured by the
+    # bigram lambda is re-split once per gram (HOF expression
+    # substitution — see dedup/winnow.py:_selection_from_hashes).
+    toks = F.col("_tk")
     bg = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
     )
-    occ = slim.filter(F.size(toks) >= 2).select(
-        F.col(id_col), F.explode(bg).alias("_bg")
+    occ = (
+        slim.withColumn("_tk", tokens(text_col))
+        .filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bg).alias("_bg"))
     )
     counts = occ.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (

@@ -1024,8 +1024,8 @@ def stream_minhash_candidates(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Streaming NEAR-dedup candidates: each incoming document's minhash
-    band buckets (computed per-row by ``minhash_signature_col`` — a pure
-    projection, so it streams without state) are equi-joined against a
+    band buckets (computed per-row by ``with_minhash_signature`` — pure
+    staged projections, so it streams without state) are equi-joined against a
     static signature ``store``; every collision emits a candidate pair
     (id_a < id_b, plus the colliding band). Completes the batch↔stream
     matrix: exact dedup streams via ``stream_dedup``, near-dedup streams
@@ -1042,12 +1042,20 @@ def stream_minhash_candidates(
     against the corpus — a batch concern), and exactly-once pair
     emission would need unbounded state; consumers dedupe by (id_a,
     id_b) or window it with a watermark."""
-    from ..dedup.minhash import band_structs, minhash_signature_col
+    from ..dedup.minhash import band_structs, with_minhash_signature
 
-    sig = minhash_signature_col(text_col, n, num_hashes, hash_fn)
-    s = stream_df.select(
-        F.col(id_col).alias("_sid"), sig.alias("_sig")
-    ).filter(F.element_at("_sig", 1).isNotNull())
+    s = (
+        with_minhash_signature(
+            stream_df.select(F.col(id_col).alias("_sid"), text_col),
+            text_col,
+            "_sig",
+            n,
+            num_hashes,
+            hash_fn,
+        )
+        .select("_sid", "_sig")
+        .filter(F.element_at("_sig", 1).isNotNull())
+    )
     bb = s.select(
         "_sid",
         F.explode(band_structs("_sig", bands, rows_per_band)).alias("bb"),

@@ -507,6 +507,20 @@ def test_stream_minhash_candidates_match_batch(tmp_path, spark):
     }
     assert got_md5 == want_md5
 
+    # ...and the staged-projection variant (the fast path the streaming
+    # candidate emitter actually runs) must agree with both, in both
+    # hash families
+    from taco_toolbox_spark.dedup.minhash import with_minhash_signature
+
+    for fam, want in (("xxhash64", want_sig), ("md5", want_md5)):
+        staged = {
+            r.doc_id: list(r.s)
+            for r in with_minhash_signature(
+                df, "text", "s", hash_fn=fam
+            ).select("doc_id", "s").collect()
+        }
+        assert staged == want, fam
+
     store = minhash_bucket_store(df, max_bucket_size=None)
     out = run_stream_minhash_smoke(
         spark, inp, store, query_name="t_sminhash"

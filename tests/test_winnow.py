@@ -43,12 +43,41 @@ def test_matches_python_reference(spark):
     )
     got = {
         (r["doc_id"], r["pos"], r["h"])
-        for r in winnow_fingerprints(df).collect()
+        for r in winnow_fingerprints(df, hash_fn="md5").collect()
     }
     want = {
         (i, p, h) for i, t in enumerate(texts) for (p, h) in _ref_winnow(t)
     }
     assert got == want and got
+
+
+def test_hash_families_agree_on_pairs(spark):
+    """The md5 (oracle-portable) and xxhash64 (library default) gram-hash
+    families run the identical selection/join pipeline; on a corpus with
+    planted shared runs they must produce the same near-dup pair set —
+    the parity that lets the md5-mode oracle carry the default path."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro words {shared} tail one two"),
+        (2, f"{shared} other ending entirely here"),
+        (3, "unrelated content with no overlap at all"),
+        (4, f"prefix {shared} and some more shared suffix text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1, hash_fn="md5").collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert md5_pairs == xx_pairs and (1, 2) in xx_pairs
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, hash_fn="sha1").collect()
 
 
 def test_null_and_empty_text(spark):
