@@ -340,14 +340,24 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 10_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
     Buckets larger than ``max_bucket_size`` are dropped before pairing — a
     degenerate bucket of k near-identical docs makes k^2 candidates, and at
-    the default cap that is already 10^8 pairs from one bucket."""
+    the default cap that is already 10^8 pairs from one bucket.
+
+    ``carry_cols``: extra per-doc columns of ``signatures`` (each must be
+    functionally determined by ``id``) carried through the bucket join and
+    emitted as ``<col>_a`` / ``<col>_b`` on each pair. Threading the doc's
+    shingle count this way lets the verify stage skip a whole extra pass
+    over the shingle table (one groupBy + two joins) — at corpus scale
+    that pass re-derives every shingle a third time."""
     buckets = signatures.select(
-        "id", F.explode(band_structs("sig", bands, rows_per_band)).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+        "id",
+        *carry_cols,
+        F.explode(band_structs("sig", bands, rows_per_band)).alias("bb"),
+    ).select("id", *carry_cols, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -365,7 +375,12 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
+        )
         .distinct()
     )
 
@@ -377,26 +392,32 @@ def verify_pairs_exact(
     pair out by id_a's shingles, equi-join against (id_b, shingle) to count
     the intersection, then divide by |A|+|B|-shared. Work is linear in
     sum over pairs of |shingles(id_a)| — never the all-shared-shingle-pairs
-    blowup of the brute-force path."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    fan = cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-    shared = (
+    blowup of the brute-force path.
+
+    If ``cand`` already carries ``na``/``nb`` (each doc's shingle count,
+    e.g. threaded through ``lsh_candidate_pairs(carry_cols=...)`` or the
+    prefix path's length columns), the size aggregation over ``sh`` and
+    its two joins are skipped — one fewer full derivation of the shingle
+    table."""
+    if {"na", "nb"} <= set(cand.columns):
+        sized = cand
+    else:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sized = cand.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+    fan = sized.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+    return (
         fan.join(
             sh.select(F.col("id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
-            "id_b",
-        )
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -439,12 +460,24 @@ def minhash_near_duplicates(
         )
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
     hashed = add_portable_hash(sh) if hash_fn == "md5" else sh
+    # n_sh rides the signature shuffle (sh is distinct per (id, shingle),
+    # so count == the verify stage's size definition): the verify stage
+    # then skips its own full-shingle size aggregation + two joins.
     mins = [
         F.min(shingle_hash(i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = hashed.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    sig = hashed.groupBy("id").agg(
+        *mins, F.count(F.lit(1)).alias("n_sh")
+    ).select(
+        "id",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        "n_sh",
     )
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket_size)
+    cand = lsh_candidate_pairs(
+        sig, bands, rows_per_band, max_bucket_size, carry_cols=("n_sh",)
+    ).select(
+        "id_a", "id_b",
+        F.col("n_sh_a").alias("na"), F.col("n_sh_b").alias("nb"),
+    )
     return verify_pairs_exact(cand, sh, threshold)

@@ -177,7 +177,12 @@ def jaccard_pairs_prefix(
             )
             >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("_la") + F.col("_lb")))
         )
-        .select("id_a", "id_b")
+        # _la/_lb are the docs' shingle counts — thread them as na/nb so
+        # verify_pairs_exact skips its own size pass over the shingles
+        .select(
+            "id_a", "id_b",
+            F.col("_la").alias("na"), F.col("_lb").alias("nb"),
+        )
     )
     return verify_pairs_exact(cand, sh, threshold)
 
