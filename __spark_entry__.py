@@ -2082,6 +2082,77 @@ def q_s5_split_leakage(spark, sf_dir):
     return split_leakage_violations(labeled, pairs)
 
 
+def q_m1_content_digest(spark, sf_dir):
+    """Order-insensitive per-partition content digest
+    (operators/digest.py:content_digest) of the transcript corpus — the
+    proof a validation engine issues that a REWRITE of a blessed corpus
+    (consolidation S10, re-sharding, engine migration, resume-after-crash)
+    is still the same corpus: per ``part``, (row count, bit_xor of row
+    hashes, sum of row hashes mod 2^40). One map-side-combinable hash
+    aggregation over a projection — no window, no collect; the shuffle
+    carries one partial digest per (part, task), so 10^12 turns cost one
+    pass and a vocabulary-sized exchange. md5 portability mode: the oracle
+    replays the identical hash arithmetic (10-hex-char prefix = 40 bits,
+    chr(31) separators, chr(0) NULL sentinel) and both commutative
+    combiners in DuckDB, so every digest VALUE — not just the row set —
+    is cross-engine verified. Reference analog: the validator's
+    row-count/schema consistency gates (tortilla/datamodel.py:212-254)
+    upgraded to content equality without row comparison."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.digest import content_digest
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    return content_digest(
+        corpus.corrupted,
+        ["conv_id", "turn_idx", "role", "text"],
+        ["part"],
+        hash_fn="md5",
+    )
+
+
+def q_m2_dup_convs(spark, sf_dir):
+    """Conversation-grain exact dedup
+    (operators/digest.py:duplicate_conversation_groups): groups of
+    conversations whose whole (turn_idx, role, text) turn sequence is
+    identical — document exact-dedup (dedup/exact.py) lifted to the
+    transcripts grain without ever rendering a conversation string or
+    collect_list-ing turns. The digest's commutative combiners still
+    certify SEQUENCE equality because turn order is encoded in the hashed
+    tuple. Duplicates are planted by unioning a deterministic relabeled
+    subset (conv_ids ending in '7'), so the query demonstrably returns
+    nonzero groups; the oracle recomputes per-conversation digests with
+    the same md5 arithmetic and groups them. Two bounded shuffles: digest
+    partials, then digest-keyed grouping over conversation-count rows."""
+    from taco_toolbox_spark.datagen import generate_transcripts
+    from taco_toolbox_spark.operators.digest import (
+        duplicate_conversation_groups,
+    )
+
+    corpus = generate_transcripts(
+        spark, n_convs=500, seed=42, violation_denom=500
+    )
+    _write_verdict_dump(spark)
+    t = corpus.corrupted.select("conv_id", "turn_idx", "role", "text")
+    planted = t.unionAll(
+        t.filter(F.col("conv_id").endswith("7")).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("_dup"))
+        )
+    )
+    groups = duplicate_conversation_groups(
+        planted, "conv_id", "turn_idx", ("role", "text"), hash_fn="md5"
+    )
+    return groups.select(
+        "n_turns",
+        "xor_d",
+        "sum_d",
+        "n_convs",
+        F.array_join("conv_ids", ",").alias("conv_ids"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,
@@ -2184,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incr_dedup": q_stream_incr_dedup,
         "w7_render_convs": q_w7_render_convs,
         "w8_chunk_windows": q_w8_chunk_windows,
+        "m1_content_digest": q_m1_content_digest,
+        "m2_dup_convs": q_m2_dup_convs,
     }
 
 
@@ -3104,6 +3177,56 @@ def oracle_sql() -> dict[str, str]:
                    conv_id::VARCHAR, min(turn_idx)::INT
             FROM t GROUP BY part, conv_id
             HAVING NOT coalesce(arg_min(role, turn_idx) = 'system', FALSE)
+        """,
+        # digest oracles replay operators/digest.py's md5 row hash verbatim:
+        # concat_ws(chr(31), coalesce(col::VARCHAR, chr(0))...) || chr(31) ||
+        # seed, first 10 hex chars parsed as a 40-bit integer, then BOTH
+        # commutative combiners (bit_xor, sum mod 2^40) recomputed by DuckDB
+        "m1_content_digest": f"""
+            WITH h AS (
+              SELECT part,
+                     ('0x' || substr(md5(
+                        coalesce(conv_id, chr(0)) || chr(31) ||
+                        coalesce(turn_idx::VARCHAR, chr(0)) || chr(31) ||
+                        coalesce(role, chr(0)) || chr(31) ||
+                        coalesce(text, chr(0)) || chr(31) || '0'
+                     ), 1, 10))::BIGINT AS h
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            )
+            SELECT part, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_d,
+                   (sum(h) % 1099511627776)::BIGINT AS sum_d
+            FROM h GROUP BY part
+        """,
+        "m2_dup_convs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM read_parquet('{_ORACLE_DUMP}/transcripts/*.parquet')
+            ),
+            planted AS (
+              SELECT * FROM t
+              UNION ALL
+              SELECT conv_id || '_dup', turn_idx, role, text
+              FROM t WHERE conv_id LIKE '%7'
+            ),
+            h AS (
+              SELECT conv_id,
+                     ('0x' || substr(md5(
+                        coalesce(turn_idx::VARCHAR, chr(0)) || chr(31) ||
+                        coalesce(role, chr(0)) || chr(31) ||
+                        coalesce(text, chr(0)) || chr(31) || '0'
+                     ), 1, 10))::BIGINT AS h
+              FROM planted
+            ),
+            d AS (
+              SELECT conv_id, count(*)::BIGINT AS n_turns,
+                     bit_xor(h) AS xor_d,
+                     (sum(h) % 1099511627776)::BIGINT AS sum_d
+              FROM h GROUP BY conv_id
+            )
+            SELECT n_turns, xor_d, sum_d, count(*)::BIGINT AS n_convs,
+                   string_agg(conv_id, ',' ORDER BY conv_id) AS conv_ids
+            FROM d GROUP BY n_turns, xor_d, sum_d
+            HAVING count(*) > 1
         """,
         "v14_role_close": f"""
             -- closing rule: the value at the LARGEST turn_idx must be an

@@ -1,0 +1,211 @@
+"""Order-insensitive content digests: migration checks + conversation dedup.
+
+A validation engine that blesses a corpus must also be able to say "this
+REWRITE of the corpus is the same corpus": consolidation (S10), sharding,
+re-partitioning, engine migrations, and resume-after-crash all need a
+cheap proof that no row was lost, duplicated, or altered. Collecting and
+comparing rows is impossible at 10^12 turns; instead each row hashes to a
+small integer map-side and the digest is a pair of COMMUTATIVE combiners
+over those hashes:
+
+- ``n_rows``  — plain count;
+- ``xor_d``   — ``bit_xor`` of the row hashes: order-independent,
+  overflow-free at ANY group size, and mergeable across partials (the
+  same algebra HLL/count-min state uses elsewhere in this repo);
+- ``sum_d``   — sum of the row hashes, folded by ``pmod`` into the hash
+  domain. Sum distinguishes the one case xor is blind to: a row appearing
+  an EVEN number of times xors to nothing, so (count, xor) alone would
+  match a corpus where one row was duplicated and another dropped twice.
+  Exact (pre-fold) while a group holds < 2^23 rows at 40-bit hashes; past
+  that Spark's non-ANSI long addition wraps mod 2^64 — still deterministic
+  and order-independent (Java add is commutative/associative), just no
+  longer bit-equal to an engine summing in 128-bit. The cross-engine
+  oracle therefore runs at a scale where the sum is exact, and the
+  at-scale contract is "compare digests produced by THIS library".
+
+Everything is one map-side-combinable hash aggregation over a projection
+— no window, no collect, no Python; the shuffle carries one partial
+digest per (group, task). Two hash families, the repo-wide convention
+(dedup/minhash.py:16-29, operators/sampling.py): ``xxhash64`` native
+default, ``md5`` engine-portable (first 10 hex chars = 40 bits, replayed
+verbatim by the DuckDB oracle).
+
+Conversation-grain exact dedup falls out of the same digest: two
+conversations are content-equal iff their per-turn (turn_idx, role, text)
+multisets agree — ORDER IS ENCODED IN THE HASHED TUPLE (turn_idx is part
+of the key), so the commutative combiner still certifies sequence
+equality. That is the transcripts analog of document exact-dedup
+(dedup/exact.py): the reference's duplicate-id report
+(/root/reference/tacotoolbox/tortilla/datamodel.py:235-254) lifted from
+rows to whole conversations, without ever materializing a rendered
+conversation string.
+
+Digest-grade, like every fingerprint dedup in this repo: equality is
+certified up to hash collisions (~120 combined bits here: 40-bit xor +
+40-bit sum + count); a paranoid pipeline can re-verify flagged groups
+with operators/transcripts.render_conversations + a string compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _NULL, _SEP
+
+#: Digest hash width. 40 bits keeps md5-mode arithmetic portable (a
+#: 10-hex-char prefix parses exactly on any engine) and leaves 23 bits of
+#: headroom under 2^63 for the sum combiner's exactness bound.
+DIGEST_BITS = 40
+_DOMAIN = 1 << DIGEST_BITS
+
+
+def row_digest(
+    cols: list[str], hash_fn: str = "xxhash64", seed: int = 0
+) -> Column:
+    """Per-row hash in [0, 2^40) over the listed columns — the map-side
+    half of every digest here. NULL columns stay distinguishable from
+    empty/absent ones: xxhash64 hashes NULL natively per position; md5
+    mode coalesces each position to the control-char sentinel before the
+    '\\x1f' join (same injectivity argument as operators/sampling.py)."""
+    if hash_fn == "xxhash64":
+        # Spark's xxhash64 SKIPS null arguments in its left fold, so
+        # (NULL, '') and ('', NULL) would collide on the values alone.
+        # Interleaving a per-position isnull flag keeps positions
+        # injective without casting values to string.
+        args: list[Column] = []
+        for c in cols:
+            args.append(F.isnull(F.col(c)).cast("tinyint"))
+            args.append(F.col(c))
+        h = F.xxhash64(*args, F.lit(seed))
+        # top 40 of the 64 hash bits, as a non-negative long
+        return F.shiftrightunsigned(h, 64 - DIGEST_BITS)
+    if hash_fn == "md5":
+        key = F.concat_ws(
+            _SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols],
+        )
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, 10
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def content_digest(
+    df: DataFrame,
+    content_cols: list[str],
+    group_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group (or whole-frame) content digest: ``group_cols +
+    (n_rows, xor_d, sum_d)``. Two frames hold the same multiset of
+    ``content_cols`` tuples per group iff the digests match (up to the
+    documented collision bound). ONE hash aggregation over a projection;
+    digest rows are group-cardinality-sized — compare them with a join,
+    or feed them to report.verdict_diff-style reconciliation."""
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+    h = row_digest(content_cols, hash_fn, seed).alias("_h")
+    gb = df.select(*(group_cols or []), h).groupBy(*(group_cols or []))
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_d"),
+        F.pmod(F.sum("_h"), F.lit(_DOMAIN)).alias("sum_d"),
+    )
+
+
+def digest_mismatches(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Reconcile two ``content_digest`` outputs keyed by ``group_cols``:
+    one row per group whose digest differs (or that exists on one side
+    only), with both sides' components and a ``status`` in
+    {'missing_right', 'missing_left', 'changed'}. Null-safe on group
+    keys; the join is digest-cardinality-sized, not data-sized."""
+    # Alias-qualify both sides: left and right often share lineage (the
+    # "same corpus, rewritten" use case digests the SAME source twice),
+    # which makes unqualified key references ambiguous in the self-join.
+    lt = left.select(
+        *[F.col(c).alias(f"_lk_{c}") for c in group_cols],
+        *[F.col(c).alias(f"{c}_left") for c in ("n_rows", "xor_d", "sum_d")],
+    )
+    rt = right.select(
+        *[F.col(c).alias(f"_rk_{c}") for c in group_cols],
+        *[F.col(c).alias(f"{c}_right") for c in ("n_rows", "xor_d", "sum_d")],
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"_lk_{c}").eqNullSafe(F.col(f"_rk_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = lt.join(rt, on=cond, how="full_outer")
+    status = (
+        F.when(F.col("n_rows_right").isNull(), F.lit("missing_right"))
+        .when(F.col("n_rows_left").isNull(), F.lit("missing_left"))
+        .otherwise(F.lit("changed"))
+    )
+    same = (
+        (F.col("n_rows_left") == F.col("n_rows_right"))
+        & (F.col("xor_d_left") == F.col("xor_d_right"))
+        & (F.col("sum_d_left") == F.col("sum_d_right"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_lk_{c}"), F.col(f"_rk_{c}")).alias(c)
+        for c in group_cols
+    ]
+    return (
+        j.filter(~F.coalesce(same, F.lit(False)))
+        .select(
+            *keys,
+            status.alias("status"),
+            "n_rows_left",
+            "n_rows_right",
+            "xor_d_left",
+            "xor_d_right",
+            "sum_d_left",
+            "sum_d_right",
+        )
+    )
+
+
+def duplicate_conversation_groups(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    content_cols: tuple[str, ...] = ("role", "text"),
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Conversation-grain exact dedup: groups of conversations whose
+    whole turn sequence — (order, *content) per turn — is identical.
+    Returns one row per duplicate group: ``(n_turns, xor_d, sum_d,
+    n_convs, conv_ids)`` with the member ids sorted.
+
+    Two shuffles, both bounded: the digest aggregation (one partial row
+    per conversation per task) and the digest-keyed group (rows = number
+    of conversations, never turns). No rendered-string materialization,
+    no collect_list of turns — a 400-turn hot conversation costs its
+    tasks 400 hash-and-fold steps, not a 400-line string build."""
+    per_conv = content_digest(
+        df,
+        [order_col, *content_cols],
+        group_cols=[group_col],
+        hash_fn=hash_fn,
+        seed=seed,
+    )
+    return (
+        per_conv.groupBy(
+            F.col("n_rows").alias("n_turns"), "xor_d", "sum_d"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sort_array(F.collect_list(group_col)).alias("conv_ids"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )
