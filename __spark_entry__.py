@@ -2153,6 +2153,22 @@ def q_m2_dup_convs(spark, sf_dir):
     )
 
 
+def q_digest_documents(spark, sf_dir):
+    """Bench-only twin of m1_content_digest at data scale: native
+    xxhash64-family content digest of the sf ``documents`` table grouped
+    by source — the 100-TB path (one scan, map-side-combined hash
+    aggregation, source-vocabulary-sized exchange). Not in queries():
+    DuckDB has no xxhash64, so this family is value-verified indirectly —
+    the md5 family shares every line of digest code except the row hash
+    and is fully oracled by m1_content_digest."""
+    from taco_toolbox_spark.operators.digest import content_digest
+
+    d = _t(spark, sf_dir, "documents")
+    return content_digest(
+        d, ["doc_id", "text", "lang", "source"], ["source"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v1_uniqueness": q_v1_uniqueness,

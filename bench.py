@@ -88,6 +88,7 @@ HEADLINE = [
     "a12_gini_diversity",  # exact-rational mixture-health index
     "dedup_containment",  # asymmetric doc-inside-doc pairs (shared shingle core)
     "t5_budget_select",   # budget-capped selection (distributed prefix sum)
+    "digest_documents",   # one-pass commutative content digest, xxhash64
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —

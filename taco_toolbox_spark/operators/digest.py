@@ -110,8 +110,16 @@ def content_digest(
     or feed them to report.verdict_diff-style reconciliation."""
     if not content_cols:
         raise ValueError("content_cols must be non-empty")
+    from ..scale import spread_for_compute
+
+    # Hash compute runs where the rows sit: spread the column-pruned
+    # input first so a single-row-group file doesn't serialize the whole
+    # digest behind one core (scale.py rule 3 — a plan no-op at
+    # warehouse scale, where scans already carry >= parallelism splits).
+    pruned = list(dict.fromkeys([*(group_cols or []), *content_cols]))
+    src = spread_for_compute(df.select(*pruned))
     h = row_digest(content_cols, hash_fn, seed).alias("_h")
-    gb = df.select(*(group_cols or []), h).groupBy(*(group_cols or []))
+    gb = src.select(*(group_cols or []), h).groupBy(*(group_cols or []))
     return gb.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_h)").alias("xor_d"),
@@ -172,6 +180,34 @@ def digest_mismatches(
             "sum_d_right",
         )
     )
+
+
+def certify_rewrite(
+    before: DataFrame,
+    after: DataFrame,
+    content_cols: list[str],
+    group_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """The consolidation / re-sharding / migration gate: certify that
+    ``after`` holds the same multiset of ``content_cols`` tuples as
+    ``before`` (per group, or globally) — empty result iff certified
+    equal up to the documented collision bound. One pass over each side
+    plus a digest-cardinality join; the pipeline shape is
+    S10-consolidate → write → read-back → certify_rewrite(original,
+    read_back) with zero row comparison. Reference analog: the
+    row-count consistency gates of the validator
+    (tortilla/datamodel.py:212-254) strengthened to content equality."""
+    gcols = list(group_cols or [])
+    a = content_digest(before, content_cols, gcols or None, hash_fn, seed)
+    b = content_digest(after, content_cols, gcols or None, hash_fn, seed)
+    if not gcols:
+        # global digests are single rows; give the reconcile join a key
+        a = a.withColumn("_scope", F.lit("all"))
+        b = b.withColumn("_scope", F.lit("all"))
+        gcols = ["_scope"]
+    return digest_mismatches(a, b, gcols)
 
 
 def duplicate_conversation_groups(

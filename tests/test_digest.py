@@ -124,3 +124,21 @@ def test_duplicate_conversations_on_corpus(spark, corpus):
         assert r["n_convs"] == 2
         a, b = r["conv_ids"]
         assert b == a + "~dup"
+
+
+def test_certify_rewrite_consolidation_roundtrip(spark, tmp_path):
+    """The motivating flow: consolidate -> write -> read back -> certify."""
+    from taco_toolbox_spark.operators.digest import certify_rewrite
+    from taco_toolbox_spark.operators.partitioning import consolidate
+
+    a = spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")], "g string, i int, t string")
+    b = spark.createDataFrame([("b", 1, "x"), ("b", 2, None)], "g string, i int, t string")
+    merged = consolidate([a, b], ["fa", "fb"])
+    out = str(tmp_path / "merged")
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    # per-group and global certification both come back clean
+    assert certify_rewrite(merged, back, ["i", "t"], ["g"]).count() == 0
+    assert certify_rewrite(merged, back, ["g", "i", "t"]).count() == 0
+    # a lost row is caught globally (no groups to hide in)
+    assert certify_rewrite(merged, back.limit(3), ["g", "i", "t"]).count() == 1
