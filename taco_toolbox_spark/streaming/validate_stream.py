@@ -1194,6 +1194,95 @@ def run_stream_minhash_smoke(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_content_digest(
+    stream_df: DataFrame,
+    content_cols: list[str],
+    group_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+    ts_col: str = "ts",
+    window: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.digest.content_digest` — the
+    running proof that a stream-ingested corpus is the batch corpus.
+
+    The digest's combiners (count, bit_xor, sum-mod-2^40) are exactly the
+    commutative/mergeable algebra Structured Streaming's state store
+    maintains incrementally, so the batch operator runs UNCHANGED on a
+    stream: state is ONE row per open group (group-vocabulary bounded —
+    for partition-grain groups, bounded by construction), each
+    micro-batch folds its rows in, and the complete/update-mode output at
+    any point is the digest of everything ingested so far. On a bounded
+    corpus the complete-mode result equals the batch digest EXACTLY
+    (parity locked in pytest), so ingest certification is: stream in,
+    then digest_mismatches(batch_digest, streamed_digest) — zero rows
+    means nothing was lost, duplicated, or altered in flight.
+
+    With ``window``: one digest per event-time window (``window_start``
+    column) — per-hour ingest slices certified independently, watermark
+    closes windows so state stays bounded on an unbounded stream.
+    """
+    from ..operators.digest import content_digest, row_digest
+    from ..operators.digest import _DOMAIN
+
+    if window is None:
+        return content_digest(
+            stream_df, content_cols, group_cols, hash_fn, seed
+        )
+    et = _event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    h = row_digest(content_cols, hash_fn, seed).alias("_h")
+    gcols = list(group_cols or [])
+    return (
+        et.select(F.col(ts_col), *gcols, h)
+        .groupBy(F.window(F.col(ts_col), window), *gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_d"),
+            F.pmod(F.sum("_h"), F.lit(_DOMAIN)).alias("sum_d"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *gcols,
+            "n_rows",
+            "xor_d",
+            "sum_d",
+        )
+    )
+
+
+def run_stream_digest_smoke(
+    spark,
+    parquet_dir: str,
+    content_cols: list[str],
+    group_cols: list[str] | None = None,
+    query_name: str = "stream_digest",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the running digest over a bounded parquet dir in complete
+    mode (the digest frame is group-cardinality-sized, so complete
+    re-emission is cheap at any stream length)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_content_digest(stream, content_cols, group_cols, **kwargs)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_incremental_exact(
     stream_df: DataFrame,
     existing_keys: DataFrame,

@@ -843,3 +843,76 @@ def test_stream_fd_state_ttl_smoke(tmp_path, spark):
     finally:
         q.stop()
     assert {r["tool"] for r in got} == {"search"}
+
+
+def test_stream_content_digest_matches_batch(tmp_path, corpus):
+    """The running streamed digest (complete mode) must equal the batch
+    digest value-for-value on a bounded corpus — the ingest-certification
+    contract: stream in, reconcile digests, zero mismatches means nothing
+    was lost, duplicated, or altered in flight."""
+    from taco_toolbox_spark.operators.digest import (
+        content_digest,
+        digest_mismatches,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_digest_smoke,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "digest_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+
+    streamed = run_stream_digest_smoke(
+        spark, path, cols, ["part"], query_name="t_sdigest",
+        max_files_per_trigger=1,
+    )
+    batch = content_digest(spark.read.parquet(path), cols, ["part"])
+    assert digest_mismatches(batch, streamed, ["part"]).count() == 0
+    assert streamed.count() == batch.count() > 0
+    # a tampered batch side is caught by the same reconcile
+    import pyspark.sql.functions as F
+    tampered = content_digest(
+        spark.read.parquet(path).withColumn(
+            "text", F.when(F.col("turn_idx") == 0, "X").otherwise(F.col("text"))
+        ),
+        cols, ["part"],
+    )
+    assert digest_mismatches(tampered, streamed, ["part"]).count() > 0
+
+
+def test_stream_content_digest_windowed(tmp_path, corpus):
+    """Windowed mode: per-event-time-window digests; each window's digest
+    equals the batch digest of that window's slice."""
+    from taco_toolbox_spark.operators.digest import content_digest
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_digest_smoke,
+    )
+    import pyspark.sql.functions as F
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "digest_win_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+
+    streamed = run_stream_digest_smoke(
+        spark, path, cols, None, query_name="t_sdigest_w", window="1 day",
+    )
+    static = spark.read.parquet(path)
+    want = {
+        tuple(r)
+        for r in content_digest(
+            static.withColumn(
+                "window_start", F.date_trunc("day", F.col("ts"))
+            ),
+            cols,
+            ["window_start"],
+        ).collect()
+    }
+    got = {
+        (r.window_start, r.n_rows, r.xor_d, r.sum_d)
+        for r in streamed.select(
+            "window_start", "n_rows", "xor_d", "sum_d"
+        ).collect()
+    }
+    assert got == want and want
