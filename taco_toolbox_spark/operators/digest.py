@@ -182,6 +182,38 @@ def digest_mismatches(
     )
 
 
+def digest_union(
+    digests: list[DataFrame],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold digest frames into the digest of the UNION of their inputs —
+    the incremental-maintenance half of the algebra: append a partition,
+    digest only the DELTA, and ``digest_union([old, delta])`` equals a
+    full rescan (count adds, xor xors, sum adds mod 2^40 — all
+    commutative AND associative, so any grouping/order of partials
+    agrees). Compaction audits, snapshot digests, and rolling ingest
+    certification all become digest-sized arithmetic instead of data
+    passes. Input frames must share the digest schema
+    (group_cols + n_rows/xor_d/sum_d) and the SAME hash family/seed —
+    digests from different families are meaningless to combine."""
+    if not digests:
+        raise ValueError("digests must be non-empty")
+    gcols = list(group_cols or [])
+    need = set(gcols) | {"n_rows", "xor_d", "sum_d"}
+    for i, d in enumerate(digests):
+        missing = need - set(d.columns)
+        if missing:
+            raise ValueError(f"digest frame {i} is missing {sorted(missing)}")
+    allp = digests[0]
+    for d in digests[1:]:
+        allp = allp.unionByName(d.select(*allp.columns))
+    return allp.groupBy(*gcols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("bit_xor(xor_d)").alias("xor_d"),
+        F.pmod(F.sum("sum_d"), F.lit(_DOMAIN)).alias("sum_d"),
+    )
+
+
 def certify_rewrite(
     before: DataFrame,
     after: DataFrame,

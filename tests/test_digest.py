@@ -142,3 +142,38 @@ def test_certify_rewrite_consolidation_roundtrip(spark, tmp_path):
     assert certify_rewrite(merged, back, ["g", "i", "t"]).count() == 0
     # a lost row is caught globally (no groups to hide in)
     assert certify_rewrite(merged, back.limit(3), ["g", "i", "t"]).count() == 1
+
+
+def test_digest_union_equals_full_rescan(spark):
+    """The incremental-maintenance algebra: digest(A ∪ B ∪ C) ==
+    digest_union(digest(A), digest(B), digest(C)), per group and
+    globally — including groups present in only some inputs."""
+    from taco_toolbox_spark.operators.digest import content_digest, digest_union
+
+    a = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "x")], "g string, i int, t string"
+    )
+    b = spark.createDataFrame(
+        [("a", 1, "x"), ("c", 9, None)], "g string, i int, t string"  # dup row + new group
+    )
+    c = spark.createDataFrame([("b", 2, "z")], "g string, i int, t string")
+    full = a.unionAll(b).unionAll(c)
+    for gcols in (["g"], []):
+        want = sorted(
+            map(tuple, content_digest(full, ["i", "t"], gcols or None).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                digest_union(
+                    [content_digest(x, ["i", "t"], gcols or None) for x in (a, b, c)],
+                    gcols or None,
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    with pytest.raises(ValueError, match="missing"):
+        digest_union([a], ["g"])
+    with pytest.raises(ValueError, match="non-empty"):
+        digest_union([])
