@@ -15,6 +15,8 @@ each side, a digest-cardinality reconcile join, zero row comparison.
 Writes (when --output is given, both through the JVM Hadoop filesystem so
 hdfs:///s3a:// outputs work like local ones):
     <output>/mismatches/   per-group digest diffs (empty = certified)
+    <output>/witnesses/    with --drilldown on mismatch: the exact rows
+                           present on only one side (flagged groups only)
     <output>/summary.json  {status, n_mismatches, params}
 
 Exit code 0 = certified equal, 1 = mismatches found (the CI-gate shape:
@@ -76,6 +78,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         default=20,
         help="mismatched groups to print (the frame itself is complete)",
     )
+    p.add_argument(
+        "--drilldown",
+        action="store_true",
+        help="on mismatch, also write <output>/witnesses/ — the exact "
+        "rows (with multiplicity) present on only one side, restricted "
+        "to the flagged groups; requires --output and --group-cols",
+    )
     args = p.parse_args(argv)
     content_cols = [c for c in args.content_cols.split(",") if c]
     group_cols = (
@@ -83,6 +92,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         if args.group_cols
         else None
     )
+    if args.drilldown and not (args.output and group_cols):
+        raise SystemExit("--drilldown requires --output and --group-cols")
 
     from taco_toolbox_spark.operators.digest import certify_rewrite
     from taco_toolbox_spark.session import get_spark
@@ -126,6 +137,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 mm.write.mode("overwrite").parquet(
                     os.path.join(args.output, "mismatches")
                 )
+                if args.drilldown and n:
+                    from taco_toolbox_spark.operators.digest import (
+                        digest_drilldown,
+                    )
+
+                    digest_drilldown(
+                        before, after, content_cols, group_cols, mm
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(args.output, "witnesses")
+                    )
                 _write_text(
                     spark,
                     os.path.join(args.output, "summary.json"),

@@ -242,6 +242,43 @@ def certify_rewrite(
     return digest_mismatches(a, b, gcols)
 
 
+def digest_drilldown(
+    before: DataFrame,
+    after: DataFrame,
+    content_cols: list[str],
+    group_cols: list[str],
+    mismatches: DataFrame,
+) -> DataFrame:
+    """Row-level witnesses for flagged groups — the paranoid second pass
+    the digest docstring promises: restrict BOTH corpora to the groups
+    ``certify_rewrite``/``digest_mismatches`` flagged (broadcast semi-join
+    against the digest-sized mismatch frame) and diff exact rows with
+    multiplicity (``exceptAll`` both ways). Output: group_cols +
+    content_cols + ``side`` in {'missing_after', 'unexpected_after'}.
+
+    Scale shape: the full corpus is scanned once per side but only
+    flagged-group rows survive the semi-join into the (expensive)
+    set-diff shuffle; with partition-grain groups, filter the scans by
+    the flagged partition values first for partition pruning."""
+    from pyspark.sql.functions import broadcast
+
+    keys = mismatches.select(*group_cols).distinct()
+
+    def _side(df: DataFrame) -> DataFrame:
+        cond = None
+        for c in group_cols:
+            eq = df[c].eqNullSafe(keys[c])
+            cond = eq if cond is None else (cond & eq)
+        return df.join(broadcast(keys), cond, "left_semi").select(
+            *group_cols, *content_cols
+        )
+
+    b, a = _side(before), _side(after)
+    return b.exceptAll(a).withColumn(
+        "side", F.lit("missing_after")
+    ).unionAll(a.exceptAll(b).withColumn("side", F.lit("unexpected_after")))
+
+
 def duplicate_conversation_groups(
     df: DataFrame,
     group_col: str = "conv_id",

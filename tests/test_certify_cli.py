@@ -71,6 +71,7 @@ def test_certify_broken_rewrite(spark, corpus_pair, tmp_path, hash_fn):
             "--group-cols", "part",
             "--hash", hash_fn,
             "--output", out,
+            "--drilldown",
         ],
         stop_session=False,
     )
@@ -80,6 +81,12 @@ def test_certify_broken_rewrite(spark, corpus_pair, tmp_path, hash_fn):
     assert all(r["status"] == "changed" for r in mm)
     doc = json.load(open(os.path.join(out, "summary.json")))
     assert doc["status"] == "mismatch" and doc["n_mismatches"] == len(mm)
+    # --drilldown pins the loss to the exact rows: every witness row is
+    # the dropped conversation, on the missing side
+    wit = spark.read.parquet(os.path.join(out, "witnesses")).collect()
+    assert wit and all(
+        r["conv_id"] == victim and r["side"] == "missing_after" for r in wit
+    )
 
 
 def test_certify_missing_column_is_an_arg_error(spark, corpus_pair):

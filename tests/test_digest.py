@@ -177,3 +177,35 @@ def test_digest_union_equals_full_rescan(spark):
         digest_union([a], ["g"])
     with pytest.raises(ValueError, match="non-empty"):
         digest_union([])
+
+
+def test_digest_drilldown_pins_exact_rows(spark):
+    """certify -> flagged groups -> exact row witnesses, with
+    multiplicity: a duplicated row shows up once as unexpected, a dropped
+    row once as missing, and untouched groups contribute nothing."""
+    from taco_toolbox_spark.operators.digest import (
+        certify_rewrite,
+        digest_drilldown,
+    )
+
+    before = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "x"), ("c", 1, "z")],
+        "g string, i int, t string",
+    )
+    # rewrite: drops (a,2,y), duplicates (b,1,x), alters (c,1,z)->(c,1,Z)
+    after = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "x"), ("b", 1, "x"), ("c", 1, "Z")],
+        "g string, i int, t string",
+    )
+    mm = certify_rewrite(before, after, ["i", "t"], ["g"])
+    assert sorted(r["g"] for r in mm.collect()) == ["a", "b", "c"]
+    wit = digest_drilldown(before, after, ["i", "t"], ["g"], mm)
+    got = sorted(map(tuple, wit.collect()))
+    assert got == sorted(
+        [
+            ("a", 2, "y", "missing_after"),
+            ("b", 1, "x", "unexpected_after"),
+            ("c", 1, "z", "missing_after"),
+            ("c", 1, "Z", "unexpected_after"),
+        ]
+    )

@@ -473,3 +473,29 @@ def test_fd_violations_no_expand_stacked_partial_aggs(spark):
     assert plan.count("partial_count") >= 1  # map-side combine, stage 1
     # stage 2 re-aggregates the (det, combo) rows: min/max/sum partials
     assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_content_digest_plan_is_one_agg_no_python(spark, tmp_path):
+    """The digest must compile to exactly one partial/final hash-aggregate
+    pair over a pruned scan: no window, no Python eval, and at most the
+    aggregate's own exchange (plus the AQE-era spread repartition when the
+    input is under-partitioned — here the input carries enough splits that
+    the spread is a no-op, so exactly ONE exchange total)."""
+    from taco_toolbox_spark.operators.digest import content_digest
+
+    path = str(tmp_path / "wide")
+    spark.range(2000).selectExpr(
+        "id", "cast(id % 7 as string) g", "concat('t', id) t",
+        "id * 2 extra1", "id * 3 extra2",
+    ).repartition(8).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    out = content_digest(df, ["id", "t"], ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1, plan
+    for bad in ("Window", "BatchEvalPython", "ArrowEvalPython", "SortAggregate"):
+        assert bad not in plan, bad
+    # column pruning: the wide extras never reach the physical scan (the
+    # logical relation mentions the full file schema; the executed scan's
+    # Output/ReadSchema must not)
+    assert "extra1" not in plan and "extra2" not in plan
