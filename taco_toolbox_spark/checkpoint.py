@@ -186,6 +186,76 @@ def record_categorical_state(
         )
 
 
+def record_digest_state(
+    manifest: CheckpointManifest,
+    df: DataFrame,
+    content_cols: list[str],
+    partition_col: str = "part",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> None:
+    """Persist per-partition content digests into the manifest — the
+    content-equality twin of :func:`record_sketch_state`. A digest is
+    three integers (n_rows, xor_d, sum_d — operators/digest.py), so the
+    manifest gains a certification anchor at negligible size: a later
+    run certifies a consolidation/re-shard/migration of FINISHED
+    partitions against the stored digests without ever rescanning the
+    blessed originals. The hash family/seed/columns are recorded
+    alongside so a mismatch of parameters is an error, not a silent
+    always-differs."""
+    from .operators.digest import content_digest
+
+    manifest.doc.setdefault("digest_params", {})
+    params = {
+        "content_cols": list(content_cols),
+        "hash_fn": hash_fn,
+        "seed": seed,
+    }
+    prev = manifest.doc["digest_params"]
+    if prev and prev != params:
+        raise ValueError(
+            f"manifest already holds digests under {prev}, refusing to mix "
+            f"with {params}"
+        )
+    manifest.doc["digest_params"] = params
+    src = df.select(
+        F.col(partition_col).cast("string").alias("_digest_part"),
+        *content_cols,
+    )
+    rows = (
+        content_digest(
+            src, content_cols, ["_digest_part"], hash_fn=hash_fn, seed=seed
+        )
+        .withColumnRenamed("_digest_part", "part")
+        .collect()
+    )
+    for r in rows:
+        rec = manifest.doc["partitions"].setdefault(r["part"], {})
+        rec["digest"] = {
+            "n_rows": int(r["n_rows"]),
+            "xor_d": int(r["xor_d"]),
+            "sum_d": int(r["sum_d"]),
+        }
+
+
+def digest_frame_from_manifest(spark, manifest: CheckpointManifest) -> DataFrame:
+    """Rebuild the per-partition digest frame from manifest state — the
+    'before' side of :func:`operators.digest.digest_mismatches` /
+    ``certify_rewrite`` without rescanning the blessed corpus. Pair it
+    with a fresh ``content_digest`` of the rewrite (same recorded
+    params: ``manifest.doc['digest_params']``)."""
+    rows = [
+        (part, rec["digest"]["n_rows"], rec["digest"]["xor_d"], rec["digest"]["sum_d"])
+        for part, rec in manifest.doc["partitions"].items()
+        if "digest" in rec
+    ]
+    if not rows:
+        raise ValueError("manifest holds no digest state; run record_digest_state")
+    return spark.createDataFrame(
+        rows, "part string, n_rows long, xor_d long, sum_d long"
+    )
+
+
 def merged_categorical_from_manifest(
     manifest: CheckpointManifest, cat_col: str
 ) -> dict[str, int]:

@@ -79,3 +79,50 @@ def test_distinct_state_manifest_roundtrip(tmp_path, corpus, clean_pdf):
     exact = clean_pdf.conv_id.nunique()
     assert abs(est - exact) / exact < 0.05
     assert merged_distinct_from_manifest(spark, m2, "absent_col") is None
+
+
+def test_digest_state_manifest_roundtrip_and_certify(tmp_path, corpus):
+    """record -> save -> reload -> certify a rewrite against the manifest
+    digests WITHOUT rescanning the blessed corpus."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.checkpoint import (
+        digest_frame_from_manifest,
+        record_digest_state,
+    )
+    from taco_toolbox_spark.operators.digest import (
+        content_digest,
+        digest_mismatches,
+    )
+
+    spark = corpus.clean.sparkSession
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    path = str(tmp_path / "mg.json")
+    m = CheckpointManifest.load_or_create(path, "r", "mem://c")
+    record_digest_state(m, corpus.clean, cols)
+    m.save()
+
+    m2 = CheckpointManifest.load_or_create(path, "r", "mem://c")
+    assert m2.doc["digest_params"]["content_cols"] == cols
+    stored = digest_frame_from_manifest(spark, m2)
+
+    # a faithful rewrite certifies clean against the STORED digests
+    rewrite = corpus.clean.orderBy("text").repartition(5)
+    fresh = content_digest(
+        rewrite.withColumn("part", F.col("part").cast("string")), cols, ["part"]
+    )
+    assert digest_mismatches(stored, fresh, ["part"]).count() == 0
+
+    # a tampered rewrite is caught
+    bad = content_digest(
+        rewrite.filter("turn_idx < 9").withColumn(
+            "part", F.col("part").cast("string")
+        ),
+        cols,
+        ["part"],
+    )
+    assert digest_mismatches(stored, bad, ["part"]).count() > 0
+
+    # parameter mixing is refused, not silently always-different
+    with pytest.raises(ValueError, match="refusing to mix"):
+        record_digest_state(m2, corpus.clean, cols, hash_fn="md5")
