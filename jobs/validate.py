@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "(int/long/string/binary)",
     )
     p.add_argument(
+        "--record-digests",
+        default=None,
+        metavar="COLS",
+        help="comma-separated content columns: store each validated "
+        "partition's three-integer content digest in the manifest, so a "
+        "later consolidation/migration of blessed partitions is "
+        "certified against the manifest (jobs/certify.py or "
+        "digest_frame_from_manifest) without rescanning the originals",
+    )
+    p.add_argument(
         "--role-grammar",
         action="store_true",
         help="add the role-transition grammar check (SequenceCheck): a "
@@ -486,6 +496,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 else:
                     for j in jobs:
                         j()
+            if args.record_digests:
+                from taco_toolbox_spark.checkpoint import record_digest_state
+
+                dcols = [c for c in args.record_digests.split(",") if c]
+                missing = [c for c in dcols if c not in cdf.columns]
+                if missing:
+                    print(f"digest: no column(s) {missing}; skipping "
+                          "digest state")
+                else:
+                    record_digest_state(
+                        manifest, cdf, dcols, cfg.partition_col
+                    )
             manifest.save()  # checkpoint AFTER the idempotent writes land
             total_rows += sum(counts.values())
             n_failed += sum(1 for r in verdict_rows if not r["passed"])

@@ -699,3 +699,46 @@ def test_validate_cli_suite_errors(corpus_dir, tmp_path):
              "--partition-col", "other"],
             stop_session=False,
         )
+
+
+def test_validate_cli_record_digests(spark, corpus_dir, tmp_path):
+    """--record-digests leaves a certification anchor in the manifest:
+    every validated partition carries its content digest, and a rewrite
+    of the corpus certifies against the manifest without rescanning."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        digest_frame_from_manifest,
+    )
+    from taco_toolbox_spark.operators.digest import (
+        content_digest,
+        digest_mismatches,
+    )
+
+    out = str(tmp_path / "out")
+    cols = "conv_id,turn_idx,role,text"
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--baseline", f"{corpus_dir}/transcripts_baseline",
+            "--output", out,
+            "--record-digests", cols,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    m = CheckpointManifest.load_or_create(
+        os.path.join(out, "manifest.json"), "r", f"{corpus_dir}/transcripts"
+    )
+    assert m.doc["digest_params"]["content_cols"] == cols.split(",")
+    assert all("digest" in rec for rec in m.doc["partitions"].values())
+
+    stored = digest_frame_from_manifest(spark, m)
+    rewrite = spark.read.parquet(f"{corpus_dir}/transcripts").repartition(3)
+    fresh = content_digest(
+        rewrite.withColumn("part", F.col("part").cast("string")),
+        cols.split(","),
+        ["part"],
+    )
+    assert digest_mismatches(stored, fresh, ["part"]).count() == 0
