@@ -2153,6 +2153,43 @@ def q_m2_dup_convs(spark, sf_dir):
     )
 
 
+def q_stream_digest(spark, sf_dir):
+    """STREAMING content digest under the full value oracle: the
+    documents table is staged as a file-stream source and digested by the
+    running streaming aggregation (streaming/validate_stream.py:
+    stream_content_digest) in complete mode — whose final emission must
+    equal the batch digest of the same data, which the DuckDB oracle
+    recomputes from scratch (md5 row hashes, bit_xor, sum mod 2^40).
+    The ingest-certification contract held to the same
+    rows+schema+hash gate as every batch query."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_digest_smoke,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/docs_digest_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        _t(spark, sf_dir, "documents").write.mode("overwrite").parquet(staged)
+    return run_stream_digest_smoke(
+        spark,
+        staged,
+        ["doc_id", "text", "lang", "source"],
+        ["source"],
+        query_name=f"q_sdigest_{tag}",
+        hash_fn="md5",
+    )
+
+
 def q_digest_documents(spark, sf_dir):
     """Bench-only twin of m1_content_digest at data scale: native
     xxhash64-family content digest of the sf ``documents`` table grouped
@@ -2273,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_chunk_windows": q_w8_chunk_windows,
         "m1_content_digest": q_m1_content_digest,
         "m2_dup_convs": q_m2_dup_convs,
+        "stream_digest": q_stream_digest,
     }
 
 
@@ -3243,6 +3281,23 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(conv_id, ',' ORDER BY conv_id) AS conv_ids
             FROM d GROUP BY n_turns, xor_d, sum_d
             HAVING count(*) > 1
+        """,
+        # the streaming digest's complete-mode emission must equal the
+        # batch digest DuckDB recomputes from scratch over the same table
+        "stream_digest": """
+            WITH h AS (
+              SELECT source,
+                     ('0x' || substr(md5(
+                        coalesce(doc_id::VARCHAR, chr(0)) || chr(31) ||
+                        coalesce(text, chr(0)) || chr(31) ||
+                        coalesce(lang, chr(0)) || chr(31) ||
+                        coalesce(source, chr(0)) || chr(31) || '0'
+                     ), 1, 10))::BIGINT AS h
+              FROM documents
+            )
+            SELECT source, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_d,
+                   (sum(h) % 1099511627776)::BIGINT AS sum_d
+            FROM h GROUP BY source
         """,
         "v14_role_close": f"""
             -- closing rule: the value at the LARGEST turn_idx must be an
