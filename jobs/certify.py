@@ -12,6 +12,12 @@ re-shard, engine migration, or resume-after-crash rewrite, prove the new
 corpus holds the SAME content multiset as the blessed one — one pass over
 each side, a digest-cardinality reconcile join, zero row comparison.
 
+With --before-manifest MANIFEST.json (a validation run's manifest written
+under --record-digests) the blessed side isn't scanned AT ALL: the
+rewrite is certified against the per-partition digests stored in the
+manifest, whose recorded content columns / hash family / seed are
+authoritative.
+
 Writes (when --output is given, both through the JVM Hadoop filesystem so
 hdfs:///s3a:// outputs work like local ones):
     <output>/mismatches/   per-group digest diffs (empty = certified)
@@ -51,12 +57,24 @@ def _write_text(spark, path: str, text: str) -> None:
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--before", required=True, help="blessed corpus path")
+    side = p.add_mutually_exclusive_group(required=True)
+    side.add_argument("--before", help="blessed corpus path")
+    side.add_argument(
+        "--before-manifest",
+        help="manifest.json from a validation run that used "
+        "--record-digests: certify against the STORED per-partition "
+        "digests without rescanning the blessed corpus (content columns, "
+        "hash family, and seed come from the manifest; grain is the "
+        "partition column)",
+    )
     p.add_argument("--after", required=True, help="rewritten corpus path")
     p.add_argument(
         "--content-cols",
-        required=True,
-        help="comma-separated columns whose multiset must be preserved",
+        default=None,
+        help="comma-separated columns whose multiset must be preserved "
+        "(required with --before; with --before-manifest the manifest's "
+        "recorded columns are authoritative and this must match or be "
+        "omitted)",
     )
     p.add_argument(
         "--group-cols",
@@ -86,12 +104,45 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "to the flagged groups; requires --output and --group-cols",
     )
     args = p.parse_args(argv)
-    content_cols = [c for c in args.content_cols.split(",") if c]
+    content_cols = (
+        [c for c in args.content_cols.split(",") if c]
+        if args.content_cols
+        else None
+    )
     group_cols = (
         [c for c in args.group_cols.split(",") if c]
         if args.group_cols
         else None
     )
+    hash_fn, seed = args.hash, args.seed
+    manifest = None
+    if args.before_manifest:
+        if args.drilldown:
+            raise SystemExit(
+                "--drilldown needs the blessed ROWS to diff against; "
+                "manifest mode holds only digests — pass --before"
+            )
+        if not os.path.exists(args.before_manifest):
+            raise SystemExit(f"no manifest at {args.before_manifest}")
+        from taco_toolbox_spark.checkpoint import CheckpointManifest
+
+        manifest = CheckpointManifest.load(args.before_manifest)
+        params = manifest.doc.get("digest_params") or {}
+        if not params:
+            raise SystemExit(
+                f"{args.before_manifest} holds no digest state; re-run "
+                "validation with --record-digests (or pass --before)"
+            )
+        if content_cols and content_cols != params["content_cols"]:
+            raise SystemExit(
+                f"--content-cols {content_cols} conflicts with the "
+                f"manifest's recorded {params['content_cols']}"
+            )
+        content_cols = params["content_cols"]
+        hash_fn, seed = params["hash_fn"], params["seed"]
+        group_cols = ["part"]
+    elif not content_cols:
+        raise SystemExit("--content-cols is required with --before")
     if args.drilldown and not (args.output and group_cols):
         raise SystemExit("--drilldown requires --output and --group-cols")
 
@@ -100,25 +151,49 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
 
     spark = get_spark("certify")
     try:
-        before = spark.read.parquet(args.before)
         after = spark.read.parquet(args.after)
-        for side, df in (("--before", before), ("--after", after)):
+        sides = [("--after", after)]
+        if manifest is None:
+            before = spark.read.parquet(args.before)
+            sides.append(("--before", before))
+        for label, df in sides:
             missing = [
                 c
                 for c in content_cols + (group_cols or [])
                 if c not in df.columns
             ]
             if missing:
-                raise SystemExit(f"{side} is missing columns {missing}")
+                raise SystemExit(f"{label} is missing columns {missing}")
 
-        mm = certify_rewrite(
-            before,
-            after,
-            content_cols,
-            group_cols,
-            hash_fn=args.hash,
-            seed=args.seed,
-        )
+        if manifest is not None:
+            from pyspark.sql import functions as F
+
+            from taco_toolbox_spark.checkpoint import (
+                digest_frame_from_manifest,
+            )
+            from taco_toolbox_spark.operators.digest import (
+                content_digest,
+                digest_mismatches,
+            )
+
+            stored = digest_frame_from_manifest(spark, manifest)
+            fresh = content_digest(
+                after.withColumn("part", F.col("part").cast("string")),
+                content_cols,
+                ["part"],
+                hash_fn=hash_fn,
+                seed=seed,
+            )
+            mm = digest_mismatches(stored, fresh, ["part"])
+        else:
+            mm = certify_rewrite(
+                before,
+                after,
+                content_cols,
+                group_cols,
+                hash_fn=hash_fn,
+                seed=seed,
+            )
         # the mismatch frame is digest-cardinality-sized but COMPUTING it
         # scans both corpora — persist so the count and the write don't
         # each pay the two full passes
@@ -154,12 +229,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                         {
                             "status": status,
                             "n_mismatches": n,
-                            "before": args.before,
+                            "before": args.before or args.before_manifest,
+                            "before_is_manifest": manifest is not None,
                             "after": args.after,
                             "content_cols": content_cols,
                             "group_cols": group_cols,
-                            "hash": args.hash,
-                            "seed": args.seed,
+                            "hash": hash_fn,
+                            "seed": seed,
                         },
                         indent=2,
                     ),

@@ -247,6 +247,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     manifest = CheckpointManifest.load_or_create(
         manifest_path, run_id, args.input, snapshot_id=current_snapshot
     )
+    digest_cols = (
+        [c for c in args.record_digests.split(",") if c]
+        if args.record_digests
+        else None
+    )
+    if digest_cols:
+        # pure-metadata compatibility check, BEFORE any batch burns its
+        # writes: mixing digest params across runs is a startup error
+        from taco_toolbox_spark.checkpoint import ensure_digest_params
+
+        try:
+            ensure_digest_params(manifest, digest_cols)
+        except ValueError as e:
+            raise SystemExit(f"--record-digests: {e}")
     if args.resume:
         pinned = manifest.doc.get("snapshot_id")
         if pinned and pinned != current_snapshot:
@@ -496,17 +510,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 else:
                     for j in jobs:
                         j()
-            if args.record_digests:
+            if digest_cols:
                 from taco_toolbox_spark.checkpoint import record_digest_state
 
-                dcols = [c for c in args.record_digests.split(",") if c]
-                missing = [c for c in dcols if c not in cdf.columns]
+                missing = [c for c in digest_cols if c not in cdf.columns]
                 if missing:
                     print(f"digest: no column(s) {missing}; skipping "
                           "digest state")
                 else:
                     record_digest_state(
-                        manifest, cdf, dcols, cfg.partition_col
+                        manifest, cdf, digest_cols, cfg.partition_col
                     )
             manifest.save()  # checkpoint AFTER the idempotent writes land
             total_rows += sum(counts.values())

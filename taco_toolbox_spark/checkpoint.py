@@ -60,6 +60,15 @@ class CheckpointManifest:
             }
         return cls(path=path, doc=doc)
 
+    @classmethod
+    def load(cls, path: str) -> "CheckpointManifest":
+        """Read-only load of an EXISTING manifest, no input-path identity
+        check — for consumers certifying/reporting against recorded state
+        (jobs/certify.py --before-manifest) rather than resuming the run
+        that wrote it."""
+        with open(path) as f:
+            return cls(path=path, doc=json.load(f))
+
     # -- queries ----------------------------------------------------------
     def finished_partitions(self) -> list[str]:
         return [
@@ -186,6 +195,31 @@ def record_categorical_state(
         )
 
 
+def ensure_digest_params(
+    manifest: CheckpointManifest,
+    content_cols: list[str],
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> None:
+    """Pin (or verify) the manifest's digest parameters — a pure-metadata
+    check, callable BEFORE any heavy work: mixing hash families, seeds,
+    or column sets across runs would make every stored digest silently
+    always-differ, so a mismatch is an error up front, not after a
+    validation batch has already burned its writes."""
+    params = {
+        "content_cols": list(content_cols),
+        "hash_fn": hash_fn,
+        "seed": seed,
+    }
+    prev = manifest.doc.get("digest_params")
+    if prev and prev != params:
+        raise ValueError(
+            f"manifest already holds digests under {prev}, refusing to mix "
+            f"with {params}"
+        )
+    manifest.doc["digest_params"] = params
+
+
 def record_digest_state(
     manifest: CheckpointManifest,
     df: DataFrame,
@@ -205,19 +239,7 @@ def record_digest_state(
     always-differs."""
     from .operators.digest import content_digest
 
-    manifest.doc.setdefault("digest_params", {})
-    params = {
-        "content_cols": list(content_cols),
-        "hash_fn": hash_fn,
-        "seed": seed,
-    }
-    prev = manifest.doc["digest_params"]
-    if prev and prev != params:
-        raise ValueError(
-            f"manifest already holds digests under {prev}, refusing to mix "
-            f"with {params}"
-        )
-    manifest.doc["digest_params"] = params
+    ensure_digest_params(manifest, content_cols, hash_fn, seed)
     src = df.select(
         F.col(partition_col).cast("string").alias("_digest_part"),
         *content_cols,
@@ -238,12 +260,20 @@ def record_digest_state(
         }
 
 
-def digest_frame_from_manifest(spark, manifest: CheckpointManifest) -> DataFrame:
+def digest_frame_from_manifest(
+    spark, manifest: CheckpointManifest, allow_partial: bool = False
+) -> DataFrame:
     """Rebuild the per-partition digest frame from manifest state — the
     'before' side of :func:`operators.digest.digest_mismatches` /
     ``certify_rewrite`` without rescanning the blessed corpus. Pair it
     with a fresh ``content_digest`` of the rewrite (same recorded
-    params: ``manifest.doc['digest_params']``)."""
+    params: ``manifest.doc['digest_params']``).
+
+    A manifest where only SOME partitions carry digests (e.g. an early
+    run predating --record-digests) would certify a faithful rewrite as
+    full of missing_left mismatches — so an incomplete anchor set is an
+    error unless ``allow_partial`` says the caller will reconcile only
+    the covered partitions."""
     rows = [
         (part, rec["digest"]["n_rows"], rec["digest"]["xor_d"], rec["digest"]["sum_d"])
         for part, rec in manifest.doc["partitions"].items()
@@ -251,6 +281,18 @@ def digest_frame_from_manifest(spark, manifest: CheckpointManifest) -> DataFrame
     ]
     if not rows:
         raise ValueError("manifest holds no digest state; run record_digest_state")
+    bare = [
+        part
+        for part, rec in manifest.doc["partitions"].items()
+        if "digest" not in rec
+    ]
+    if bare and not allow_partial:
+        raise ValueError(
+            f"{len(bare)} of {len(bare) + len(rows)} manifest partitions "
+            f"carry no digest (e.g. {sorted(bare)[:3]}); certifying against "
+            "a partial anchor set flags every uncovered partition — pass "
+            "allow_partial=True to reconcile only covered partitions"
+        )
     return spark.createDataFrame(
         rows, "part string, n_rows long, xor_d long, sum_d long"
     )

@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _NULL, _SEP
+from .sampling import md5_prefix_long
 
 #: Digest hash width. 40 bits keeps md5-mode arithmetic portable (a
 #: 10-hex-char prefix parses exactly on any engine) and leaves 23 bits of
@@ -81,18 +81,22 @@ def row_digest(
         # top 40 of the 64 hash bits, as a non-negative long
         return F.shiftrightunsigned(h, 64 - DIGEST_BITS)
     if hash_fn == "md5":
-        key = F.concat_ws(
-            _SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols],
-        )
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, 10
-            ),
-            16,
-            10,
-        ).cast("long")
+        # the package-wide md5 key arithmetic (operators/sampling.py), at
+        # the digest's 10-hex-char = 40-bit width
+        return md5_prefix_long(cols, seed, DIGEST_BITS // 4)
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def digest_aggs() -> list[Column]:
+    """The digest's commutative combiner triple over a ``_h`` row-hash
+    column — the ONE definition batch ``content_digest``, the windowed
+    streaming digest, and any future grouping share, so the documented
+    batch==stream parity can't drift."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_d"),
+        F.pmod(F.sum("_h"), F.lit(_DOMAIN)).alias("sum_d"),
+    ]
 
 
 def content_digest(
@@ -120,11 +124,7 @@ def content_digest(
     src = spread_for_compute(df.select(*pruned))
     h = row_digest(content_cols, hash_fn, seed).alias("_h")
     gb = src.select(*(group_cols or []), h).groupBy(*(group_cols or []))
-    return gb.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(_h)").alias("xor_d"),
-        F.pmod(F.sum("_h"), F.lit(_DOMAIN)).alias("sum_d"),
-    )
+    return gb.agg(*digest_aggs())
 
 
 def digest_mismatches(
@@ -158,10 +158,14 @@ def digest_mismatches(
         .when(F.col("n_rows_left").isNull(), F.lit("missing_left"))
         .otherwise(F.lit("changed"))
     )
+    # component compare must be null-safe: an EMPTY group digests to
+    # (n_rows=0, xor_d=NULL, sum_d=NULL) — Spark's bit_xor/sum of zero
+    # rows — and NULL == NULL would flag two identical empty corpora as
+    # 'changed' (confirmed live before this guard)
     same = (
-        (F.col("n_rows_left") == F.col("n_rows_right"))
-        & (F.col("xor_d_left") == F.col("xor_d_right"))
-        & (F.col("sum_d_left") == F.col("sum_d_right"))
+        F.col("n_rows_left").eqNullSafe(F.col("n_rows_right"))
+        & F.col("xor_d_left").eqNullSafe(F.col("xor_d_right"))
+        & F.col("sum_d_left").eqNullSafe(F.col("sum_d_right"))
     )
     keys = [
         F.coalesce(F.col(f"_lk_{c}"), F.col(f"_rk_{c}")).alias(c)

@@ -48,6 +48,31 @@ _SEP = "\x1f"
 _NULL = "\x00"
 
 
+def md5_prefix_long(
+    key_cols: list[str], seed: int, hex_chars: int
+) -> Column:
+    """THE engine-portable md5 key hash, in one place: columns cast to
+    string, coalesced to the ``_NULL`` sentinel (injectivity under
+    concat_ws's null-skipping), '\\x1f'-joined, seed appended behind one
+    more separator, first ``hex_chars`` hex chars parsed as a
+    non-negative long (4 bits each). Every md5-family operator
+    (sampling buckets at 8 chars, digests at 10) and every DuckDB oracle
+    replay derives from this exact arithmetic — change it here and the
+    oracles break loudly, change a copy and they'd diverge silently."""
+    key = F.concat_ws(
+        _SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+          for c in key_cols],
+    )
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, hex_chars
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_bucket(
     key_cols: list[str],
     seed: int = 0,
@@ -61,16 +86,7 @@ def hash_bucket(
     if hash_fn == "xxhash64":
         h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
     elif hash_fn == "md5":
-        key = F.concat_ws(
-            _SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-              for c in key_cols],
-        )
-        h = F.conv(
-            F.substring(F.md5(F.concat(key, F.lit(_SEP + str(seed)))), 1, 8),
-            16,
-            10,
-        ).cast("long")
+        h = md5_prefix_long(key_cols, seed, 8)
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return F.pmod(h, F.lit(buckets))

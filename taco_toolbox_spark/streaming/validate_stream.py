@@ -1223,8 +1223,7 @@ def stream_content_digest(
     column) — per-hour ingest slices certified independently, watermark
     closes windows so state stays bounded on an unbounded stream.
     """
-    from ..operators.digest import content_digest, row_digest
-    from ..operators.digest import _DOMAIN
+    from ..operators.digest import content_digest, digest_aggs, row_digest
 
     if window is None:
         return content_digest(
@@ -1236,11 +1235,7 @@ def stream_content_digest(
     return (
         et.select(F.col(ts_col), *gcols, h)
         .groupBy(F.window(F.col(ts_col), window), *gcols)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(_h)").alias("xor_d"),
-            F.pmod(F.sum("_h"), F.lit(_DOMAIN)).alias("sum_d"),
-        )
+        .agg(*digest_aggs())
         .select(
             F.col("window.start").alias("window_start"),
             *gcols,

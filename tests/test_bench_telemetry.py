@@ -7,13 +7,15 @@ process tree's CPU from machine busy. The assertion here is written to
 hold even on a contended box: whatever else is running, a burner spawned
 in OUR tree must be attributed to own (not foreign) load."""
 
+import os
 import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def test_own_tree_cpu_is_not_foreign():
-    sys.path.insert(0, "/root/repo")
     from bench import _busy_steal_cores, _cpu_snapshot
 
     p = subprocess.Popen([sys.executable, "-c", "while True: pass"])

@@ -101,3 +101,57 @@ def test_certify_missing_column_is_an_arg_error(spark, corpus_pair):
             stop_session=False,
         )
     assert "no_such_col" in str(e.value)
+
+
+def test_certify_against_manifest_without_rescanning_before(
+    spark, corpus_pair, tmp_path
+):
+    """Manifest mode: a validation run records digests; a later rewrite
+    certifies against the manifest alone — the blessed corpus path is
+    never read. Recorded params are authoritative; conflicts refuse."""
+    from taco_toolbox_spark.checkpoint import CheckpointManifest
+    from taco_toolbox_spark.checkpoint import record_digest_state
+
+    before, after = corpus_pair
+    mpath = str(tmp_path / "manifest.json")
+    m = CheckpointManifest.load_or_create(mpath, "r", before)
+    record_digest_state(
+        m, spark.read.parquet(before), ["conv_id", "turn_idx", "role", "text"]
+    )
+    m.save()
+
+    out = str(tmp_path / "run")
+    rc = certify_main(
+        ["--before-manifest", mpath, "--after", after, "--output", out],
+        stop_session=False,
+    )
+    assert rc == 0
+    doc = json.load(open(os.path.join(out, "summary.json")))
+    assert doc["status"] == "certified" and doc["before_is_manifest"]
+    assert doc["content_cols"] == ["conv_id", "turn_idx", "role", "text"]
+
+    # a truncated rewrite is caught by the stored digests
+    broken = str(tmp_path / "broken")
+    spark.read.parquet(after).filter("turn_idx < 9").write.mode(
+        "overwrite"
+    ).parquet(broken)
+    rc = certify_main(
+        ["--before-manifest", mpath, "--after", broken],
+        stop_session=False,
+    )
+    assert rc == 1
+
+    # conflicting --content-cols refuse before any Spark work
+    with pytest.raises(SystemExit, match="conflicts"):
+        certify_main(
+            ["--before-manifest", mpath, "--after", after,
+             "--content-cols", "conv_id,text"],
+            stop_session=False,
+        )
+    # drilldown needs rows, not digests
+    with pytest.raises(SystemExit, match="manifest mode"):
+        certify_main(
+            ["--before-manifest", mpath, "--after", after,
+             "--output", out, "--drilldown"],
+            stop_session=False,
+        )

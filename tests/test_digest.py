@@ -209,3 +209,18 @@ def test_digest_drilldown_pins_exact_rows(spark):
             ("c", 1, "Z", "unexpected_after"),
         ]
     )
+
+
+def test_certify_identical_empty_corpora(spark):
+    """Two identical EMPTY corpora must certify clean: an empty group
+    digests to (0, NULL, NULL) and the reconcile must be null-safe
+    (regression: NULL==NULL flagged 'changed' before)."""
+    from taco_toolbox_spark.operators.digest import certify_rewrite
+
+    e1 = spark.createDataFrame([], "g string, i int, t string")
+    e2 = spark.createDataFrame([], "g string, i int, t string")
+    assert certify_rewrite(e1, e2, ["i", "t"]).count() == 0
+    assert certify_rewrite(e1, e2, ["i", "t"], ["g"]).count() == 0
+    # and empty-vs-nonempty still fails
+    ne = spark.createDataFrame([("a", 1, "x")], "g string, i int, t string")
+    assert certify_rewrite(e1, ne, ["i", "t"]).count() == 1

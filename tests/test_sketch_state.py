@@ -126,3 +126,27 @@ def test_digest_state_manifest_roundtrip_and_certify(tmp_path, corpus):
     # parameter mixing is refused, not silently always-different
     with pytest.raises(ValueError, match="refusing to mix"):
         record_digest_state(m2, corpus.clean, cols, hash_fn="md5")
+
+
+def test_digest_frame_refuses_partial_anchor_set(tmp_path, corpus):
+    """A manifest where only some partitions carry digests must not
+    silently certify-as-mismatch the uncovered ones."""
+    from taco_toolbox_spark.checkpoint import (
+        digest_frame_from_manifest,
+        record_digest_state,
+    )
+
+    spark = corpus.clean.sparkSession
+    m = CheckpointManifest.load_or_create(
+        str(tmp_path / "mp.json"), "r", "mem://c"
+    )
+    # simulate a pre---record-digests run: partitions exist sans digest
+    m.doc["partitions"]["2025-01-01"] = {"status": "done"}
+    record_digest_state(
+        m, corpus.clean.filter("part <> '2025-01-01'"),
+        ["conv_id", "turn_idx"],
+    )
+    with pytest.raises(ValueError, match="carry no digest"):
+        digest_frame_from_manifest(spark, m)
+    partial = digest_frame_from_manifest(spark, m, allow_partial=True)
+    assert "2025-01-01" not in {r["part"] for r in partial.collect()}

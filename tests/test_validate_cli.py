@@ -742,3 +742,38 @@ def test_validate_cli_record_digests(spark, corpus_dir, tmp_path):
         ["part"],
     )
     assert digest_mismatches(stored, fresh, ["part"]).count() == 0
+
+
+def test_validate_cli_record_digests_param_mix_fails_fast(
+    spark, corpus_dir, tmp_path
+):
+    """Changing digest params against an existing manifest must be a
+    STARTUP error — not a ValueError after the first batch burned its
+    writes (review finding)."""
+    import time as _time
+
+    out = str(tmp_path / "out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--baseline", f"{corpus_dir}/transcripts_baseline",
+            "--output", out,
+            "--record-digests", "conv_id,turn_idx",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    t0 = _time.time()
+    with pytest.raises(SystemExit, match="refusing to mix"):
+        validate_main(
+            [
+                "--input", f"{corpus_dir}/transcripts",
+                "--baseline", f"{corpus_dir}/transcripts_baseline",
+                "--output", out,
+                "--resume",
+                "--record-digests", "conv_id,role",
+            ],
+            stop_session=False,
+        )
+    # fail-fast: no validation batch ran (a batch takes tens of seconds)
+    assert _time.time() - t0 < 20
