@@ -2190,6 +2190,45 @@ def q_stream_digest(spark, sf_dir):
     )
 
 
+def q_stream_digest_windowed(spark, sf_dir):
+    """STREAMING windowed digest under the full value oracle: the events
+    table streams through per-event-time-DAY digest windows (watermarked
+    — the unbounded-stream form, state bounded by open windows), and
+    each emitted (window_start, event_type) digest must equal the batch
+    digest of that day's slice, which the oracle recomputes with
+    date_trunc + the same md5 arithmetic. Doubles are excluded from the
+    hashed tuple by design: the digest contract hashes exact
+    (string/int) renderings, and float-to-string formats are the one
+    place engines legitimately disagree."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_digest_smoke,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/events_digest_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    return run_stream_digest_smoke(
+        spark,
+        staged,
+        ["event_id", "user_id", "props"],
+        ["event_type"],
+        query_name=f"q_swdigest_{tag}",
+        hash_fn="md5",
+        window="1 day",
+    )
+
+
 def q_digest_documents(spark, sf_dir):
     """Bench-only twin of m1_content_digest at data scale: native
     xxhash64-family content digest of the sf ``documents`` table grouped
@@ -2311,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_content_digest": q_m1_content_digest,
         "m2_dup_convs": q_m2_dup_convs,
         "stream_digest": q_stream_digest,
+        "stream_digest_windowed": q_stream_digest_windowed,
     }
 
 
@@ -3298,6 +3338,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_d,
                    (sum(h) % 1099511627776)::BIGINT AS sum_d
             FROM h GROUP BY source
+        """,
+        "stream_digest_windowed": """
+            WITH h AS (
+              SELECT date_trunc('day', ts) AS window_start, event_type,
+                     ('0x' || substr(md5(
+                        coalesce(event_id::VARCHAR, chr(0)) || chr(31) ||
+                        coalesce(user_id::VARCHAR, chr(0)) || chr(31) ||
+                        coalesce(props, chr(0)) || chr(31) || '0'
+                     ), 1, 10))::BIGINT AS h
+              FROM events
+            )
+            SELECT window_start, event_type, count(*)::BIGINT AS n_rows,
+                   bit_xor(h) AS xor_d,
+                   (sum(h) % 1099511627776)::BIGINT AS sum_d
+            FROM h GROUP BY window_start, event_type
         """,
         "v14_role_close": f"""
             -- closing rule: the value at the LARGEST turn_idx must be an

@@ -224,3 +224,25 @@ def test_certify_identical_empty_corpora(spark):
     # and empty-vs-nonempty still fails
     ne = spark.createDataFrame([("a", 1, "x")], "g string, i int, t string")
     assert certify_rewrite(e1, ne, ["i", "t"]).count() == 1
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_digest_over_array_columns(spark, hash_fn):
+    """Embedding-style array columns digest like scalars in both
+    families (xxhash64 hashes arrays natively; md5 casts to the
+    deterministic string rendering), and element-level changes or
+    null-vs-missing arrays change the digest."""
+    from taco_toolbox_spark.operators.digest import content_digest
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, None])],
+        "id long, emb array<double>",
+    )
+    d0 = content_digest(base, ["id", "emb"], None, hash_fn=hash_fn).first()
+    altered = spark.createDataFrame(
+        [(1, [1.0, 2.5]), (2, None), (3, [1.0, None])],
+        "id long, emb array<double>",
+    )
+    d1 = content_digest(altered, ["id", "emb"], None, hash_fn=hash_fn).first()
+    assert d0["n_rows"] == d1["n_rows"] == 3
+    assert (d0["xor_d"], d0["sum_d"]) != (d1["xor_d"], d1["sum_d"])
