@@ -30,7 +30,13 @@ serialize one task).
 The dependent combination is serialized with the package-wide sentinel
 convention (operators/sampling.py: ``chr(31)`` separator, ``chr(0)`` NULL
 marker) so NULL is a real value — (NULL) and ('') are different variants —
-and an independent engine replays the exact strings.
+and an independent engine replays the exact strings. Batch variant
+COUNTING groups by the actual dependent columns (exact for any values);
+the serialized string is witness-display only. The streaming twin
+(validate_stream.fd_violations_stateful) keeps first-seen state as the
+serialized string, so values containing the separator/sentinel control
+chars can collapse there — acceptable for the transcript payloads this
+engine validates, documented for anything else.
 """
 
 from __future__ import annotations
@@ -130,10 +136,18 @@ def fd_violations(
     if skip_null_determinant:
         df = df.filter(null_free_determinant(det))
     keys = ([partition_col] if partition_col else []) + det
+    # variants are counted at the grain of the ACTUAL dependent columns —
+    # exact and injective for any values. The serialized combo is built
+    # only AFTER the grouping, as the human-readable witness: a dependent
+    # value that itself contains the chr(31) separator can make two
+    # distinct variants RENDER identically in variant_min/max, but it can
+    # no longer collapse them in the count (which would have been a false
+    # pass — review finding)
     combos = (
-        df.select(*keys, dependent_combo(dep).alias("_combo"))
-        .groupBy(*keys, "_combo")
+        df.select(*keys, *dep)
+        .groupBy(*keys, *dep)
         .agg(F.count(F.lit(1)).alias("_n"))
+        .select(*keys, dependent_combo(dep).alias("_combo"), "_n")
     )
     return (
         combos.groupBy(*keys)

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 def _gram_hashes(text: Column, k: int, hash_fn: str = "xxhash64") -> Column:
     """Array of gram hashes of the k-word grams of ``text`` (empty array
-    when the text has fewer than k words; NULL for NULL).
+    when the text has fewer than k words — including NULL text, which
+    tokenizes to no words).
 
     ``hash_fn="xxhash64"`` (library default): native 64-bit JVM hash —
     the fast path; no hex decode, no base conversion. ``hash_fn="md5"``:
@@ -49,7 +50,14 @@ def _gram_hashes(text: Column, k: int, hash_fn: str = "xxhash64") -> Column:
     dual-family discipline as dedup/minhash.py:shingle_hash: the
     selection/join structure is identical under either family, so the
     md5-mode oracle plus pytest parity carries correctness for both."""
-    words = F.split(text, " ")
+    # the package tokenizer (trim + \s+), NOT a literal single-space
+    # split: winnow's shared-run guarantee must agree with the other
+    # dedup paths (ngram/minhash/substring all tokenize via tokens()) on
+    # text containing newlines/tabs/runs of spaces — a verbatim run that
+    # differs only in whitespace must still collide (review finding)
+    from ..functions.text import tokens
+
+    words = tokens(text)
     ng = F.greatest(F.size(words) - (k - 1), F.lit(0))
     if hash_fn == "xxhash64":
         def gram_hash(i: Column) -> Column:

@@ -86,7 +86,15 @@ def bigram_frequency_score(
             ).alias("n_rare"),
         )
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    # null-safe id join: a NULL doc_id still contributed its bigrams to
+    # the corpus counts above (groupBy treats NULL as one group), and a
+    # plain equi-join would drop that match and report the row as empty
+    # (n_rare=0 on a possibly-junk document) — review finding
+    ids = df.select(id_col)
+    pd_r = per_doc.withColumnRenamed(id_col, "_pd_id")
+    return ids.join(
+        pd_r, ids[id_col].eqNullSafe(pd_r["_pd_id"]), "left"
+    ).select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),

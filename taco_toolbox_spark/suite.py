@@ -163,7 +163,28 @@ def _str_list(entry: dict, where: str, key: str) -> list[str]:
     return list(v)
 
 
-def _build_check(entry: dict, where: str, reference: DataFrame | None):
+def _float(entry: dict, where: str, key: str, default: float) -> float:
+    """Defaulted float field under the SuiteError contract — a bare
+    float('big') ValueError would escape the CLI's `except SuiteError`
+    as a raw traceback with no entry name."""
+    v = entry.get(key, default)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise SuiteError(f"{where}: {key!r} must be a number, got {v!r}")
+    return float(v)
+
+
+def _float_list(entry: dict, where: str, key: str) -> list[float]:
+    v = entry[key]
+    if not isinstance(v, (list, tuple)) or not v or not all(
+        isinstance(x, (int, float)) and not isinstance(x, bool) for x in v
+    ):
+        raise SuiteError(
+            f"{where}: {key!r} must be a non-empty list of numbers"
+        )
+    return [float(x) for x in v]
+
+
+def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
     t = entry["type"]
     cid = entry["id"]
     desc = entry.get("description", "")
@@ -211,17 +232,34 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None):
             null_ok=entry.get("null_ok", False),
         )
     elif t == "uniqueness":
-        keys = entry.get("keys")
+        # presence-test, not truthiness: a declared-but-empty "keys": []
+        # must fail loudly (in _str_list), never silently relax to the
+        # engine default key set
         c = UniquenessCheck(
             check_id=cid,
-            keys=tuple(_str_list(entry, where, "keys")) if keys else None,
+            keys=(
+                tuple(_str_list(entry, where, "keys"))
+                if "keys" in entry
+                else None
+            ),
         )
     elif t == "fd":
         _require(entry, where, "determinant", "dependent")
+        det = _str_list(entry, where, "determinant")
+        dep = _str_list(entry, where, "dependent")
+        # parse-time gate for what fd_violations would reject mid-battery
+        # (overlap, partition-col membership) — the loader exists so a
+        # bad suite fails at the file, not deep inside the run
+        from .checks.fd import validate_fd_args
+
+        try:
+            validate_fd_args(det, dep, cfg.partition_col)
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
         c = FunctionalDependencyCheck(
             check_id=cid,
-            determinant=tuple(_str_list(entry, where, "determinant")),
-            dependent=tuple(_str_list(entry, where, "dependent")),
+            determinant=tuple(det),
+            dependent=tuple(dep),
             skip_null_determinant=entry.get("skip_null_determinant", False),
         )
     elif t == "monotone":
@@ -257,8 +295,19 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None):
                     "[prev, cur] pairs"
                 )
             allowed = tuple((str(a), str(b)) for a, b in allowed)
-        first = entry.get("first")
-        last = entry.get("last")
+        # 'first'/'last' must be LISTS of values: tuple("system") would
+        # silently char-split a JSON string into ('s','y','s','t','e','m')
+        # and flag every legitimately-opening conversation
+        first = (
+            tuple(_str_list(entry, where, "first"))
+            if "first" in entry
+            else None
+        )
+        last = (
+            tuple(_str_list(entry, where, "last"))
+            if "last" in entry
+            else None
+        )
         if allowed is None and first is None and last is None:
             raise SuiteError(
                 f"{where}: sequence needs 'allowed', 'first' and/or 'last'"
@@ -267,8 +316,8 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None):
             check_id=cid,
             value_col=entry["col"],
             allowed=allowed,
-            first=tuple(first) if first is not None else None,
-            last=tuple(last) if last is not None else None,
+            first=first,
+            last=last,
         )
     elif t == "drift":
         _require(entry, where, "expr")
@@ -279,22 +328,36 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None):
                 f"got {method!r}"
             )
         _sql_expr(entry["expr"], where, "expr")  # eager syntax gate only
-        bq = entry.get("baseline_quantiles")
+        bq = (
+            _float_list(entry, where, "baseline_quantiles")
+            if entry.get("baseline_quantiles") is not None
+            else None
+        )
+        probes = (
+            tuple(_float_list(entry, where, "probes"))
+            if "probes" in entry
+            else (0.1, 0.25, 0.5, 0.75, 0.9)
+        )
         c = DriftCheck(
             check_id=cid,
             value_expr=entry["expr"],
-            probes=tuple(entry.get("probes", (0.1, 0.25, 0.5, 0.75, 0.9))),
-            threshold=float(entry.get("threshold", 0.25)),
-            baseline_quantiles=list(bq) if bq is not None else None,
+            probes=probes,
+            threshold=_float(entry, where, "threshold", 0.25),
+            baseline_quantiles=bq,
             method=method,
         )
     elif t == "cat_drift":
         _require(entry, where, "col")
         bc = entry.get("baseline_counts")
+        if bc is not None and not isinstance(bc, dict):
+            raise SuiteError(
+                f"{where}: 'baseline_counts' must be an object of "
+                "category -> count"
+            )
         c = CategoricalDriftCheck(
             check_id=cid,
             cat_col=entry["col"],
-            threshold=float(entry.get("threshold", 0.25)),
+            threshold=_float(entry, where, "threshold", 0.25),
             baseline_counts=dict(bc) if bc is not None else None,
         )
     elif t == "group_agg":
@@ -326,6 +389,30 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None):
         raise SuiteError(f"{where}: unknown type {t!r}")
     c.description = desc or c.description
     return c
+
+
+#: per-type fields whose library defaults are materialized back into the
+#: stored spec, so dump() really is "the rules that ran, defaults
+#: resolved" — an archived dump replays identically even if a library
+#: default changes later
+_RESOLVED_ATTRS = {
+    "drift": {"method": "method", "threshold": "threshold",
+              "probes": "probes"},
+    "cat_drift": {"threshold": "threshold"},
+    "row": {"null_ok": "null_ok"},
+    "fd": {"skip_null_determinant": "skip_null_determinant"},
+    "monotone": {"strict": "strict"},
+    "text_equality": {"text_col": "text_col", "colocated": "colocated"},
+}
+
+
+def _resolved_entry(entry: dict, check) -> dict:
+    out = dict(entry)
+    for key, attr in _RESOLVED_ATTRS.get(entry["type"], {}).items():
+        if key not in out:
+            v = getattr(check, attr, None)
+            out[key] = list(v) if isinstance(v, tuple) else v
+    return out
 
 
 @dataclass
@@ -364,7 +451,33 @@ def parse_suite(spec: dict, reference: DataFrame | None = None) -> Suite:
         raise SuiteError(f"engine: unknown keys {sorted(bad)}")
     kw = dict(eng)
     if "key_cols" in kw:
+        if not isinstance(kw["key_cols"], (list, tuple)) or not all(
+            isinstance(x, str) for x in kw["key_cols"]
+        ):
+            raise SuiteError("engine: 'key_cols' must be a list of strings")
         kw["key_cols"] = tuple(kw["key_cols"])
+    # value-type gate against the dataclass defaults: a mistyped engine
+    # knob ({"drift_salt_buckets": "16"}) must fail at the suite file,
+    # not deep inside the battery at run time
+    from dataclasses import MISSING as _MISSING
+    from dataclasses import fields as _dc_fields
+
+    for f in _dc_fields(EngineConfig):
+        if f.name not in kw or f.default is _MISSING or f.default is None:
+            continue
+        want, got = type(f.default), kw[f.name]
+        if isinstance(f.default, bool):
+            ok = isinstance(got, bool)
+        elif isinstance(f.default, (int, float)):
+            ok = isinstance(got, (int, float)) and not isinstance(got, bool)
+        elif isinstance(f.default, str):
+            ok = isinstance(got, str)
+        else:
+            continue
+        if not ok:
+            raise SuiteError(
+                f"engine: {f.name!r} must be {want.__name__}, got {got!r}"
+            )
     cfg = EngineConfig(**kw)
 
     entries = spec.get("checks", [])
@@ -394,8 +507,9 @@ def parse_suite(spec: dict, reference: DataFrame | None = None) -> Suite:
             raise SuiteError(
                 f"{where}: unknown keys {sorted(bad)} for type {t!r}"
             )
-        checks.append(_build_check(entry, where, reference))
-        norm_entries.append(dict(entry))
+        c = _build_check(entry, where, reference, cfg)
+        checks.append(c)
+        norm_entries.append(_resolved_entry(entry, c))
 
     from dataclasses import asdict
 
@@ -508,5 +622,6 @@ def transcript_suite_spec() -> dict:
             {"type": "monotone", "id": "ts_monotone", "col": "ts"},
             {"type": "contiguity", "id": "turn_contiguous", "col": "turn_idx"},
             {"type": "drift", "id": "text_len_drift", "expr": "length(text)"},
+            {"type": "text_equality", "id": "text_equality"},
         ],
     }

@@ -164,3 +164,18 @@ def test_fd_multi_determinant_battery_coordinate(spark):
     assert all("(search,m1)" in r["detail"] or "(<null>,m1)" in r["detail"]
                for r in rows)
     res.release()
+
+
+def test_fd_variants_counted_on_exact_columns_not_serialization(spark):
+    """Dependent values containing the chr(31) separator must not let two
+    distinct variants collapse into one serialized string and produce a
+    false pass (review finding): ('x\\x1f', 'y') vs ('x', '\\x1fy') are
+    different combos even though both render as 'x\\x1f\\x1fy'."""
+    from taco_toolbox_spark.checks.fd import fd_violations
+
+    df = spark.createDataFrame(
+        [("k", "x\x1f", "y"), ("k", "x", "\x1fy")],
+        "det string, a string, b string",
+    )
+    v = fd_violations(df, ["det"], ["a", "b"]).collect()
+    assert len(v) == 1 and v[0]["n_variants"] == 2

@@ -26,8 +26,9 @@ def _verdict_map(res):
 
 def test_stock_suite_matches_code_built_battery(spark, corpus):
     """The declarative transcript template must produce the IDENTICAL
-    verdict matrix as the hand-built transcript_checks battery (minus
-    text_equality, which needs a bound reference)."""
+    verdict matrix as the hand-built transcript_checks battery —
+    text_equality included (the template now carries it, as its
+    docstring always claimed)."""
     suite = parse_suite(transcript_suite_spec(), reference=corpus.clean)
     declared = _verdict_map(
         suite.run(corpus.corrupted, baseline=corpus.clean)
@@ -35,19 +36,35 @@ def test_stock_suite_matches_code_built_battery(spark, corpus):
     code = _verdict_map(
         run_validation(
             corpus.corrupted,
-            transcript_checks(reference=None),
+            transcript_checks(reference=corpus.clean),
             baseline=corpus.clean,
         )
     )
     assert declared == code
+    assert any(cid == "text_equality" for _, cid in declared)
     # and the corrupted corpus actually fails somewhere (not a vacuous test)
     assert any(not ok for ok, _ in declared.values())
 
 
+def _reference_free_spec() -> dict:
+    spec = transcript_suite_spec()
+    spec["checks"] = [
+        e for e in spec["checks"] if e["type"] != "text_equality"
+    ]
+    return spec
+
+
 def test_suite_round_trips_through_dump(spark):
-    suite = parse_suite(transcript_suite_spec())
+    suite = parse_suite(_reference_free_spec())
     again = parse_suite(suite.dump())
     assert again.dump() == suite.dump()
+    # dump is the audit trail: library defaults are materialized, so an
+    # archived dump replays identically even if a default changes later
+    drift = next(
+        e for e in suite.dump()["checks"] if e["type"] == "drift"
+    )
+    assert drift["method"] == "approx" and drift["threshold"] == 0.25
+    assert drift["probes"] == [0.1, 0.25, 0.5, 0.75, 0.9]
     assert [c.check_id for c in again.checks] == [
         c.check_id for c in suite.checks
     ]
@@ -57,7 +74,11 @@ def test_suite_round_trips_through_dump(spark):
 def test_load_suite_from_file(tmp_path, spark, corpus):
     p = tmp_path / "suite.json"
     p.write_text(json.dumps(transcript_suite_spec()))
-    suite = load_suite(str(p))
+    # the stock template carries text_equality, so loading it without a
+    # bound reference is the documented bind-time error
+    with pytest.raises(SuiteError, match="reference"):
+        load_suite(str(p))
+    suite = load_suite(str(p), reference=corpus.clean)
     res = suite.run(corpus.corrupted, baseline=corpus.clean)
     assert res.summary()["n_violations"] > 0
 
@@ -163,7 +184,7 @@ def test_malformed_suites_raise(spark, spec, frag):
 
 
 def test_rule_coverage_lint(spark):
-    suite = parse_suite(transcript_suite_spec())
+    suite = parse_suite(_reference_free_spec())
     cov = rule_coverage(suite, TRANSCRIPT_COLS + ["extra_col"])
     # every transcript column is covered...
     for c in TRANSCRIPT_COLS:
@@ -192,3 +213,40 @@ def test_suite_engine_config_applies(spark):
     assert suite.cfg.partition_col == "pp"
     assert suite.cfg.key_cols == ("g", "o")
     assert suite.cfg.window_chunk_size == 512
+
+
+@pytest.mark.parametrize(
+    "spec,frag",
+    [
+        # a bare JSON string would char-split into ('s','y','s',...) and
+        # flag every legitimately-opening conversation (review finding)
+        ({"checks": [{"type": "sequence", "id": "x", "col": "role",
+                      "first": "system"}]}, "non-empty list"),
+        ({"checks": [{"type": "sequence", "id": "x", "col": "role",
+                      "last": "assistant"}]}, "non-empty list"),
+        # declared-but-empty keys must fail, not silently relax to the
+        # engine default key set
+        ({"checks": [{"type": "uniqueness", "id": "x", "keys": []}]},
+         "non-empty list"),
+        # malformed scalars stay inside the SuiteError contract
+        ({"checks": [{"type": "drift", "id": "x", "expr": "1",
+                      "threshold": "big"}]}, "must be a number"),
+        ({"checks": [{"type": "drift", "id": "x", "expr": "1",
+                      "probes": 0.5}]}, "list of numbers"),
+        ({"checks": [{"type": "cat_drift", "id": "x", "col": "c",
+                      "baseline_counts": [1, 2]}]}, "object"),
+        # mistyped engine knobs fail at the file, not inside the battery
+        ({"engine": {"drift_salt_buckets": "16"}, "checks": []},
+         "must be int"),
+        ({"engine": {"key_cols": "conv_id"}, "checks": []},
+         "list of strings"),
+        # FD sanity fires at parse time (overlap / partition-col)
+        ({"checks": [{"type": "fd", "id": "x", "determinant": ["role"],
+                      "dependent": ["role"]}]}, "vacuous"),
+        ({"checks": [{"type": "fd", "id": "x", "determinant": ["part"],
+                      "dependent": ["role"]}]}, "partition column"),
+    ],
+)
+def test_suite_validation_gates(spark, spec, frag):
+    with pytest.raises(SuiteError, match=frag):
+        parse_suite(spec)

@@ -141,3 +141,27 @@ def test_overlap_pairs_capped(spark):
     )
     assert winnow_overlap_pairs(df, min_shared=1, max_hash_freq=4).count() == 0
     assert winnow_overlap_pairs(df, min_shared=1, max_hash_freq=5).count() == 10
+
+
+def test_winnow_tokenizes_like_the_other_dedup_paths(spark):
+    """A shared verbatim run that differs only in whitespace (newline vs
+    space, double spaces, leading/trailing) must still produce identical
+    gram hashes — winnow uses the package tokenizer, not a literal
+    single-space split (review finding)."""
+    from taco_toolbox_spark.dedup.winnow import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, run),
+            (2, "  alpha beta\ngamma  delta\tepsilon zeta eta theta "),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    by_doc = {
+        r["doc_id"]: frozenset(x["h"] for x in fp.filter(
+            F.col("doc_id") == r["doc_id"]).collect())
+        for r in docs.collect()
+    }
+    assert by_doc[1] == by_doc[2] and by_doc[1]
