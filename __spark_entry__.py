@@ -666,7 +666,10 @@ def q_sim_semantic_dedup(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, k=8, n_iter=2)
-    return semantic_dedup_pairs(e, centroids, threshold=0.4)
+    # n_blocks=8: the cluster join alone has k=8 keys (8 tasks carry all
+    # pairwise work); triangular blocking spreads it over k*B=64 keys
+    # with an output-identical pair set (similarity/cluster.py).
+    return semantic_dedup_pairs(e, centroids, threshold=0.4, n_blocks=8)
 
 
 def q_sim_dedup_clusters(spark, sf_dir):

@@ -340,10 +340,25 @@ def embedding_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Norms ride the vector joins (one fold per ROW, not per pair): the
+    # same float64 subexpression as computing them pairwise, evaluated
+    # once per side — bit-identical cos, fewer folds when ids recur
+    # across many candidate pairs.
+    slim_n = slim.withColumn("n", _norm(F.col("v")))
     pairs = cand.join(
-        slim.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(slim.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        slim_n.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        slim_n.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)

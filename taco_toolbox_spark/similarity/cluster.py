@@ -120,18 +120,20 @@ def kmeans_fit(
     return centroids
 
 
+def _dot(x: Column, y: Column) -> Column:
+    """Sequential float64 dot-product fold (same idiom as
+    similarity/ann.py:_dot — deterministic element order)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_pair(a: Column, b: Column) -> Column:
     """Cosine similarity between two vector columns, all three folds
     sequential float64 (same idiom as similarity/ann.py:_dot/_norm)."""
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def semantic_dedup_pairs(
@@ -140,6 +142,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup candidate pairs: rows assigned to the SAME k-means cluster
     whose cosine ≥ threshold. Columns: (id_a, id_b, cluster, cos) with
@@ -148,18 +151,65 @@ def semantic_dedup_pairs(
     The self-join is keyed on the cluster id, so the pairwise cosine work
     is bounded per cluster (~(n/k)² rows each) instead of n² global — the
     whole point of clustering first. Scale k with the corpus to keep
-    cluster sizes bounded; hot (oversized) clusters are visible in the
-    assignment histogram and can be re-clustered recursively."""
-    a = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+    cluster sizes bounded.
+
+    Two scale levers beyond the basic cluster join:
+
+    * **Per-row norms.** ``sqrt(dot(v, v))`` is computed once per ROW
+      before the join and reused across all of that row's pairs, so each
+      pair costs one dot-product fold instead of three. Bit-identical to
+      the naive form — the same float64 subexpression, evaluated once.
+    * **Triangular blocking** (``n_blocks`` > 1). With k join keys, at
+      most k tasks carry ALL pairwise work — a parallelism ceiling when k
+      is small or a cluster is hot. Each row also gets a hash block
+      g ∈ [0, B); the left side is replicated to every target block
+      j ∈ [g, B) (``explode(sequence(g, B-1))``, avg (B+1)/2 copies) and
+      the join keys on (cluster, block), giving k·B keys. Same-block
+      matches keep ``id_a < id_b``; cross-block pairs match exactly once
+      in whichever orientation the blocks dictate and are re-normalized
+      with least/greatest (cosine is exactly symmetric — commutative
+      multiply inside an identical fold — so orientation can't change the
+      value). The output pair SET is identical for every B ≥ 1."""
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    assigned = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "cluster",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_g"),
+    ).withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    a = assigned.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.col("cluster").alias("_ca"),
+        F.col("_g").alias("_ga"),
+        F.explode(F.sequence(F.col("_g"), F.lit(n_blocks - 1))).alias("_bj"),
     )
-    b = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    b = assigned.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        F.col("cluster").alias("_cb"),
+        F.col("_g").alias("_gb"),
     )
     return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_pair(F.col("_va"), F.col("_vb")), 4))
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_bj") == F.col("_gb")))
+        .filter(
+            (F.col("_ga") < F.col("_gb"))
+            | ((F.col("_ga") == F.col("_gb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+            ),
+        )
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cluster", "cos")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("_ca").alias("cluster"),
+            "cos",
+        )
     )

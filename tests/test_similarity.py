@@ -269,3 +269,35 @@ def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
     }
     assert got == want
     assert len(want) > 50  # real signal, not an empty-set pass
+
+
+def test_semantic_dedup_blocked_parity(spark):
+    """Triangular blocking (n_blocks>1) must yield the IDENTICAL pair set
+    and cosine values as the plain cluster join — including pairs whose
+    hash blocks order opposite to their ids (least/greatest renormalize)."""
+    import numpy as np
+
+    from taco_toolbox_spark.similarity.cluster import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(2, 8) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 2] + rng.randn(8) * 0.4])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=2, n_iter=2)
+    plain = sorted(
+        tuple(r) for r in
+        semantic_dedup_pairs(df, cents, threshold=0.9, n_blocks=1).collect()
+    )
+    assert len(plain) > 100  # real signal
+    for nb in (3, 7):
+        blocked = sorted(
+            tuple(r) for r in
+            semantic_dedup_pairs(df, cents, threshold=0.9, n_blocks=nb).collect()
+        )
+        assert blocked == plain
