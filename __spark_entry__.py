@@ -1392,6 +1392,30 @@ def q_d2_cat_drift(spark, sf_dir):
     )
 
 
+def q_d5_corr_drift(spark, sf_dir):
+    """Per-event-type Pearson-correlation drift of (second-of-day,
+    value·1000) vs the corpus-wide relationship — the RELATIONSHIP member
+    of the drift family: quantile/categorical/KS/centroid drift all watch
+    one column's marginal, but a partition can keep every marginal intact
+    while the relationship between columns breaks. Exact in the family's
+    discipline (checks/drift.py:correlation_by_partition): five
+    DECIMAL-exact order-independent moment sums per partition, ONE float
+    transition at the end — so DuckDB (HUGEINT sums, identical final
+    expression) reproduces every row bit-for-bit; a float-accumulated
+    corr() aggregate cannot. Inputs are integers by construction
+    (floor(epoch) % 86400; round(value*1000) — the KS family's documented
+    quantization move). Plan: one projection + ONE map-side-combinable
+    hash aggregation per side, 1-row broadcast baseline, no window."""
+    from taco_toolbox_spark.checks.drift import correlation_drift
+
+    ev = _t(spark, sf_dir, "events")
+    x = "CAST(FLOOR(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT) % 86400"
+    y = "CAST(ROUND(value * 1000) AS BIGINT)"
+    return correlation_drift(ev, x, y, "event_type").select(
+        F.col("part").alias("event_type"), "n", "corr", "corr_base", "delta"
+    )
+
+
 def q_s1_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (md5 portability mode):
     keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
@@ -2343,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_token_truncate": q_w5_token_truncate,
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
+        "d5_corr_drift": q_d5_corr_drift,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "b1_bloom_contains": q_b1_bloom_contains,
@@ -3745,6 +3770,65 @@ def oracle_sql() -> dict[str, str]:
                    max(abs(cs*m - cb*n_part))::BIGINT
                      / (n_part::DOUBLE * m::DOUBLE) AS ks
             FROM c GROUP BY part, n_part, m
+        """,
+        "d5_corr_drift": """
+            WITH src AS (
+              SELECT event_type,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 AS x,
+                     CAST(ROUND(value * 1000) AS BIGINT) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+              SELECT event_type AS part, count(*)::BIGINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                     sum(y::HUGEINT * y::HUGEINT) AS syy,
+                     sum(x::HUGEINT * y::HUGEINT) AS sxy
+              FROM src GROUP BY 1
+            ),
+            calc AS (
+              SELECT part, n,
+                     n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
+                       AS num,
+                     n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                       AS vx,
+                     n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                       AS vy
+              FROM m
+            ),
+            per_part AS (
+              SELECT part, n,
+                     CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                          THEN num / (sqrt(vx) * sqrt(vy)) END AS corr
+              FROM calc
+            ),
+            gm AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                     sum(y::HUGEINT * y::HUGEINT) AS syy,
+                     sum(x::HUGEINT * y::HUGEINT) AS sxy
+              FROM src
+            ),
+            gcalc AS (
+              SELECT n,
+                     n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
+                       AS num,
+                     n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                       AS vx,
+                     n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                       AS vy
+              FROM gm
+            ),
+            base AS (
+              SELECT CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                          THEN num / (sqrt(vx) * sqrt(vy)) END AS corr_base
+              FROM gcalc
+            )
+            SELECT p.part AS event_type, p.n, p.corr, b.corr_base,
+                   abs(p.corr - b.corr_base) AS delta
+            FROM per_part p CROSS JOIN base b
         """,
         "d2_cat_drift": """
             WITH c AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     "text_distinctive_terms",  # integer TF-IDF-shaped top-k per doc
     "d2_cat_drift",       # exact categorical TV drift per day
     "d3_embedding_drift",  # exact centroid-cosine drift per label
+    "d5_corr_drift",      # exact-moment Pearson correlation drift
     "dedup_common_spans",  # aligned-block boilerplate removal + splice
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
     "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join (md5 oracle mode)
@@ -557,8 +558,16 @@ def main() -> None:
     }
     if poisoned_queries:
         line["poisoned_queries"] = poisoned_queries
-    print(json.dumps(line, separators=(",", ":")))
+    print(json.dumps(line, separators=(",", ":")), flush=True)
     spark.stop()
+    # Hard-exit: the streaming smoke queries leave non-daemon JVM/py4j
+    # threads (ChecksumCheckpointFileManager pools) that can hold the
+    # process open for many minutes AFTER spark.stop() returns — a hung
+    # bench risks the driver timing out the run and losing the artifact.
+    # Everything is already flushed (stdout line above, DETAIL file,
+    # stderr telemetry), so a clean hard exit loses nothing.
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -627,3 +627,143 @@ def embedding_centroid_drift(
         cos.alias("cosine"),
         (F.lit(1.0) - cos).alias("drift"),
     )
+
+
+def correlation_by_partition(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Per-partition Pearson correlation of two INTEGER-VALUED expressions
+    — the relationship member of the drift family: quantile / categorical
+    / KS / centroid drift all watch one column's MARGINAL distribution,
+    but a corpus can keep every marginal intact while the relationship
+    between columns silently breaks (response length no longer tracks
+    prompt length; value no longer follows time of day). Correlation
+    drift is the standard analyzer for that failure class.
+
+    Exact in the family's discipline (ks_statistic_by_partition,
+    embedding_centroid_drift): the five moment sums (Σx, Σy, Σx², Σy²,
+    Σxy) are DECIMAL(38,0)-exact and order-independent — per-row products
+    are formed at DECIMAL(19,0) so |x|,|y| up to ~10^18 never wrap, and
+    10^12-row sums sit far inside the 10^38 headroom — then ONE float
+    transition at the end:
+
+        corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄))
+
+    evaluated in float64 from the exact moments, so an independent engine
+    (DuckDB sums to HUGEINT) reproduces every row bit-for-bit; a
+    float-accumulated ``corr()`` aggregate cannot promise that across
+    partition orders, let alone engines. Non-integer inputs: quantize
+    first (``round(value*1000)``), the KS family's documented move —
+    Pearson r is invariant under the affine part and the quantization
+    error is the caller's stated tolerance.
+
+    Rows where EITHER expression is NULL are dropped (pairwise-complete
+    semantics); degenerate partitions (n < 2, or zero variance on either
+    side) yield corr = NULL rather than a misleading 0. ``part_col``
+    None = one global row (part = 'all'). Plan: one projection + ONE
+    map-side-combinable hash aggregation — no window, no second pass.
+
+    Returns (part, n, corr).
+    """
+    keys = (
+        F.col(part_col).cast("string").alias("part")
+        if part_col is not None
+        else F.lit("all").alias("part")
+    )
+    d = df.select(
+        keys,
+        F.expr(x_expr).cast("long").alias("_x"),
+        F.expr(y_expr).cast("long").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    dec = "decimal(19,0)"
+    x, y = F.col("_x").cast(dec), F.col("_y").cast(dec)
+    m = d.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return m.select("part", "n", corr.alias("corr"))
+
+
+def correlation_drift(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    part_col: str,
+    baseline: DataFrame | None = None,
+) -> DataFrame:
+    """Per-partition correlation vs a baseline's GLOBAL correlation:
+    (part, n, corr, corr_base, delta = |corr − corr_base|). Baseline
+    None = the frame itself (each partition vs the corpus relationship —
+    the self-baseline mode every drift sibling defaults to). The baseline
+    row is a 1-row broadcast; delta is NULL when either side is
+    degenerate — surface those rows, don't hide them (a partition that
+    LOST its variance is drift too; the violations helper flags it)."""
+    per_part = correlation_by_partition(df, x_expr, y_expr, part_col)
+    base = correlation_by_partition(
+        baseline if baseline is not None else df, x_expr, y_expr, None
+    ).select(
+        F.col("n").alias("n_base"), F.col("corr").alias("corr_base")
+    )
+    j = per_part.join(F.broadcast(base), how="cross")
+    return j.select(
+        "part",
+        "n",
+        "corr",
+        "corr_base",
+        F.abs(F.col("corr") - F.col("corr_base")).alias("delta"),
+    )
+
+
+def correlation_drift_violations(
+    cd: DataFrame, threshold: float, check_id: str
+) -> DataFrame:
+    """Violation rows (engine schema) for partitions whose correlation
+    moved more than ``threshold`` from the baseline — or went degenerate
+    (corr NULL: n < 2 or zero variance) while the baseline has a real
+    relationship to drift from."""
+    fired = cd.filter(
+        (F.col("delta") > threshold)
+        | (F.col("corr").isNull() & F.col("corr_base").isNotNull())
+    )
+    return fired.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("corr").isNull(),
+            F.format_string(
+                "corr degenerate (n=%s) vs baseline %s",
+                F.col("n").cast("string"),
+                F.round("corr_base", 6).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                f"corr delta %s > {threshold} (corr=%s base=%s)",
+                F.round("delta", 6).cast("string"),
+                F.round("corr", 6).cast("string"),
+                F.round("corr_base", 6).cast("string"),
+            )
+        )
+        .alias("detail"),
+    )
