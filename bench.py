@@ -107,9 +107,17 @@ def _noop_write(df) -> None:
 
 def _tree_jiffies() -> int:
     """utime+stime jiffies of THIS process tree (the bench driver, its
-    JVM, and the pyspark daemon workers) summed over live descendants.
-    Everything the bench spends shows up here; anything busy on the box
-    beyond it is foreign load."""
+    JVM, and the pyspark daemon workers) summed over live descendants,
+    PLUS each survivor's cutime+cstime (CPU of its already-reaped dead
+    children). The cutime term matters for attribution, not just
+    completeness: streaming/pandas-UDF stages spawn pyspark workers that
+    are born AND reaped inside one measurement window — counting only
+    live processes, their whole burn would vanish from the end snapshot
+    and be misread as several cores of FOREIGN load, falsely flagging
+    the bench's own streaming queries as poisoned (observed live:
+    stream_sessionize 'foreign' 4-6 cores on an otherwise idle box).
+    The pyspark daemon reaps its workers in-tree, so cutime/cstime of
+    the surviving daemon recovers exactly that CPU."""
     me = os.getpid()
     ppid_of: dict[int, int] = {}
     cpu_of: dict[int, int] = {}
@@ -125,7 +133,13 @@ def _tree_jiffies() -> int:
         rest = raw.rsplit(")", 1)[1].split()
         pid = int(name)
         ppid_of[pid] = int(rest[1])  # field 4 (ppid), 0-indexed 1 here
-        cpu_of[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+        # utime+stime of the process itself, plus cutime+cstime — the
+        # accumulated CPU of its reaped dead children (never double
+        # counted: cutime covers only waited-on DEAD children, which by
+        # definition are absent from the live scan)
+        cpu_of[pid] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
     kids: dict[int, list[int]] = {}
     for pid, ppid in ppid_of.items():
         kids.setdefault(ppid, []).append(pid)

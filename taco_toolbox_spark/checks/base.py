@@ -206,6 +206,29 @@ class CategoricalDriftCheck(Check):
 
 
 @dataclass
+class CorrelationDriftCheck(Check):
+    """Per-partition Pearson correlation of two INTEGER-VALUED SQL
+    expressions must stay within ``threshold`` absolute distance of the
+    baseline's global correlation — the RELATIONSHIP member of the drift
+    family: the marginal-watching siblings (quantile, categorical TV, KS,
+    centroid) miss a partition whose columns keep their distributions
+    while the relationship between them breaks. Exact DECIMAL moment sums
+    with one final float transition (drift.correlation_by_partition), so
+    the verdict is bit-for-bit reproducible by an independent engine. A
+    partition whose correlation went DEGENERATE (n < 2 or zero variance)
+    while the baseline has a real relationship fires as its own violation
+    class. Quantize non-integer inputs in the expression
+    (``round(value*1000)``), the KS family's documented move."""
+
+    x_expr: str = ""
+    y_expr: str = ""
+    threshold: float = 0.25
+    #: inline baseline correlation; resolved by the engine from the
+    #: ``baseline`` DataFrame (its global correlation) when None
+    baseline_corr: float | None = None
+
+
+@dataclass
 class GroupAggCheck(Check):
     """Generic per-group aggregate invariant: ``aggs`` are computed per
     group, ``predicate`` (over the agg row) must hold."""

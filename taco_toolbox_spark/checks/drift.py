@@ -709,15 +709,27 @@ def correlation_drift(
     y_expr: str,
     part_col: str,
     baseline: DataFrame | None = None,
+    baseline_corr: float | None = None,
 ) -> DataFrame:
     """Per-partition correlation vs a baseline's GLOBAL correlation:
     (part, n, corr, corr_base, delta = |corr − corr_base|). Baseline
     None = the frame itself (each partition vs the corpus relationship —
-    the self-baseline mode every drift sibling defaults to). The baseline
-    row is a 1-row broadcast; delta is NULL when either side is
-    degenerate — surface those rows, don't hide them (a partition that
-    LOST its variance is drift too; the violations helper flags it)."""
+    the self-baseline mode every drift sibling defaults to);
+    ``baseline_corr`` pins an inline stored value instead (the manifest /
+    suite-document mode every sibling also offers) and skips the baseline
+    pass entirely. The baseline row is a 1-row broadcast; delta is NULL
+    when either side is degenerate — surface those rows, don't hide them
+    (a partition that LOST its variance is drift too; the violations
+    helper flags it)."""
     per_part = correlation_by_partition(df, x_expr, y_expr, part_col)
+    if baseline_corr is not None:
+        return per_part.select(
+            "part",
+            "n",
+            "corr",
+            F.lit(float(baseline_corr)).alias("corr_base"),
+            F.abs(F.col("corr") - F.lit(float(baseline_corr))).alias("delta"),
+        )
     base = correlation_by_partition(
         baseline if baseline is not None else df, x_expr, y_expr, None
     ).select(

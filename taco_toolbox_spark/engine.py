@@ -38,6 +38,7 @@ from .checks.base import (
     CategoricalDriftCheck,
     Check,
     ContiguityCheck,
+    CorrelationDriftCheck,
     DriftCheck,
     FunctionalDependencyCheck,
     GapCheck,
@@ -55,6 +56,8 @@ from .checks.drift import (
     categorical_counts,
     categorical_drift_violations,
     categorical_tv,
+    correlation_drift,
+    correlation_drift_violations,
     drift_violations,
     drift_violations_approx,
     exact_global_quantiles,
@@ -629,6 +632,9 @@ def run_validation(
     group_checks = [c for c in checks if isinstance(c, GroupAggCheck)]
     drift_checks = [c for c in checks if isinstance(c, DriftCheck)]
     cat_drift_checks = [c for c in checks if isinstance(c, CategoricalDriftCheck)]
+    corr_drift_checks = [
+        c for c in checks if isinstance(c, CorrelationDriftCheck)
+    ]
     text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
 
     pieces: list[DataFrame] = []
@@ -715,6 +721,23 @@ def run_validation(
             bc = categorical_counts(baseline, c.cat_col)
         tv = categorical_tv(df, c.cat_col, cfg.partition_col, bc)
         pieces.append(categorical_drift_violations(tv, c.threshold, c.check_id))
+    for c in corr_drift_checks:
+        if c.baseline_corr is None and baseline is None:
+            raise ValueError(
+                f"CorrelationDriftCheck {c.check_id} has no baseline_corr "
+                "and no baseline DataFrame was provided"
+            )
+        cd = correlation_drift(
+            df,
+            c.x_expr,
+            c.y_expr,
+            cfg.partition_col,
+            baseline=baseline,
+            baseline_corr=c.baseline_corr,
+        )
+        pieces.append(
+            correlation_drift_violations(cd, c.threshold, c.check_id)
+        )
     for c in text_checks:
         pieces.append(
             text_equality_violations(
@@ -734,7 +757,7 @@ def run_validation(
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
-            "TextEqualityCheck)"
+            "CorrelationDriftCheck, TextEqualityCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

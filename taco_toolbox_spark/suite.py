@@ -62,6 +62,7 @@ from .checks.base import (
     CategoricalDriftCheck,
     Check,
     ContiguityCheck,
+    CorrelationDriftCheck,
     DriftCheck,
     FunctionalDependencyCheck,
     GapCheck,
@@ -101,6 +102,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "sequence": {"col", "allowed", "first", "last"},
     "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
     "cat_drift": {"col", "threshold", "baseline_counts"},
+    "corr_drift": {"x", "y", "threshold", "baseline_corr"},
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
 }
@@ -360,6 +362,24 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             threshold=_float(entry, where, "threshold", 0.25),
             baseline_counts=dict(bc) if bc is not None else None,
         )
+    elif t == "corr_drift":
+        _require(entry, where, "x", "y")
+        _sql_expr(entry["x"], where, "x")  # eager syntax gate only
+        _sql_expr(entry["y"], where, "y")
+        bc = entry.get("baseline_corr")
+        if bc is not None and (
+            isinstance(bc, bool) or not isinstance(bc, (int, float))
+        ):
+            raise SuiteError(
+                f"{where}: 'baseline_corr' must be a number, got {bc!r}"
+            )
+        c = CorrelationDriftCheck(
+            check_id=cid,
+            x_expr=entry["x"],
+            y_expr=entry["y"],
+            threshold=_float(entry, where, "threshold", 0.25),
+            baseline_corr=float(bc) if bc is not None else None,
+        )
     elif t == "group_agg":
         _require(entry, where, "aggs", "predicate")
         aggs = _str_list(entry, where, "aggs")
@@ -399,6 +419,7 @@ _RESOLVED_ATTRS = {
     "drift": {"method": "method", "threshold": "threshold",
               "probes": "probes"},
     "cat_drift": {"threshold": "threshold"},
+    "corr_drift": {"threshold": "threshold"},
     "row": {"null_ok": "null_ok"},
     "fd": {"skip_null_determinant": "skip_null_determinant"},
     "monotone": {"strict": "strict"},

@@ -141,3 +141,91 @@ def test_corr_global_when_no_part(spark):
     rows = [("z", i, i * i) for i in range(1, 50)]
     out = correlation_by_partition(_frame(spark, rows), "x", "y", None).collect()
     assert len(out) == 1 and out[0]["part"] == "all" and out[0]["n"] == 49
+
+
+def test_corr_drift_check_in_engine_battery(spark):
+    from taco_toolbox_spark.checks.base import CorrelationDriftCheck
+    from taco_toolbox_spark.engine import EngineConfig, run_validation
+
+    rows = []
+    for part, slope in (("p0", 2), ("p1", 2), ("p2", -2)):
+        for i in range(60):
+            rows.append((part, f"c{i%7}", i, i, slope * i + (i % 5)))
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, x long, y long"
+    )
+    base = spark.createDataFrame(
+        [("b", "c0", 0, i, 2 * i + (i % 5)) for i in range(120)],
+        "part string, conv_id string, turn_idx int, x long, y long",
+    )
+    cfg = EngineConfig(partition_col="part", group_col="conv_id",
+                       order_col="turn_idx", key_cols=("conv_id", "turn_idx"))
+    res = run_validation(
+        df,
+        [CorrelationDriftCheck(check_id="xy_corr", x_expr="x", y_expr="y",
+                               threshold=0.5)],
+        cfg,
+        baseline=base,
+    )
+    verdicts = {r["part"]: r["passed"] for r in res.verdicts.collect()}
+    assert verdicts == {"p0": True, "p1": True, "p2": False}
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["check_id"] == "xy_corr"
+    assert v[0]["part"] == "p2" and "delta" in v[0]["detail"]
+
+    # no baseline anywhere -> loud error naming the check
+    with pytest.raises(ValueError, match="xy_corr"):
+        run_validation(
+            df,
+            [CorrelationDriftCheck(check_id="xy_corr", x_expr="x",
+                                   y_expr="y")],
+            cfg,
+        )
+
+    # inline stored baseline: no baseline frame needed
+    res2 = run_validation(
+        df,
+        [CorrelationDriftCheck(check_id="xy_corr", x_expr="x", y_expr="y",
+                               threshold=0.5, baseline_corr=1.0)],
+        cfg,
+    )
+    verdicts2 = {r["part"]: r["passed"] for r in res2.verdicts.collect()}
+    assert verdicts2 == {"p0": True, "p1": True, "p2": False}
+
+
+def test_corr_drift_suite_type(spark):
+    from taco_toolbox_spark.suite import SuiteError, parse_suite
+
+    spec = {
+        "engine": {"partition_col": "part", "group_col": "conv_id",
+                   "order_col": "turn_idx"},
+        "checks": [
+            {"type": "corr_drift", "id": "len_vs_turn",
+             "x": "turn_idx", "y": "length(text)",
+             "baseline_corr": 0.9},
+        ],
+    }
+    suite = parse_suite(spec)
+    c = suite.checks[0]
+    assert c.x_expr == "turn_idx" and c.baseline_corr == 0.9
+    # default threshold resolved back into the dump (audit-trail contract)
+    dumped = suite.dump()["checks"][0]
+    assert dumped["threshold"] == 0.25
+    # round-trip: parsing the dump yields the same normalized spec
+    assert parse_suite(suite.dump()).dump() == suite.dump()
+
+    with pytest.raises(SuiteError, match="missing required key 'y'"):
+        parse_suite({"checks": [
+            {"type": "corr_drift", "id": "bad", "x": "turn_idx"}]})
+    with pytest.raises(SuiteError, match="unknown keys"):
+        parse_suite({"checks": [
+            {"type": "corr_drift", "id": "bad", "x": "a", "y": "b",
+             "threshhold": 0.5}]})
+    with pytest.raises(SuiteError, match="unparseable"):
+        parse_suite({"checks": [
+            {"type": "corr_drift", "id": "bad", "x": "SELEC bogus (",
+             "y": "b"}]})
+    with pytest.raises(SuiteError, match="baseline_corr"):
+        parse_suite({"checks": [
+            {"type": "corr_drift", "id": "bad", "x": "a", "y": "b",
+             "baseline_corr": True}]})
