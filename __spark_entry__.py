@@ -1416,6 +1416,35 @@ def q_d5_corr_drift(spark, sf_dir):
     )
 
 
+def q_d6_cond_drift(spark, sf_dir):
+    """Per-(day, event_type) conditional-distribution drift: exact
+    total-variation distance of the day's P(value_bucket | event_type)
+    from the corpus-wide P(value_bucket | event_type) — the
+    categorical-RELATIONSHIP member of the drift family, pairing with
+    d5's numeric correlation drift: both marginals (event-type mix AND
+    value-bucket mix) can stay intact while the contingency table breaks.
+    Exact in the family's discipline (checks/drift.py:conditional_tv):
+    each category term is the cross-multiplied INTEGER
+    |n(day,type,bucket)·N_base(type) − n_base(type,bucket)·N(day,type)|,
+    summed as BIGINT (order-independent), ONE float division at the end —
+    so DuckDB reproduces every row bit-for-bit. Plan: ONE grouped count
+    (map-side partial agg); everything downstream is broadcast-grid-sized
+    (|days|·|types|·|buckets| rows)."""
+    from taco_toolbox_spark.checks.drift import (
+        conditional_counts,
+        conditional_tv,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = "CAST(LEAST(CAST(FLOOR(value / 100) AS INT), 4) AS STRING)"
+    base = conditional_counts(ev, "event_type", bucket)
+    day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return conditional_tv(day, "event_type", bucket, "day", base).select(
+        F.col("part").alias("day"), "cond", "n_part", "n_base",
+        "tv_num", "tv",
+    )
+
+
 def q_s1_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (md5 portability mode):
     keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
@@ -2368,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_cat_drift": q_d2_cat_drift,
         "d4_ks_drift": q_d4_ks_drift,
         "d5_corr_drift": q_d5_corr_drift,
+        "d6_cond_drift": q_d6_cond_drift,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "b1_bloom_contains": q_b1_bloom_contains,
@@ -3829,6 +3859,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.part AS event_type, p.n, p.corr, b.corr_base,
                    abs(p.corr - b.corr_base) AS delta
             FROM per_part p CROSS JOIN base b
+        """,
+        "d6_cond_drift": """
+            WITH c AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     coalesce(event_type, '<null>') AS k,
+                     coalesce(least(floor(value / 100)::INT, 4)::VARCHAR,
+                              '<null>') AS cat,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT part, k, sum(n)::BIGINT AS n_part FROM c GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT k, cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1, 2
+            ),
+            bt AS (SELECT k, sum(nb)::BIGINT AS n_base FROM b GROUP BY 1),
+            cats AS (
+              SELECT DISTINCT k, cat FROM c
+              UNION SELECT k, cat FROM b
+            )
+            SELECT t.part AS day, t.k AS cond, t.n_part, bt.n_base,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                           - coalesce(b.nb, 0)::BIGINT * t.n_part))::BIGINT
+                     AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                            - coalesce(b.nb, 0)::BIGINT * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * bt.n_base)) AS tv
+            FROM tot t
+            JOIN bt ON bt.k = t.k
+            JOIN cats g ON g.k = t.k
+            LEFT JOIN c x ON x.part = t.part AND x.k = g.k AND x.cat = g.cat
+            LEFT JOIN b ON b.k = g.k AND b.cat = g.cat
+            GROUP BY t.part, t.k, t.n_part, bt.n_base
         """,
         "d2_cat_drift": """
             WITH c AS (

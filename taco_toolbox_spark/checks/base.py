@@ -229,6 +229,28 @@ class CorrelationDriftCheck(Check):
 
 
 @dataclass
+class ConditionalDriftCheck(Check):
+    """Per-(partition, conditioning value) total-variation distance of the
+    conditional distribution P(cat | cond) from the baseline's global
+    P(cat | cond) must stay within ``threshold`` — the categorical
+    RELATIONSHIP member of the drift family, pairing with
+    :class:`CorrelationDriftCheck`: both marginals can stay bit-identical
+    while the contingency table breaks (every tool keeps its volume, every
+    role its share, but which roles a tool co-occurs with shifts). Exact
+    cross-multiplied integer arithmetic with one final float division
+    (drift.conditional_tv), so the verdict is bit-for-bit reproducible by
+    an independent engine. A conditioning value the baseline has never
+    seen fires as its own "novel conditioning value" violation class."""
+
+    cond_expr: str = ""
+    cat_expr: str = ""
+    threshold: float = 0.25
+    #: baseline contingency counts {(cond, cat): count}; resolved by the
+    #: engine from the ``baseline`` DataFrame when None
+    baseline_counts: dict[tuple[str, str], int] | None = None
+
+
+@dataclass
 class GroupAggCheck(Check):
     """Generic per-group aggregate invariant: ``aggs`` are computed per
     group, ``predicate`` (over the agg row) must hold."""

@@ -779,3 +779,151 @@ def correlation_drift_violations(
         )
         .alias("detail"),
     )
+
+
+def conditional_counts(
+    df: DataFrame, cond_expr: str, cat_expr: str
+) -> dict[tuple[str, str], int]:
+    """Baseline contingency table {(cond, cat): count} as a plain dict
+    (tiny: one row per observed (cond, cat) pair). The collect is over the
+    post-aggregation frame — |conds|·|cats| rows regardless of input size.
+    Both axes accept SQL expressions (``least(floor(value/100), 4)``), cast
+    to string with NULLs folded into the shared ``NULL_CATEGORY``."""
+    rows = (
+        df.groupBy(
+            F.coalesce(F.expr(cond_expr).cast("string"),
+                       F.lit(NULL_CATEGORY)).alias("_k"),
+            F.coalesce(F.expr(cat_expr).cast("string"),
+                       F.lit(NULL_CATEGORY)).alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    return {(r["_k"], r["_c"]): r["_n"] for r in rows}
+
+
+def conditional_tv(
+    df: DataFrame,
+    cond_expr: str,
+    cat_expr: str,
+    part_col: str,
+    baseline_counts: dict[tuple[str, str], int],
+) -> DataFrame:
+    """Per-(partition, conditioning value) total-variation distance of the
+    CONDITIONAL distribution P(cat | cond) from the baseline's global
+    P(cat | cond) — the categorical-RELATIONSHIP member of the drift
+    family, completing the pair with :func:`correlation_drift`: categorical
+    TV watches one column's marginal, correlation drift watches a numeric
+    relationship, and this watches a categorical relationship. Both
+    marginals can stay bit-identical while P(cat | cond) breaks (every
+    tool keeps its volume, every role keeps its share, but which roles a
+    given tool co-occurs with silently shifts) — the contingency-table
+    failure class no marginal check can see.
+
+    Exact in the family's discipline (categorical_tv): for each
+    (part, cond) the statistic is
+
+        TV = 1/2 · Σ_c | n(part,cond,c)/N(part,cond) − n_b(cond,c)/N_b(cond) |
+
+    with each category term the cross-multiplied INTEGER
+    ``|n·N_b(cond) − n_b·N(part,cond)|``, summed as BIGINT
+    (order-independent), ONE float division at the end — bit-for-bit
+    reproducible by an independent engine. Products stay < 2^63 up to
+    ~3·10^9 rows per conditioning value per side; past that, pre-scale the
+    baseline table (TV needs only the baseline's per-cond *proportions*,
+    so a common per-cond divisor is lossless for the verdict).
+
+    A conditioning value observed in a partition but ABSENT from the
+    baseline has no distribution to compare against: its row surfaces with
+    tv = NULL (n_base NULL) rather than a fabricated 0 — the violations
+    helper fires it as its own "novel conditioning value" class.
+
+    Plan shape: ONE grouped count of the input (map-side partial agg,
+    shuffle keyed (part, cond, cat)); everything after touches only
+    broadcast-sized frames (|parts|·|conds|·|cats| grid rows).
+
+    Returns (part, cond, n_part, n_base, tv_num, tv) — one row per
+    (partition, conditioning value) observed in ``df``.
+    """
+    from ..schema import literal_frame
+
+    if not baseline_counts:
+        raise ValueError("baseline_counts must hold at least one observation")
+
+    cond = F.coalesce(F.expr(cond_expr).cast("string"), F.lit(NULL_CATEGORY))
+    cat = F.coalesce(F.expr(cat_expr).cast("string"), F.lit(NULL_CATEGORY))
+    counts = df.groupBy(
+        F.col(part_col).cast("string").alias("part"),
+        cond.alias("_k"),
+        cat.alias("_c"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.groupBy("part", "_k").agg(F.sum("_n").alias("n_part"))
+    base = literal_frame(
+        df.sparkSession,
+        [(str(k), str(c), int(n))
+         for (k, c), n in sorted(baseline_counts.items())],
+        "_k string, _c string, _nb long",
+    )
+    base_tot = base.groupBy("_k").agg(F.sum("_nb").alias("n_base"))
+    # the category axis per conditioning value = union of observed and
+    # baseline categories, so mass either side lacks still contributes
+    cats = (
+        counts.select("_k", "_c").distinct()
+        .unionByName(base.select("_k", "_c"))
+        .distinct()
+    )
+    grid = totals.join(F.broadcast(cats), "_k")
+    term = F.abs(
+        F.coalesce(F.col("_n"), F.lit(0)) * F.col("n_base")
+        - F.coalesce(F.col("_nb"), F.lit(0)) * F.col("n_part")
+    )
+    return (
+        grid.join(counts, ["part", "_k", "_c"], "left")
+        .join(F.broadcast(base), ["_k", "_c"], "left")
+        .join(F.broadcast(base_tot), ["_k"], "left")
+        .groupBy("part", "_k", "n_part", "n_base")
+        .agg(F.sum(term).alias("tv_num"))
+        .select(
+            "part",
+            F.col("_k").alias("cond"),
+            "n_part",
+            "n_base",
+            "tv_num",
+            (
+                F.col("tv_num")
+                / (F.lit(2.0) * F.col("n_part") * F.col("n_base"))
+            ).alias("tv"),
+        )
+    )
+
+
+def conditional_drift_violations(
+    ct: DataFrame, threshold: float, check_id: str
+) -> DataFrame:
+    """Violation rows (engine schema) for (partition, conditioning value)
+    pairs whose conditional distribution moved more than ``threshold`` TV
+    from the baseline — or whose conditioning value the baseline has never
+    seen (tv NULL: no distribution to compare against)."""
+    fired = ct.filter((F.col("tv") > threshold) | F.col("tv").isNull())
+    return fired.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("tv").isNull(),
+            F.format_string(
+                "novel conditioning value %s (n=%s) absent from baseline",
+                F.col("cond"),
+                F.col("n_part").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                f"conditional_tv=%s > {threshold} (cond=%s)",
+                F.round("tv", 6).cast("string"),
+                F.col("cond"),
+            )
+        )
+        .alias("detail"),
+    )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from .checks.base import (
     CategoricalDriftCheck,
     Check,
+    ConditionalDriftCheck,
     ContiguityCheck,
     CorrelationDriftCheck,
     DriftCheck,
@@ -56,6 +57,9 @@ from .checks.drift import (
     categorical_counts,
     categorical_drift_violations,
     categorical_tv,
+    conditional_counts,
+    conditional_drift_violations,
+    conditional_tv,
     correlation_drift,
     correlation_drift_violations,
     drift_violations,
@@ -635,6 +639,9 @@ def run_validation(
     corr_drift_checks = [
         c for c in checks if isinstance(c, CorrelationDriftCheck)
     ]
+    cond_drift_checks = [
+        c for c in checks if isinstance(c, ConditionalDriftCheck)
+    ]
     text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
 
     pieces: list[DataFrame] = []
@@ -738,6 +745,21 @@ def run_validation(
         pieces.append(
             correlation_drift_violations(cd, c.threshold, c.check_id)
         )
+    for c in cond_drift_checks:
+        bc = c.baseline_counts
+        if bc is None:
+            if baseline is None:
+                raise ValueError(
+                    f"ConditionalDriftCheck {c.check_id} has no baseline "
+                    "counts and no baseline DataFrame was provided"
+                )
+            bc = conditional_counts(baseline, c.cond_expr, c.cat_expr)
+        ct = conditional_tv(
+            df, c.cond_expr, c.cat_expr, cfg.partition_col, bc
+        )
+        pieces.append(
+            conditional_drift_violations(ct, c.threshold, c.check_id)
+        )
     for c in text_checks:
         pieces.append(
             text_equality_violations(
@@ -757,7 +779,8 @@ def run_validation(
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
-            "CorrelationDriftCheck, TextEqualityCheck)"
+            "CorrelationDriftCheck, ConditionalDriftCheck, "
+            "TextEqualityCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from .checks.base import (
     CategoricalDriftCheck,
     Check,
+    ConditionalDriftCheck,
     ContiguityCheck,
     CorrelationDriftCheck,
     DriftCheck,
@@ -103,6 +104,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
     "cat_drift": {"col", "threshold", "baseline_counts"},
     "corr_drift": {"x", "y", "threshold", "baseline_corr"},
+    "cond_drift": {"cond", "cat", "threshold", "baseline_counts"},
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
 }
@@ -380,6 +382,32 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             threshold=_float(entry, where, "threshold", 0.25),
             baseline_corr=float(bc) if bc is not None else None,
         )
+    elif t == "cond_drift":
+        _require(entry, where, "cond", "cat")
+        _sql_expr(entry["cond"], where, "cond")  # eager syntax gate only
+        _sql_expr(entry["cat"], where, "cat")
+        bc = entry.get("baseline_counts")
+        if bc is not None:
+            # JSON keys can't be tuples: nested {cond: {cat: count}}
+            if not isinstance(bc, dict) or not all(
+                isinstance(v, dict) for v in bc.values()
+            ):
+                raise SuiteError(
+                    f"{where}: 'baseline_counts' must be a nested object "
+                    "of cond -> {category -> count}"
+                )
+            bc = {
+                (str(k), str(c2)): int(n)
+                for k, inner in bc.items()
+                for c2, n in inner.items()
+            }
+        c = ConditionalDriftCheck(
+            check_id=cid,
+            cond_expr=entry["cond"],
+            cat_expr=entry["cat"],
+            threshold=_float(entry, where, "threshold", 0.25),
+            baseline_counts=bc,
+        )
     elif t == "group_agg":
         _require(entry, where, "aggs", "predicate")
         aggs = _str_list(entry, where, "aggs")
@@ -420,6 +448,7 @@ _RESOLVED_ATTRS = {
               "probes": "probes"},
     "cat_drift": {"threshold": "threshold"},
     "corr_drift": {"threshold": "threshold"},
+    "cond_drift": {"threshold": "threshold"},
     "row": {"null_ok": "null_ok"},
     "fd": {"skip_null_determinant": "skip_null_determinant"},
     "monotone": {"strict": "strict"},
@@ -571,7 +600,7 @@ def _entry_columns(entry: dict, columns: set[str]) -> set[str]:
         v = entry.get(k)
         if isinstance(v, (list, tuple)):
             cols.update(x for x in v if isinstance(x, str))
-    for k in ("predicate", "detail", "expr"):
+    for k in ("predicate", "detail", "expr", "x", "y", "cond", "cat"):
         v = entry.get(k)
         if isinstance(v, str):
             cols.update(set(_IDENT.findall(v)) & columns)
