@@ -1445,6 +1445,41 @@ def q_d6_cond_drift(spark, sf_dir):
     )
 
 
+def q_d7_transition_drift(spark, sf_dir):
+    """Per-(day, from-event-type) TRANSITION drift: exact total-variation
+    distance of the day's outgoing-transition distribution
+    P(next event_type | event_type) — the Markov row over each user's
+    event stream under stable (ts, event_id) order — from the corpus-wide
+    transition matrix. The SEQUENTIAL-structure member of the drift
+    family: d2 watches one marginal, d5/d6 a within-row relationship;
+    none can see a corpus whose every marginal AND contingency stays
+    intact while the ORDER of events breaks (retry loops appearing,
+    sessions that stop closing with the usual terminal event). Boundary
+    sentinels expose opening/closing drift as P(to | <start>) /
+    P(<end> | from); a transition is attributed to the day of the row
+    that COMPLETES it. Exact in the family's discipline
+    (checks/drift.py:transition_drift -> conditional_tv): cross-multiplied
+    INTEGER terms summed as BIGINT, ONE float division at the end, so
+    DuckDB reproduces every row bit-for-bit. Plan: ONE bounded lag/lead
+    window keyed by user_id (never a hot key — streams are bounded), ONE
+    grouped count; everything downstream is broadcast-grid-sized."""
+    from taco_toolbox_spark.checks.drift import (
+        transition_counts,
+        transition_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    order = ("ts", "event_id")
+    base = transition_counts(ev, "user_id", order, "event_type")
+    day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return transition_drift(
+        day, "user_id", order, "event_type", "day", base
+    ).select(
+        F.col("part").alias("day"), "from_state", "n_part", "n_base",
+        "tv_num", "tv",
+    )
+
+
 def q_s1_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (md5 portability mode):
     keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
@@ -2398,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_ks_drift": q_d4_ks_drift,
         "d5_corr_drift": q_d5_corr_drift,
         "d6_cond_drift": q_d6_cond_drift,
+        "d7_transition_drift": q_d7_transition_drift,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "b1_bloom_contains": q_b1_bloom_contains,
@@ -3881,6 +3917,48 @@ def oracle_sql() -> dict[str, str]:
               UNION SELECT k, cat FROM b
             )
             SELECT t.part AS day, t.k AS cond, t.n_part, bt.n_base,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                           - coalesce(b.nb, 0)::BIGINT * t.n_part))::BIGINT
+                     AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                            - coalesce(b.nb, 0)::BIGINT * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * bt.n_base)) AS tv
+            FROM tot t
+            JOIN bt ON bt.k = t.k
+            JOIN cats g ON g.k = t.k
+            LEFT JOIN c x ON x.part = t.part AND x.k = g.k AND x.cat = g.cat
+            LEFT JOIN b ON b.k = g.k AND b.cat = g.cat
+            GROUP BY t.part, t.k, t.n_part, bt.n_base
+        """,
+        "d7_transition_drift": """
+            WITH e AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     coalesce(event_type, '<null>') AS s,
+                     lag(coalesce(event_type, '<null>')) OVER w AS prev,
+                     (lead(event_id) OVER w IS NULL) AS islast
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            pairs AS (
+              SELECT part, coalesce(prev, '<start>') AS k, s AS cat FROM e
+              UNION ALL
+              SELECT part, s AS k, '<end>' AS cat FROM e WHERE islast
+            ),
+            c AS (
+              SELECT part, k, cat, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT part, k, sum(n)::BIGINT AS n_part FROM c GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT k, cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1, 2
+            ),
+            bt AS (SELECT k, sum(nb)::BIGINT AS n_base FROM b GROUP BY 1),
+            cats AS (
+              SELECT DISTINCT k, cat FROM c
+              UNION SELECT k, cat FROM b
+            )
+            SELECT t.part AS day, t.k AS from_state, t.n_part, bt.n_base,
                    sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
                            - coalesce(b.nb, 0)::BIGINT * t.n_part))::BIGINT
                      AS tv_num,

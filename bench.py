@@ -79,6 +79,7 @@ HEADLINE = [
     "d3_embedding_drift",  # exact centroid-cosine drift per label
     "d5_corr_drift",      # exact-moment Pearson correlation drift
     "d6_cond_drift",      # exact conditional-distribution (contingency) drift
+    "d7_transition_drift",  # exact Markov-row transition (bigram) drift
     "dedup_common_spans",  # aligned-block boilerplate removal + splice
     "a10_transition_matrix",  # adjacent role-pair counts (one lag window)
     "dedup_winnow_pairs",  # winnowing fingerprints + capped hash join (md5 oracle mode)

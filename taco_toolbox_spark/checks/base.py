@@ -251,6 +251,35 @@ class ConditionalDriftCheck(Check):
 
 
 @dataclass
+class TransitionDriftCheck(Check):
+    """Per-(partition, from_state) total-variation distance of the outgoing
+    TRANSITION distribution P(to_state | from_state) — the Markov row for
+    ``state_expr`` under stable (``seq_col``, ``order_cols``) ordering —
+    from the baseline's, must stay within ``threshold``. The
+    SEQUENTIAL-structure member of the drift family: marginals and per-row
+    contingency tables can stay bit-identical while the ORDER of turns
+    breaks (tool turns no longer followed by assistant turns, retry loops
+    appearing, conversations that stop closing with the assistant).
+    :class:`SequenceCheck` hard-fails individual forbidden adjacencies;
+    this watches the transition DISTRIBUTION shift statistically. Exact
+    cross-multiplied integer arithmetic with one final float division
+    (drift.transition_drift), bit-for-bit reproducible by an independent
+    engine. With boundaries on, <start>/<end> sentinels expose
+    opening/closing-protocol drift as P(to | <start>) / P(<end> | from).
+    Empty ``seq_col`` / ``order_cols`` resolve to the engine's
+    group_col / (order_col,)."""
+
+    seq_col: str = ""
+    order_cols: tuple[str, ...] = ()
+    state_expr: str = ""
+    threshold: float = 0.25
+    include_boundaries: bool = True
+    #: baseline bigram counts {(from_state, to_state): count}; resolved by
+    #: the engine from the ``baseline`` DataFrame when None
+    baseline_counts: dict[tuple[str, str], int] | None = None
+
+
+@dataclass
 class GroupAggCheck(Check):
     """Generic per-group aggregate invariant: ``aggs`` are computed per
     group, ``predicate`` (over the agg row) must hold."""

@@ -927,3 +927,197 @@ def conditional_drift_violations(
         )
         .alias("detail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transition (bigram / Markov-row) drift — the SEQUENTIAL-structure member
+# ---------------------------------------------------------------------------
+
+#: boundary sentinels for transition_pairs. A first turn contributes the
+#: transition (START_TOKEN -> state), a last turn (state -> END_TOKEN), so
+#: opening/closing-protocol drift is visible (a corpus whose conversations
+#: stop opening with role=user shifts P(to | <start>) even when every
+#: interior bigram is intact). Real state values must not collide with
+#: these; pass custom tokens if they can.
+START_TOKEN = "<start>"
+END_TOKEN = "<end>"
+
+_TRANSITION_INTERNAL = {"_s", "_prev", "_islast", "_p"}
+
+
+def transition_pairs(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: Sequence[str],
+    state_expr: str,
+    *,
+    include_boundaries: bool = True,
+    start_token: str = START_TOKEN,
+    end_token: str = END_TOKEN,
+) -> DataFrame:
+    """One row per STATE TRANSITION within each sequence: the input columns
+    plus (``from_state``, ``to_state``) string columns, under the stable
+    order ``order_cols`` within ``seq_col``. The sequential building block
+    of :func:`transition_drift`. (The corpus-PROFILING sibling,
+    operators/distribution.py:transition_matrix, reports global bigram
+    counts for audit/SequenceCheck-derivation; the drift family instead
+    needs every input column preserved — for per-partition attribution —
+    plus boundary sentinels and NULL-state disambiguation.)
+
+    ONE lag/lead window partitioned by the sequence id — conversations are
+    bounded (thousands of turns, not billions), so the window never sees a
+    hot key the way a global window would; no other shuffle. Each row owns
+    the transition that COMPLETES at it (``prev -> state``, the first row's
+    ``prev`` being ``start_token``), so a transition crossing a partition
+    boundary (e.g. a conversation spanning two ingest days) is attributed
+    to the later row's partition — the deterministic convention the oracle
+    replays. The last row additionally emits (``state -> end_token``).
+
+    NULL states are folded into ``NULL_CATEGORY`` BEFORE the lag, so a
+    NULL ``lag`` unambiguously means "first row of the sequence" — a
+    genuine NULL state mid-sequence cannot masquerade as a boundary.
+    """
+    clash = _TRANSITION_INTERNAL | {"from_state", "to_state"}
+    hit = clash & set(df.columns)
+    if hit:
+        raise ValueError(
+            f"input columns collide with transition_pairs internals: "
+            f"{sorted(hit)}"
+        )
+    s = F.coalesce(F.expr(state_expr).cast("string"), F.lit(NULL_CATEGORY))
+    w = Window.partitionBy(seq_col).orderBy(*[F.col(c) for c in order_cols])
+    staged = (
+        df.withColumn("_s", s)
+        .withColumn("_prev", F.lag("_s").over(w))
+        .withColumn("_islast", F.lead("_s").over(w).isNull())
+    )
+    if include_boundaries:
+        head = F.struct(
+            F.coalesce(F.col("_prev"), F.lit(start_token)).alias("from_state"),
+            F.col("_s").alias("to_state"),
+        )
+        tail = F.struct(
+            F.col("_s").alias("from_state"),
+            F.lit(end_token).alias("to_state"),
+        )
+        pairs = F.when(F.col("_islast"), F.array(head, tail)).otherwise(
+            F.array(head)
+        )
+        out = staged.withColumn("_p", F.explode(pairs)).select(
+            *df.columns, F.col("_p.from_state"), F.col("_p.to_state")
+        )
+    else:
+        out = staged.filter(F.col("_prev").isNotNull()).select(
+            *df.columns,
+            F.col("_prev").alias("from_state"),
+            F.col("_s").alias("to_state"),
+        )
+    return out
+
+
+def transition_counts(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: Sequence[str],
+    state_expr: str,
+    *,
+    include_boundaries: bool = True,
+    start_token: str = START_TOKEN,
+    end_token: str = END_TOKEN,
+) -> dict[tuple[str, str], int]:
+    """Baseline bigram table {(from_state, to_state): count} — tiny
+    (|states|² + boundary rows at most), collected post-aggregation."""
+    pairs = transition_pairs(
+        df,
+        seq_col,
+        order_cols,
+        state_expr,
+        include_boundaries=include_boundaries,
+        start_token=start_token,
+        end_token=end_token,
+    )
+    return conditional_counts(pairs, "from_state", "to_state")
+
+
+def transition_drift(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: Sequence[str],
+    state_expr: str,
+    part_col: str,
+    baseline_counts: dict[tuple[str, str], int],
+    *,
+    include_boundaries: bool = True,
+    start_token: str = START_TOKEN,
+    end_token: str = END_TOKEN,
+) -> DataFrame:
+    """Per-(partition, from_state) total-variation distance of the outgoing
+    TRANSITION distribution P(to_state | from_state) from the baseline's —
+    the SEQUENTIAL-structure member of the drift family. Its siblings watch
+    marginals (quantile/categorical/KS/centroid) or co-occurrence within a
+    row (correlation, conditional); none of them can see a corpus whose
+    every marginal AND every per-row contingency stays bit-identical while
+    the ORDER of turns breaks — tool turns no longer followed by assistant
+    turns, conversations that stop closing with the assistant, retry loops
+    (assistant->assistant) appearing. The Markov transition matrix is the
+    standard analyzer for that failure class; its rows are conditional
+    distributions, so the exact cross-multiplied-integer TV machinery of
+    :func:`conditional_tv` applies verbatim — each term
+    ``|n(part,from,to)·N_b(from) − n_b(from,to)·N(part,from)|`` summed as
+    BIGINT, ONE float division at the end, bit-for-bit reproducible by an
+    independent engine.
+
+    Plan shape: ONE bounded lag/lead window keyed by the sequence id (the
+    only per-row pass), ONE grouped count (map-side partial agg); everything
+    after is broadcast-grid-sized (|parts|·|states|² rows).
+
+    Returns (part, from_state, n_part, n_base, tv_num, tv) — ``n_part`` /
+    ``n_base`` count TRANSITIONS out of ``from_state``, not rows. A
+    from-state the baseline never saw surfaces with tv = NULL and fires as
+    its own violation class in :func:`transition_drift_violations`.
+    """
+    pairs = transition_pairs(
+        df,
+        seq_col,
+        order_cols,
+        state_expr,
+        include_boundaries=include_boundaries,
+        start_token=start_token,
+        end_token=end_token,
+    )
+    ct = conditional_tv(
+        pairs, "from_state", "to_state", part_col, baseline_counts
+    )
+    return ct.withColumnRenamed("cond", "from_state")
+
+
+def transition_drift_violations(
+    td: DataFrame, threshold: float, check_id: str
+) -> DataFrame:
+    """Violation rows (engine schema) for (partition, from_state) pairs
+    whose outgoing-transition distribution moved more than ``threshold``
+    TV from the baseline — or whose from-state the baseline has never seen
+    (tv NULL: no transition row to compare against)."""
+    fired = td.filter((F.col("tv") > threshold) | F.col("tv").isNull())
+    return fired.select(
+        F.col("part"),
+        F.lit(check_id).alias("check_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("tv").isNull(),
+            F.format_string(
+                "novel from-state %s (n=%s transitions) absent from baseline",
+                F.col("from_state"),
+                F.col("n_part").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                f"transition_tv=%s > {threshold} (from=%s)",
+                F.round("tv", 6).cast("string"),
+                F.col("from_state"),
+            )
+        )
+        .alias("detail"),
+    )

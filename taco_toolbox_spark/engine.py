@@ -48,6 +48,7 @@ from .checks.base import (
     RowCheck,
     SequenceCheck,
     TextEqualityCheck,
+    TransitionDriftCheck,
     UniquenessCheck,
 )
 from .checks.fd import fd_violations
@@ -68,6 +69,9 @@ from .checks.drift import (
     exact_quantiles_by_partition,
     global_quantiles,
     sketch_by_partition,
+    transition_counts,
+    transition_drift,
+    transition_drift_violations,
 )
 from .checks.text_equality import text_equality_violations
 from .schema import literal_frame
@@ -642,6 +646,9 @@ def run_validation(
     cond_drift_checks = [
         c for c in checks if isinstance(c, ConditionalDriftCheck)
     ]
+    trans_drift_checks = [
+        c for c in checks if isinstance(c, TransitionDriftCheck)
+    ]
     text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
 
     pieces: list[DataFrame] = []
@@ -760,6 +767,35 @@ def run_validation(
         pieces.append(
             conditional_drift_violations(ct, c.threshold, c.check_id)
         )
+    for c in trans_drift_checks:
+        seq = c.seq_col or cfg.group_col
+        order = tuple(c.order_cols) or (cfg.order_col,)
+        bc = c.baseline_counts
+        if bc is None:
+            if baseline is None:
+                raise ValueError(
+                    f"TransitionDriftCheck {c.check_id} has no baseline "
+                    "counts and no baseline DataFrame was provided"
+                )
+            bc = transition_counts(
+                baseline,
+                seq,
+                order,
+                c.state_expr,
+                include_boundaries=c.include_boundaries,
+            )
+        td = transition_drift(
+            df,
+            seq,
+            order,
+            c.state_expr,
+            cfg.partition_col,
+            bc,
+            include_boundaries=c.include_boundaries,
+        )
+        pieces.append(
+            transition_drift_violations(td, c.threshold, c.check_id)
+        )
     for c in text_checks:
         pieces.append(
             text_equality_violations(
@@ -780,7 +816,7 @@ def run_validation(
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
             "CorrelationDriftCheck, ConditionalDriftCheck, "
-            "TextEqualityCheck)"
+            "TransitionDriftCheck, TextEqualityCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

@@ -72,6 +72,7 @@ from .checks.base import (
     RowCheck,
     SequenceCheck,
     TextEqualityCheck,
+    TransitionDriftCheck,
     UniquenessCheck,
     format_check,
     not_null_check,
@@ -105,6 +106,9 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "cat_drift": {"col", "threshold", "baseline_counts"},
     "corr_drift": {"x", "y", "threshold", "baseline_corr"},
     "cond_drift": {"cond", "cat", "threshold", "baseline_counts"},
+    "transition_drift": {
+        "state", "seq", "order", "threshold", "boundaries", "baseline_counts",
+    },
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
 }
@@ -408,6 +412,44 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             threshold=_float(entry, where, "threshold", 0.25),
             baseline_counts=bc,
         )
+    elif t == "transition_drift":
+        _require(entry, where, "state")
+        _sql_expr(entry["state"], where, "state")  # eager syntax gate only
+        bc = entry.get("baseline_counts")
+        if bc is not None:
+            # JSON keys can't be tuples: nested {from_state: {to_state: n}}
+            if not isinstance(bc, dict) or not all(
+                isinstance(v, dict) for v in bc.values()
+            ):
+                raise SuiteError(
+                    f"{where}: 'baseline_counts' must be a nested object "
+                    "of from_state -> {to_state -> count}"
+                )
+            bc = {
+                (str(k), str(c2)): int(n)
+                for k, inner in bc.items()
+                for c2, n in inner.items()
+            }
+        boundaries = entry.get("boundaries", True)
+        if not isinstance(boundaries, bool):
+            raise SuiteError(
+                f"{where}: 'boundaries' must be a boolean, "
+                f"got {boundaries!r}"
+            )
+        order = (
+            tuple(_str_list(entry, where, "order"))
+            if entry.get("order") is not None
+            else ()
+        )
+        c = TransitionDriftCheck(
+            check_id=cid,
+            seq_col=str(entry.get("seq") or ""),
+            order_cols=order,
+            state_expr=entry["state"],
+            threshold=_float(entry, where, "threshold", 0.25),
+            include_boundaries=boundaries,
+            baseline_counts=bc,
+        )
     elif t == "group_agg":
         _require(entry, where, "aggs", "predicate")
         aggs = _str_list(entry, where, "aggs")
@@ -449,6 +491,8 @@ _RESOLVED_ATTRS = {
     "cat_drift": {"threshold": "threshold"},
     "corr_drift": {"threshold": "threshold"},
     "cond_drift": {"threshold": "threshold"},
+    "transition_drift": {"threshold": "threshold",
+                         "boundaries": "include_boundaries"},
     "row": {"null_ok": "null_ok"},
     "fd": {"skip_null_determinant": "skip_null_determinant"},
     "monotone": {"strict": "strict"},
