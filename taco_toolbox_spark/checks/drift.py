@@ -838,9 +838,18 @@ def conditional_tv(
     tv = NULL (n_base NULL) rather than a fabricated 0 — the violations
     helper fires it as its own "novel conditioning value" class.
 
-    Plan shape: ONE grouped count of the input (map-side partial agg,
-    shuffle keyed (part, cond, cat)); everything after touches only
-    broadcast-sized frames (|parts|·|conds|·|cats| grid rows).
+    Plan shape: the input is touched EXACTLY ONCE — one grouped count
+    (map-side partial agg, shuffle keyed (part, cond, cat)). Everything
+    after runs over the |parts|·|conds|·|cats| grid: per-(part, cond)
+    totals via one grid-sized window, the baseline through broadcast
+    joins. Baseline categories MISSING from a (part, cond) never need a
+    grid row: their numerator mass is the closed form
+    ``(N_b(cond) − Σ_present n_b) · N(part, cond)`` — materializing them
+    (the naive union-of-categories grid) would re-derive the category
+    axis from the input and, because Catalyst collapses the
+    aggregate-over-aggregate into a second direct aggregation of the
+    input, re-execute the whole data-sized subtree (a second scan here; a
+    second lag/lead window pass in :func:`transition_drift`).
 
     Returns (part, cond, n_part, n_base, tv_num, tv) — one row per
     (partition, conditioning value) observed in ``df``.
@@ -857,7 +866,6 @@ def conditional_tv(
         cond.alias("_k"),
         cat.alias("_c"),
     ).agg(F.count(F.lit(1)).alias("_n"))
-    totals = counts.groupBy("part", "_k").agg(F.sum("_n").alias("n_part"))
     base = literal_frame(
         df.sparkSession,
         [(str(k), str(c), int(n))
@@ -865,32 +873,43 @@ def conditional_tv(
         "_k string, _c string, _nb long",
     )
     base_tot = base.groupBy("_k").agg(F.sum("_nb").alias("n_base"))
-    # the category axis per conditioning value = union of observed and
-    # baseline categories, so mass either side lacks still contributes
-    cats = (
-        counts.select("_k", "_c").distinct()
-        .unionByName(base.select("_k", "_c"))
-        .distinct()
+    w = Window.partitionBy("part", "_k")
+    stats = (
+        counts.join(F.broadcast(base), ["_k", "_c"], "left")
+        .join(F.broadcast(base_tot), ["_k"], "left")
+        .select(
+            "*",
+            F.sum("_n").over(w).alias("n_part"),
+            F.sum(F.coalesce(F.col("_nb"), F.lit(0)))
+            .over(w)
+            .alias("_nb_present"),
+        )
     )
-    grid = totals.join(F.broadcast(cats), "_k")
+    # categories observed in the partition: exact cross-multiplied term;
+    # baseline categories the partition lacks: n = 0, so each contributes
+    # n_b·n_part — summed in closed form from the per-group present mass
     term = F.abs(
-        F.coalesce(F.col("_n"), F.lit(0)) * F.col("n_base")
+        F.col("_n") * F.col("n_base")
         - F.coalesce(F.col("_nb"), F.lit(0)) * F.col("n_part")
     )
     return (
-        grid.join(counts, ["part", "_k", "_c"], "left")
-        .join(F.broadcast(base), ["_k", "_c"], "left")
-        .join(F.broadcast(base_tot), ["_k"], "left")
-        .groupBy("part", "_k", "n_part", "n_base")
-        .agg(F.sum(term).alias("tv_num"))
+        stats.groupBy("part", "_k", "n_part", "n_base", "_nb_present")
+        .agg(F.sum(term).alias("_present_num"))
         .select(
             "part",
             F.col("_k").alias("cond"),
             "n_part",
             "n_base",
-            "tv_num",
             (
-                F.col("tv_num")
+                F.col("_present_num")
+                + (F.col("n_base") - F.col("_nb_present")) * F.col("n_part")
+            ).alias("tv_num"),
+            (
+                (
+                    F.col("_present_num")
+                    + (F.col("n_base") - F.col("_nb_present"))
+                    * F.col("n_part")
+                )
                 / (F.lit(2.0) * F.col("n_part") * F.col("n_base"))
             ).alias("tv"),
         )

@@ -296,6 +296,37 @@ def test_categorical_tv_one_input_shuffle_and_broadcast_grid(spark):
     assert "ExistingRDD" not in plan and "PythonRDD" not in plan
 
 
+def test_transition_drift_single_window_broadcast_grid(spark):
+    """transition_drift touches the data EXACTLY ONCE: one seq-keyed
+    lag/lead window into one explode into one grouped count; the TV sits
+    on the grid-sized result (one grid window + broadcast baseline
+    joins). The naive union-of-categories grid re-derived the category
+    axis from the input — Catalyst collapses that aggregate-over-
+    aggregate into a SECOND full pass (scan + window + explode), which
+    this test pins out: exactly one Generate and two Window nodes (data
+    seq window + grid totals window), no Python, no cartesian."""
+    from taco_toolbox_spark.checks.drift import transition_drift
+
+    df = literal_frame(
+        spark,
+        [("p1", "c1", 0, "u"), ("p1", "c1", 1, "a"), ("p2", "c2", 0, "u")],
+        "part string, conv_id string, turn_idx int, role string",
+    )
+    base = {("<start>", "u"): 2, ("u", "a"): 1, ("a", "<end>"): 1,
+            ("u", "<end>"): 1}
+    plan = _plan(
+        transition_drift(df, "conv_id", ("turn_idx",), "role", "part", base)
+    )
+    # the seq lag/lead window plans exactly once (the naive grid planned
+    # it twice); one grid-sized totals window on top
+    assert plan.count("lag(") == 1 and plan.count("lead(") == 1
+    assert plan.count("+- Window") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" not in plan and "PythonRDD" not in plan
+
+
 def test_sequence_check_shares_window_with_monotone(spark, corpus):
     """Adding the role grammar AND a gap bound to a battery that already
     has ts_monotone must NOT add a window operator or an exchange: every
