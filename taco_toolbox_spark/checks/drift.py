@@ -367,9 +367,14 @@ def categorical_tv(
     headroom at 10^12 rows).
 
     Returns (part, n_part, tv_num, tv) — one row per partition. Plan
-    shape: one grouped count of the input (partial-aggregated map-side),
-    then broadcast joins against the literal category grid; nothing after
-    the first aggregation touches more than |parts|·|categories| rows.
+    shape: the input is touched EXACTLY ONCE — one grouped count
+    (partial-aggregated map-side); nothing after the first aggregation
+    touches more than |parts|·|categories| rows. Baseline categories a
+    partition lacks never need a grid row: their numerator mass is the
+    closed form ``(N_base − Σ_present n_b) · N_part`` (materializing a
+    union-of-categories grid would re-derive the category axis from the
+    input, and Catalyst collapses that aggregate-over-aggregate into a
+    SECOND full input scan).
     """
     from ..schema import literal_frame
 
@@ -382,35 +387,43 @@ def categorical_tv(
         df.groupBy(F.col(part_col).cast("string").alias("part"), cat.alias("_c"))
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    parts = counts.groupBy("part").agg(F.sum("_n").alias("n_part"))
     base = literal_frame(
         df.sparkSession,
         [(str(k), int(v)) for k, v in sorted(baseline_counts.items())],
         "_c string, _nb long",
     )
-    # the category axis = union of baseline and observed categories, so
-    # mass on either side that the other lacks still contributes its term
-    cats = (
-        counts.select("_c").distinct()
-        .unionByName(base.select("_c"))
-        .distinct()
+    w = Window.partitionBy("part")
+    stats = counts.join(F.broadcast(base), ["_c"], "left").select(
+        "*",
+        F.sum("_n").over(w).alias("n_part"),
+        F.sum(F.coalesce(F.col("_nb"), F.lit(0)))
+        .over(w)
+        .alias("_nb_present"),
     )
-    grid = parts.crossJoin(F.broadcast(cats))  # |parts| × |categories|
+    # categories observed in the partition: exact cross-multiplied term;
+    # baseline categories the partition lacks each contribute n_b·N_part —
+    # summed in closed form from the per-partition present mass
     term = F.abs(
-        F.coalesce(F.col("_n"), F.lit(0)) * F.lit(n_base_total)
+        F.col("_n") * F.lit(n_base_total)
         - F.coalesce(F.col("_nb"), F.lit(0)) * F.col("n_part")
     )
     return (
-        grid.join(counts, ["part", "_c"], "left")
-        .join(F.broadcast(base), ["_c"], "left")
-        .groupBy("part", "n_part")
-        .agg(F.sum(term).alias("tv_num"))
+        stats.groupBy("part", "n_part", "_nb_present")
+        .agg(F.sum(term).alias("_present_num"))
         .select(
             "part",
             "n_part",
-            "tv_num",
             (
-                F.col("tv_num")
+                F.col("_present_num")
+                + (F.lit(n_base_total) - F.col("_nb_present"))
+                * F.col("n_part")
+            ).alias("tv_num"),
+            (
+                (
+                    F.col("_present_num")
+                    + (F.lit(n_base_total) - F.col("_nb_present"))
+                    * F.col("n_part")
+                )
                 / (F.lit(2.0) * F.col("n_part") * F.lit(float(n_base_total)))
             ).alias("tv"),
         )

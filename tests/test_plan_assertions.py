@@ -276,23 +276,27 @@ def test_distinctive_terms_partial_agg_and_python_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_categorical_tv_one_input_shuffle_and_broadcast_grid(spark):
+def test_categorical_tv_one_input_shuffle_and_broadcast_grid(spark, tmp_path):
     """categorical_tv must aggregate the input ONCE (partial+final
     HashAggregate over the grouped count — the only exchange that sees
-    data-sized rows) and reach the category grid through broadcast joins;
-    no Python, no cartesian over anything data-sized."""
+    data-sized rows) and reach the baseline through broadcast joins; no
+    Python, no cartesian over anything data-sized. The single "Scan
+    parquet" pins out the naive union-of-categories grid, whose distinct
+    Catalyst collapses into a SECOND full input scan."""
     from taco_toolbox_spark.checks.drift import categorical_tv
 
-    df = literal_frame(
+    literal_frame(
         spark,
         [("p1", "x"), ("p1", "y"), ("p2", "x")],
         "part string, cat string",
-    )
+    ).write.parquet(str(tmp_path / "in"))
+    df = spark.read.parquet(str(tmp_path / "in"))
     plan = _plan(categorical_tv(df, "cat", "part", {"x": 2, "y": 1}))
+    assert plan.count("Scan parquet") == 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # grid/baseline sides are literal projections, never Python RDD scans
+    # baseline side is a literal projection, never a Python RDD scan
     assert "ExistingRDD" not in plan and "PythonRDD" not in plan
 
 
