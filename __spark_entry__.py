@@ -1480,6 +1480,52 @@ def q_d7_transition_drift(spark, sf_dir):
     )
 
 
+def q_stream_transitions(spark, sf_dir):
+    """STREAMING query under the value oracle: each user's event stream is
+    fed through the stateful transition emitter
+    (streaming/validate_stream.py:stream_transition_pairs —
+    applyInPandasWithState, ONE string of state per sequence, vectorized
+    sort+shift per micro-batch) and the emitted (from_state, to_state)
+    pair counts must equal the batch lag rule — which the DuckDB oracle
+    computes with its own window. The staged copy confines each user to
+    one file (repartition by user_id), the condition under which the
+    stream multiset is exact regardless of file arrival order; <end>
+    rows are batch-only (an unbounded stream never proves a sequence
+    over), so the oracle drops them by construction (lag, not lead).
+    Completes the batch<->stream matrix for the transition-drift family:
+    these counts ARE the live side of a transition-matrix TV comparison
+    against a stored baseline."""
+    import hashlib
+    import os
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_transition_smoke,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/events_trans_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        # one file per user bucket: every sequence inside one micro-batch
+        _t(spark, sf_dir, "events").repartition(8, "user_id").write.mode(
+            "overwrite"
+        ).parquet(staged)
+    out = run_stream_transition_smoke(
+        spark, staged, seq_col="user_id", order_col="ts",
+        state_col="event_type", query_name=f"q_strans_{tag}",
+        max_files_per_trigger=2,
+    )
+    return out.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_s1_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (md5 portability mode):
     keep-decision = first-32-md5-bits(event_id, seed) mod 1e6 under a
@@ -2434,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_corr_drift": q_d5_corr_drift,
         "d6_cond_drift": q_d6_cond_drift,
         "d7_transition_drift": q_d7_transition_drift,
+        "stream_transitions": q_stream_transitions,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "b1_bloom_contains": q_b1_bloom_contains,
@@ -3971,6 +4018,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c x ON x.part = t.part AND x.k = g.k AND x.cat = g.cat
             LEFT JOIN b ON b.k = g.k AND b.cat = g.cat
             GROUP BY t.part, t.k, t.n_part, bt.n_base
+        """,
+        "stream_transitions": """
+            WITH e AS (
+              SELECT coalesce(event_type, '<null>') AS s,
+                     lag(coalesce(event_type, '<null>')) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT coalesce(prev, '<start>') AS from_state, s AS to_state,
+                   count(*)::BIGINT AS n
+            FROM e GROUP BY 1, 2
         """,
         "d2_cat_drift": """
             WITH c AS (

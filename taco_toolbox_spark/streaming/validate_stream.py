@@ -1370,3 +1370,134 @@ def run_stream_incremental_smoke(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_transition_pairs(
+    stream_df: DataFrame,
+    seq_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    include_start: bool = True,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming twin of the batch transition builder
+    (checks/drift.py:transition_pairs): one output row per state
+    TRANSITION observed on the stream — ``(seq, from_state, to_state)``
+    — maintained per sequence via applyInPandasWithState, so the
+    transition-drift family (the SEQUENTIAL-structure drift member) has a
+    live realization: feed the emitted pairs into any micro-batch counter
+    / TV comparison against a stored baseline transition matrix.
+
+    Per-sequence state is ONE string (the state at the highest order seen)
+    plus an opened flag — constant regardless of conversation length.
+    Within a micro-batch the pairs are a vectorized pandas sort + shift;
+    only the boundary row consults state. NULL states fold into the batch
+    family's ``NULL_CATEGORY`` JVM-side BEFORE Python, same as the batch
+    builder, so a NULL mid-sequence is a real category, never a boundary.
+
+    Boundary semantics vs batch, stated honestly:
+    - ``<start>`` transitions are exact: the first row a sequence EVER
+      shows emits (start_token -> state), latched by the opened flag.
+    - ``<end>`` transitions are NOT emitted — an unbounded stream never
+      proves a conversation over (the same reason sessionization needs a
+      gap timeout); unbounded-horizon end rows belong to the batch path.
+      Parity contract: stream pairs == batch transition_pairs with the
+      ``to_state = end_token`` rows dropped.
+    - Cross-batch transitions are exact when each sequence's rows arrive
+      in order across micro-batches (the transcript-ingestion contract,
+      same as ts_monotone above) — guaranteed unconditionally when each
+      sequence is confined to one source file, the smoke's staging. A
+      late-arriving lower turn emits a pair against the newest state, not
+      its in-order neighbor.
+    """
+    from ..checks.drift import NULL_CATEGORY, START_TOKEN
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    start_token = START_TOKEN
+    keyed = stream_df.select(
+        F.col(seq_col).cast("string").alias("_seq"),
+        F.col(order_col).alias("_o"),
+        F.coalesce(F.col(state_col).cast("string"), F.lit(NULL_CATEGORY))
+        .alias("_s"),
+    )
+    out_schema = f"{seq_col} string, from_state string, to_state string"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last, opened = state.get
+        else:
+            last, opened = None, False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("_o", kind="mergesort")
+            s = pdf["_s"].reset_index(drop=True)
+            prev = s.shift(1)
+            drop_first = False
+            if opened:
+                prev.iloc[0] = last
+            elif include_start:
+                prev.iloc[0] = start_token
+            else:
+                drop_first = True
+            out = pd.DataFrame(
+                {
+                    seq_col: key[0],
+                    "from_state": prev,
+                    "to_state": s,
+                }
+            )
+            if drop_first:
+                out = out.iloc[1:]
+            last, opened = s.iloc[-1], True
+            if len(out):
+                yield out
+        state.update((last, opened))
+
+    return keyed.groupBy("_seq").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_state string, opened boolean",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_transition_smoke(
+    spark,
+    parquet_dir: str,
+    seq_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+    query_name: str = "stream_transitions",
+    max_files_per_trigger: int = 8,
+    **kwargs,
+):
+    """Drive stream_transition_pairs over a bounded parquet dir with the
+    memory sink (update mode). Stage the dir with each sequence confined
+    to ONE file (e.g. ``df.repartition(n, seq_col).write``) and the
+    emitted pair multiset is exactly the batch builder's, regardless of
+    file arrival order — each sequence then lives inside a single
+    micro-batch's vectorized sort."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_transition_pairs(
+        stream, seq_col, order_col, state_col, **kwargs
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

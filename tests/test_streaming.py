@@ -916,3 +916,81 @@ def test_stream_content_digest_windowed(tmp_path, corpus):
         ).collect()
     }
     assert got == want and want
+
+
+def test_stream_transitions_match_batch_pairs(tmp_path, spark):
+    """stream_transition_pairs over conv-confined files must emit exactly
+    the batch transition_pairs multiset minus the <end> rows (an
+    unbounded stream never proves a conversation over)."""
+    from taco_toolbox_spark.checks.drift import END_TOKEN, transition_pairs
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_transition_smoke,
+    )
+
+    rows = []
+    for i in range(12):
+        roles = (["user", "assistant"] * (1 + i % 3))[: 2 + i % 4]
+        if i % 4 == 2:
+            roles.insert(1, None)  # NULL state mid-conversation
+        rows += [(f"c{i}", j, r) for j, r in enumerate(roles)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    inp = str(tmp_path / "trans_in")
+    # each conversation confined to one file => exact under any file order
+    df.repartition(5, "conv_id").write.parquet(inp)
+
+    got = run_stream_transition_smoke(
+        spark, inp, query_name="t_strans", max_files_per_trigger=2
+    ).toPandas()
+    want = (
+        transition_pairs(df, "conv_id", ("turn_idx",), "role")
+        .filter(F.col("to_state") != END_TOKEN)
+        .toPandas()
+    )
+    key = lambda p: sorted(zip(p.conv_id, p.from_state, p.to_state))
+    assert key(got) == key(want[["conv_id", "from_state", "to_state"]])
+    # NULL mid-conversation surfaced as the '<null>' category, not a start
+    assert ("c2", "user", "<null>") in key(got)
+
+
+def test_stream_transitions_carry_state_across_batches(tmp_path, spark):
+    """A conversation split across micro-batches (in order) must emit the
+    boundary-spanning pair from stored state and must NOT re-emit
+    <start> (the opened latch)."""
+    import os
+    import time
+
+    from taco_toolbox_spark.checks.drift import START_TOKEN
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_transition_smoke,
+    )
+
+    inp = str(tmp_path / "carry_in")
+    spark.createDataFrame(
+        [("c", 0, "user"), ("c", 1, "assistant")],
+        "conv_id string, turn_idx int, role string",
+    ).coalesce(1).write.parquet(inp)
+    first = [f for f in os.listdir(inp) if f.endswith(".parquet")]
+    spark.createDataFrame(
+        [("c", 2, "tool"), ("c", 3, "assistant")],
+        "conv_id string, turn_idx int, role string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    second = [
+        f for f in os.listdir(inp)
+        if f.endswith(".parquet") and f not in first
+    ]
+    # force distinct, ordered mod-times so FileStreamSource batches them
+    # in turn order under maxFilesPerTrigger=1
+    now = time.time()
+    os.utime(os.path.join(inp, first[0]), (now - 100, now - 100))
+    os.utime(os.path.join(inp, second[0]), (now, now))
+
+    got = run_stream_transition_smoke(
+        spark, inp, query_name="t_scarry", max_files_per_trigger=1
+    ).toPandas()
+    pairs = sorted(zip(got.from_state, got.to_state))
+    assert pairs == [
+        (START_TOKEN, "user"),
+        ("assistant", "tool"),      # the cross-batch boundary pair
+        ("tool", "assistant"),
+        ("user", "assistant"),
+    ]
