@@ -1429,32 +1429,36 @@ def stream_transition_pairs(
             last, opened = state.get
         else:
             last, opened = None, False
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("_o", kind="mergesort")
-            s = pdf["_s"].reset_index(drop=True)
-            prev = s.shift(1)
-            drop_first = False
-            if opened:
-                prev.iloc[0] = last
-            elif include_start:
-                prev.iloc[0] = start_token
-            else:
-                drop_first = True
-            out = pd.DataFrame(
-                {
-                    seq_col: key[0],
-                    "from_state": prev,
-                    "to_state": s,
-                }
-            )
-            if drop_first:
-                out = out.iloc[1:]
-            last, opened = s.iloc[-1], True
-            if len(out):
-                yield out
-        state.update((last, opened))
+        # one group's batch rows may arrive split across Arrow chunks in
+        # arbitrary chunk order: concatenate before the sort (bounded —
+        # one sequence's slice of one micro-batch, conversation-sized)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((last, opened))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values("_o", kind="mergesort")
+        s = pdf["_s"].reset_index(drop=True)
+        prev = s.shift(1)
+        drop_first = False
+        if opened:
+            prev.iloc[0] = last
+        elif include_start:
+            prev.iloc[0] = start_token
+        else:
+            drop_first = True
+        out = pd.DataFrame(
+            {
+                seq_col: key[0],
+                "from_state": prev,
+                "to_state": s,
+            }
+        )
+        if drop_first:
+            out = out.iloc[1:]
+        state.update((s.iloc[-1], True))
+        if len(out):
+            yield out
 
     return keyed.groupBy("_seq").applyInPandasWithState(
         fn,
