@@ -27,6 +27,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _stage_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    suffix: str,
+    build: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[str, str]:
+    """Stage ``table`` under /tmp/spark_graft_stream/<suffix>_<tag> for the
+    STREAMING queries (one shared copy per sf_dir), restaging whenever the
+    SOURCE is newer than the staged copy — a cached stale copy would
+    silently diverge from the oracle's fresh read of the source. ``build``
+    transforms the frame before writing (filtered/derived stream corpora).
+    Returns (staged_path, tag) — the tag keys per-sf memory-sink names."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    src_mtime = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
+         for f in fs),
+        default=os.path.getmtime(src),
+    ) if os.path.isdir(src) else os.path.getmtime(src)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"/tmp/spark_graft_stream/{suffix}_{tag}"
+    done = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
+        df = _t(spark, sf_dir, table)
+        if build is not None:
+            df = build(df)
+        df.write.mode("overwrite").parquet(staged)
+    return staged, tag
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1495,29 +1528,17 @@ def q_stream_transitions(spark, sf_dir):
     Completes the batch<->stream matrix for the transition-drift family:
     these counts ARE the live side of a transition-matrix TV comparison
     against a stored baseline."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_transition_smoke,
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/events_trans_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        # one file per user bucket: every sequence inside one micro-batch
-        _t(spark, sf_dir, "events").repartition(8, "user_id").write.mode(
-            "overwrite"
-        ).parquet(staged)
+    # one file per user bucket: every sequence inside one micro-batch
+    staged, tag = _stage_stream(
+        spark, sf_dir, "events", "events_trans",
+        build=lambda d: d.repartition(8, "user_id"),
+    )
     out = run_stream_transition_smoke(
-        spark, staged, seq_col="user_id", order_col="ts",
+        spark, staged, seq_col="user_id", order_col=("ts", "event_id"),
         state_col="event_type", query_name=f"q_strans_{tag}",
         max_files_per_trigger=2,
     )
@@ -1666,26 +1687,11 @@ def q_stream_sessionize(spark, sf_dir):
     session aggregates must equal the batch lag+cumsum rule — which the
     DuckDB oracle computes in SQL. A structured-streaming operator held
     to the same rows+schema+hash gate as the batch queries."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_sessionize_smoke,
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/events_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    # restage when the SOURCE is newer than the staged copy — a cached
-    # stale copy would silently diverge from the oracle's fresh read
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events")
     out = run_stream_sessionize_smoke(
         spark, staged, query_name=f"q_sessions_{tag}"
     )
@@ -1710,24 +1716,12 @@ def q_stream_dedup(spark, sf_dir):
     the distinct normalized text of the documents table (the injected
     rows are dups by construction). WHICH raw duplicate survives is
     arrival-order dependent and deliberately not part of the contract."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_dedup_smoke,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/docs_dedup_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    def _with_planted_dups(docs):
+        d = docs.select("doc_id", "text")
         base_ts = F.to_timestamp(F.lit("2025-03-01 00:00:00"))
         orig = d.select(
             "doc_id", "text",
@@ -1741,7 +1735,11 @@ def q_stream_dedup(spark, sf_dir):
                 mins=(F.col("doc_id") % 300).cast("int"), secs=F.lit(30.0)
             )).alias("ts"),
         )
-        orig.unionByName(dups).write.mode("overwrite").parquet(staged)
+        return orig.unionByName(dups)
+
+    staged, tag = _stage_stream(
+        spark, sf_dir, "documents", "docs_dedup", build=_with_planted_dups
+    )
     out = run_stream_dedup_smoke(
         spark, staged, query_name=f"q_sdedup_{tag}", watermark="24 hours",
         max_files_per_trigger=4,
@@ -1769,27 +1767,15 @@ def q_stream_minhash_cands(spark, sf_dir):
     md5 per shingle split into 32-bit halves, the same 2-universal
     permutation minima, band-concat buckets, bucket cap, pairs
     id_a < id_b)."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         minhash_bucket_store,
         run_stream_minhash_smoke,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/docs_minhash_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        _t(spark, sf_dir, "documents").select("doc_id", "text").write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged, tag = _stage_stream(
+        spark, sf_dir, "documents", "docs_minhash",
+        build=lambda d: d.select("doc_id", "text"),
+    )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     store = minhash_bucket_store(docs, hash_fn="md5")
     out = run_stream_minhash_smoke(
@@ -1901,29 +1887,19 @@ def q_stream_incr_dedup(spark, sf_dir):
     no watermark, no state store). Bloom one-sidedness makes the packed
     pre-test invisible to the output, so the oracle is the plain
     semi-join verdict in SQL."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.dedup.incremental import exact_keys
     from taco_toolbox_spark.sketches import bloom_pack_words, bloom_positions
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_incremental_smoke,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/docs_incr_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
+    staged, tag = _stage_stream(
+        spark, sf_dir, "documents", "docs_incr",
+        build=lambda d: d.select("doc_id", "text").filter(
+            F.col("doc_id") % 3 == 0
+        ),
+    )
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        d.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
-            staged
-        )
     existing = d.filter(F.col("doc_id") % 3 != 0)
     ex_keys = exact_keys(existing, portable_key=True)
     words = bloom_pack_words(
@@ -2299,24 +2275,11 @@ def q_stream_digest(spark, sf_dir):
     recomputes from scratch (md5 row hashes, bit_xor, sum mod 2^40).
     The ingest-certification contract held to the same
     rows+schema+hash gate as every batch query."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_digest_smoke,
     )
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/docs_digest_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        _t(spark, sf_dir, "documents").write.mode("overwrite").parquet(staged)
+    staged, tag = _stage_stream(spark, sf_dir, "documents", "docs_digest")
     return run_stream_digest_smoke(
         spark,
         staged,
@@ -2337,24 +2300,11 @@ def q_stream_digest_windowed(spark, sf_dir):
     hashed tuple by design: the digest contract hashes exact
     (string/int) renderings, and float-to-string formats are the one
     place engines legitimately disagree."""
-    import hashlib
-    import os
-
     from taco_toolbox_spark.streaming.validate_stream import (
         run_stream_digest_smoke,
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    src_mtime = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(src)
-         for f in fs),
-        default=os.path.getmtime(src),
-    ) if os.path.isdir(src) else os.path.getmtime(src)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"/tmp/spark_graft_stream/events_digest_{tag}"
-    done = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(done) or os.path.getmtime(done) < src_mtime:
-        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events_digest")
     return run_stream_digest_smoke(
         spark,
         staged,
@@ -3982,7 +3932,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT strftime(ts, '%Y-%m-%d') AS part,
                      coalesce(event_type, '<null>') AS s,
                      lag(coalesce(event_type, '<null>')) OVER w AS prev,
-                     (lead(event_id) OVER w IS NULL) AS islast
+                     (lead(coalesce(event_type, '<null>')) OVER w IS NULL)
+                       AS islast
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
@@ -4024,7 +3975,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT coalesce(event_type, '<null>') AS s,
                      lag(coalesce(event_type, '<null>')) OVER w AS prev
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT coalesce(prev, '<start>') AS from_state, s AS to_state,
                    count(*)::BIGINT AS n

@@ -418,12 +418,11 @@ def categorical_tv(
                 + (F.lit(n_base_total) - F.col("_nb_present"))
                 * F.col("n_part")
             ).alias("tv_num"),
+        )
+        .select(
+            "*",
             (
-                (
-                    F.col("_present_num")
-                    + (F.lit(n_base_total) - F.col("_nb_present"))
-                    * F.col("n_part")
-                )
+                F.col("tv_num")
                 / (F.lit(2.0) * F.col("n_part") * F.lit(float(n_base_total)))
             ).alias("tv"),
         )
@@ -917,12 +916,11 @@ def conditional_tv(
                 F.col("_present_num")
                 + (F.col("n_base") - F.col("_nb_present")) * F.col("n_part")
             ).alias("tv_num"),
+        )
+        .select(
+            "*",
             (
-                (
-                    F.col("_present_num")
-                    + (F.col("n_base") - F.col("_nb_present"))
-                    * F.col("n_part")
-                )
+                F.col("tv_num")
                 / (F.lit(2.0) * F.col("n_part") * F.col("n_base"))
             ).alias("tv"),
         )

@@ -9,6 +9,8 @@ checks (monotone ts) need per-conversation state → applyInPandasWithState
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1375,7 +1377,7 @@ def run_stream_incremental_smoke(
 def stream_transition_pairs(
     stream_df: DataFrame,
     seq_col: str = "conv_id",
-    order_col: str = "turn_idx",
+    order_col: str | Sequence[str] = "turn_idx",
     state_col: str = "role",
     include_start: bool = True,
     output_mode: str = "update",
@@ -1409,17 +1411,30 @@ def stream_transition_pairs(
       sequence is confined to one source file, the smoke's staging. A
       late-arriving lower turn emits a pair against the newest state, not
       its in-order neighbor.
+
+    ``order_col`` may be one column or a sequence (a tiebreak matters
+    whenever the primary order can tie — the batch family orders events
+    by (ts, event_id) for exactly this reason). NULL order values sort
+    FIRST (``na_position="first"``), matching Spark's ASC NULLS FIRST in
+    the batch window, so the parity contract holds on NULL-ordered rows
+    too.
     """
     from ..checks.drift import NULL_CATEGORY, START_TOKEN
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if seq_col in ("from_state", "to_state"):
+        raise ValueError(
+            f"seq_col {seq_col!r} collides with the emitted pair columns"
+        )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     start_token = START_TOKEN
     keyed = stream_df.select(
         F.col(seq_col).cast("string").alias("_seq"),
-        F.col(order_col).alias("_o"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.coalesce(F.col(state_col).cast("string"), F.lit(NULL_CATEGORY))
         .alias("_s"),
     )
+    sort_cols = [f"_o{i}" for i in range(len(order_cols))]
     out_schema = f"{seq_col} string, from_state string, to_state string"
 
     def fn(key, pdf_iter, state: GroupState):
@@ -1437,7 +1452,9 @@ def stream_transition_pairs(
             state.update((last, opened))
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        pdf = pdf.sort_values("_o", kind="mergesort")
+        # na_position="first" == Spark's ASC NULLS FIRST (parity contract)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort",
+                              na_position="first")
         s = pdf["_s"].reset_index(drop=True)
         prev = s.shift(1)
         drop_first = False
@@ -1473,7 +1490,7 @@ def run_stream_transition_smoke(
     spark,
     parquet_dir: str,
     seq_col: str = "conv_id",
-    order_col: str = "turn_idx",
+    order_col: str | Sequence[str] = "turn_idx",
     state_col: str = "role",
     query_name: str = "stream_transitions",
     max_files_per_trigger: int = 8,
