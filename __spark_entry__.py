@@ -2316,6 +2316,35 @@ def q_stream_digest_windowed(spark, sf_dir):
     )
 
 
+def q_stream_cat_drift(spark, sf_dir):
+    """STREAMING categorical drift under the full value oracle: the
+    events table streams through watermarked per-event-time-DAY windows,
+    and each window's event_type distribution is scored against the
+    corpus-wide histogram with the EXACT total-variation arithmetic of
+    the batch check (d2_cat_drift) — integer cross-multiplied terms,
+    BIGINT sum, ONE float division — so the DuckDB oracle reproduces
+    every (window, n, tv_num, tv) row bit-for-bit. Completes the
+    batch<->stream drift matrix: quantile drift already streams
+    (stream_drift); this is its categorical sibling
+    (streaming/validate_stream.py:stream_categorical_tv)."""
+    from taco_toolbox_spark.checks.drift import categorical_counts
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cat_drift_smoke,
+    )
+
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events_catdrift")
+    base = categorical_counts(spark.read.parquet(staged), "event_type")
+    return run_stream_cat_drift_smoke(
+        spark,
+        staged,
+        "event_type",
+        base,
+        query_name=f"q_scatdrift_{tag}",
+        window="1 day",
+        watermark="2 days",
+    ).select("window_start", "n_win", "tv_num", "tv")
+
+
 def q_digest_documents(spark, sf_dir):
     """Bench-only twin of m1_content_digest at data scale: native
     xxhash64-family content digest of the sf ``documents`` table grouped
@@ -2442,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_dup_convs": q_m2_dup_convs,
         "stream_digest": q_stream_digest,
         "stream_digest_windowed": q_stream_digest_windowed,
+        "stream_cat_drift": q_stream_cat_drift,
     }
 
 
@@ -3429,6 +3459,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_d,
                    (sum(h) % 1099511627776)::BIGINT AS sum_d
             FROM h GROUP BY source
+        """,
+        "stream_cat_drift": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS part,
+                     coalesce(event_type, '<null>') AS cat, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT part, sum(n)::BIGINT AS n_win FROM c GROUP BY 1),
+            g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+            nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+            SELECT t.part AS window_start, t.n_win AS n_win,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                           - g.nb * t.n_win))::BIGINT AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                            - g.nb * t.n_win))::BIGINT
+                    / (2.0 * t.n_win * nt.n_total)) AS tv
+            FROM tot t
+            CROSS JOIN nt
+            CROSS JOIN g
+            LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
+            GROUP BY t.part, t.n_win, nt.n_total
         """,
         "stream_digest_windowed": """
             WITH h AS (

@@ -1522,3 +1522,125 @@ def run_stream_transition_smoke(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_categorical_tv(
+    stream_df: DataFrame,
+    cat_col: str,
+    baseline_counts: dict[str, int],
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    threshold: float | None = None,
+    check_id: str = "cat_drift",
+) -> DataFrame:
+    """Categorical drift on a STREAM: per event-time window, the EXACT
+    total-variation distance between the window's ``cat_col`` distribution
+    and a stored baseline histogram — the streaming twin of
+    ``checks.drift.categorical_tv`` (reference check family:
+    tacotoolbox/validation, distribution conformance), completing the
+    batch<->stream drift matrix (numeric quantile drift already streams
+    via ``stream_drift``).
+
+    Same arithmetic discipline as the batch check: each baseline
+    category's term is the integer ``|n_win(c)·N_base − n_base(c)·N_win|``
+    (cross-multiplied — no per-category float division), categories the
+    stream sees that the baseline lacks contribute their closed-form mass
+    ``(N_win − Σ_present n_win(c))·N_base``, everything summed as BIGINT,
+    with ONE float division at the end — so an independent engine
+    reproduces every row bit-for-bit, which a float-accumulated KL/PSI
+    stream cannot promise.
+
+    State/plan shape: ONE watermarked streaming aggregation; the state per
+    open window is |baseline categories|+1 longs (the per-category
+    conditional sums are columns of a single grouped agg, partial-combined
+    map-side inside each micro-batch). The baseline is a plain dict — it
+    rides the closure as literals, no join, no broadcast, no per-batch
+    recollection. Emits (window_start, window_end, n_win, tv_num, tv
+    [, check_id, passed]) per window.
+    """
+    from ..checks.drift import NULL_CATEGORY
+
+    cats = sorted(baseline_counts)
+    n_base = int(sum(baseline_counts.values()))
+    if n_base <= 0:
+        raise ValueError("baseline_counts must hold at least one observation")
+
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit(NULL_CATEGORY))
+    per_cat = [
+        F.sum(F.when(cat == F.lit(c), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_n{i}")
+        for i, c in enumerate(cats)
+    ]
+    agg = (
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(F.count(F.lit(1)).alias("n_win"), *per_cat)
+    )
+    present = sum(
+        (F.col(f"_n{i}") for i in range(len(cats))), F.lit(0).cast("long")
+    )
+    tv_num = sum(
+        (
+            F.abs(
+                F.col(f"_n{i}") * F.lit(n_base)
+                - F.lit(int(baseline_counts[c])) * F.col("n_win")
+            )
+            for i, c in enumerate(cats)
+        ),
+        (F.col("n_win") - present) * F.lit(n_base),
+    )
+    # tv divides the NAMED tv_num column so the expression mirrors the
+    # batch categorical_tv (and the oracle SQL) token-for-token
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("n_win"),
+        tv_num.cast("long").alias("tv_num"),
+    ).withColumn(
+        "tv",
+        F.col("tv_num") / (F.lit(2.0) * F.col("n_win") * F.lit(float(n_base))),
+    )
+    if threshold is not None:
+        out = out.select(
+            "*",
+            F.lit(check_id).alias("check_id"),
+            (F.col("tv") <= F.lit(float(threshold))).alias("passed"),
+        )
+    return out
+
+
+def run_stream_cat_drift_smoke(
+    spark,
+    parquet_dir: str,
+    cat_col: str,
+    baseline_counts: dict[str, int],
+    query_name: str = "stream_cat_drift",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the streaming categorical TV over a bounded parquet dir in
+    complete mode (the drift frame is one row per open window — tiny — so
+    complete re-emission is cheap and every window is visible without
+    waiting for watermark closure; production unbounded runs use append
+    mode and let eviction finalize windows)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_categorical_tv(stream, cat_col, baseline_counts, **kwargs)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

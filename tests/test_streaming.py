@@ -994,3 +994,78 @@ def test_stream_transitions_carry_state_across_batches(tmp_path, spark):
         ("tool", "assistant"),
         ("user", "assistant"),
     ]
+
+
+def test_stream_categorical_tv_matches_batch(tmp_path, corpus):
+    """The streaming categorical-TV drift must reproduce the batch
+    categorical_tv verdict EXACTLY (integer tv_num and the one float
+    division) on the same per-day windows."""
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cat_drift_smoke,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "catdrift_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    base = categorical_counts(corpus.clean, "role")
+
+    got = run_stream_cat_drift_smoke(
+        spark,
+        path,
+        "role",
+        base,
+        query_name="t_cat_drift_stream",
+        window="1 day",
+        watermark="1 day",
+    ).toPandas()
+
+    static = spark.read.parquet(path)
+    day = static.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    want = (
+        categorical_tv(day, "role", "day", base)
+        .toPandas()
+        .set_index("part")
+        .sort_index()
+    )
+    got["day"] = got.window_start.map(lambda t: str(t.date()))
+    got = got.set_index("day").sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got.n_win.to_numpy() == want.n_part.to_numpy()).all()
+    assert (got.tv_num.to_numpy() == want.tv_num.to_numpy()).all()
+    assert (got.tv.to_numpy() == want.tv.to_numpy()).all()  # bit-exact
+
+
+def test_stream_categorical_tv_unknown_category_mass(tmp_path, spark):
+    """A streamed category ABSENT from the baseline must contribute its
+    full closed-form mass n·N_base, and a baseline category absent from a
+    window contributes n_b·N_win — both sides of the closed form."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cat_drift_smoke,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "cat": ["a", "a", "b", "zz"],  # zz not in baseline
+            "ts": [t0, t0, t0, t0],
+        }
+    )
+    path = str(tmp_path / "unk_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    base = {"a": 2, "b": 1, "c": 1}  # N_base=4; c never streams
+
+    got = run_stream_cat_drift_smoke(
+        spark, path, "cat", base, query_name="t_cat_unk", window="1 day"
+    ).toPandas()
+    assert len(got) == 1
+    # n_win=4: terms a:|2*4-2*4|=0, b:|1*4-1*4|=0, c:|0*4-1*4|=4, zz:1*4=4
+    assert int(got.tv_num.iloc[0]) == 8
+    assert float(got.tv.iloc[0]) == 8 / (2.0 * 4 * 4.0)
