@@ -456,6 +456,34 @@ def q_d1_decontaminate(spark, sf_dir):
     )
 
 
+def q_d8_sem_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the n-gram family's embedding
+    sibling (d1 catches verbatim overlap; paraphrased or re-templated
+    benchmark items only surface in embedding space): corpus vectors
+    within cosine 0.35 of any benchmark vector (every 17th embedding
+    stands in as the benchmark; threshold sized so sf0.01's random
+    gaussians yield signal; self-pairs excluded). Benchmark vectors are
+    BROADCAST with precomputed norms — ONE corpus scan, per-row norm
+    computed once, no corpus shuffle before the per-doc aggregation
+    (dedup/decontaminate.py:semantic_contamination_matches). Oracle =
+    the same round-4 cosine in SQL."""
+    from taco_toolbox_spark.dedup.decontaminate import (
+        semantic_contamination_matches,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    m = semantic_contamination_matches(
+        e, bench, threshold=0.35, id_col="vec_id"
+    ).filter(F.col("vec_id") != F.col("bench_id"))  # benchmark ⊂ corpus here
+    return m.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
 def q_dedup_substring_run(spark, sf_dir):
     """Shared-verbatim-substring pairs (Lee et al. 2022 decision rule in
     relational form — dedup/substring.py): pairs sharing a run of >= 5
@@ -2393,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i1_incremental_dedup": q_i1_incremental_dedup,
         "text_distinctive_terms": q_text_distinctive_terms,
         "d1_decontaminate": q_d1_decontaminate,
+        "d8_sem_decontaminate": q_d8_sem_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
@@ -4343,6 +4372,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_bench_hits, max(n_shared) AS max_shared
             FROM m GROUP BY doc_id
+        """,
+        "d8_sem_decontaminate": """
+            WITH b AS (
+              SELECT vec_id AS bench_id, embedding AS be
+              FROM embeddings WHERE vec_id % 17 = 0
+            ),
+            s AS (
+              SELECT e.vec_id, b.bench_id,
+                     round(list_sum(list_transform(
+                         range(1, len(e.embedding) + 1),
+                         i -> e.embedding[i]::DOUBLE * b.be[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.be,
+                          x -> x::DOUBLE * x::DOUBLE)))), 4) AS c
+              FROM embeddings e, b WHERE e.vec_id <> b.bench_id
+            )
+            SELECT vec_id, count(*) AS n_bench_hits, max(c) AS max_cos
+            FROM s WHERE c >= 0.35 GROUP BY vec_id
         """,
         # positional shingles (repeats kept), identical doc-frequency cap,
         # identical island arithmetic — exact integer replay

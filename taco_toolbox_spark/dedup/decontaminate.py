@@ -121,3 +121,110 @@ def decontaminate(
         corpus[id_col] == F.col("__contam_id"),
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cosine) decontamination — the n-gram family's
+# semantic sibling: verbatim n-gram overlap misses paraphrased or
+# re-templated benchmark items; embedding cosine catches them.
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination_matches(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    bench_vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id_col, bench_id, cos) for every corpus×benchmark pair whose
+    embedding cosine (round-4 — the similarity family's portable
+    precision, HALF-UP on both engines) is ≥ ``threshold``.
+
+    Distributed shape — same contract as the n-gram family: the benchmark
+    side is tiny (eval suites are thousands of rows vs billions of corpus
+    docs), so it is BROADCAST with its norms precomputed, and the corpus
+    streams through ONE narrow pass: scan → per-row norm (computed once
+    per corpus row, not once per pair) → broadcast nested-loop score →
+    threshold filter. Cost is |corpus|·|benchmark| dot products with no
+    corpus shuffle at all — the filter collapses the pair stream before
+    anything exchanges. For benchmark sets too large to broadcast, band
+    the two sides with ``similarity.join.lsh_topk_join``'s signatures
+    instead (candidate equi-join, exact re-rank).
+
+    The cosine is the similarity family's sequential-fold double
+    arithmetic (``similarity.ann._dot/_norm``) — bit-identical to
+    ``cosine_topk_join`` and reproducible by the DuckDB oracle."""
+    from ..similarity.ann import _dot, _norm
+
+    if bench_id_col == id_col:
+        raise ValueError(
+            f"bench_id_col must differ from id_col (both {id_col!r}) — "
+            "alias the benchmark id before joining"
+        )
+    reserved = {"_bv", "_bn", "_cv", "_cn", "cos", bench_id_col}
+    clash = (reserved - {id_col}) & set(corpus.columns)
+    if clash:
+        raise ValueError(
+            f"corpus columns collide with internal names: {sorted(clash)}"
+        )
+    b = benchmark.select(
+        F.col(bench_id_col).alias(bench_id_col),
+        F.col(bench_vec_col).alias("_bv"),
+        _norm(F.col(bench_vec_col)).alias("_bn"),
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    cos = F.round(
+        _dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn")), 4
+    )
+    return (
+        c.crossJoin(b)
+        .select(id_col, bench_id_col, cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    **kwargs,
+) -> DataFrame:
+    """Per-document semantic contamination summary: (id_col, n_bench_hits,
+    max_cos) — how many benchmark items the document sits within
+    ``threshold`` cosine of, and the closest one's score."""
+    id_col = kwargs.get("id_col", "doc_id")
+    m = semantic_contamination_matches(corpus, benchmark, threshold, **kwargs)
+    return m.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    **kwargs,
+) -> DataFrame:
+    """The corpus minus every semantically contaminated document (left
+    anti-join on the flagged id set). Schema untouched."""
+    id_col = kwargs.get("id_col", "doc_id")
+    flagged = (
+        semantic_contamination_matches(corpus, benchmark, threshold, **kwargs)
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(
+        flagged.withColumnRenamed(id_col, "__sem_contam_id"),
+        corpus[id_col] == F.col("__sem_contam_id"),
+        "left_anti",
+    )

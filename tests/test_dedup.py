@@ -376,3 +376,91 @@ def test_containment_tie_sizes_contained_is_id_a(spark):
     df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
     r = containment_pairs(df, threshold=0.9, max_shingle_freq=None).collect()
     assert len(r) == 1 and r[0]["contained_id"] == 7
+
+
+def test_semantic_decontaminate_flags_and_drops(spark):
+    """A corpus vector near a benchmark vector (cosine >= threshold after
+    round-4) is flagged with the right score and removed by
+    semantic_decontaminate(); orthogonal vectors survive untouched."""
+    import numpy as np
+
+    from taco_toolbox_spark.dedup.decontaminate import (
+        semantic_contamination_matches,
+        semantic_contamination_report,
+        semantic_decontaminate,
+    )
+
+    b0 = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [
+            (0, b0),                      # verbatim copy of benchmark 100
+            (1, [0.9, 0.1, 0.0, 0.0]),    # near-paraphrase: cos ~ 0.9939
+            (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+            (3, [0.5, 0.5, 0.5, 0.5]),    # cos = 0.5 vs b0
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, b0)], "bench_id long, embedding array<double>"
+    )
+
+    m = {
+        (r["doc_id"], r["bench_id"]): r["cos"]
+        for r in semantic_contamination_matches(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert m[(0, 100)] == 1.0
+    want = round(0.9 / float(np.sqrt(0.81 + 0.01)), 4)
+    assert m[(1, 100)] == want
+    assert set(m) == {(0, 100), (1, 100)}
+
+    rep = {
+        r["doc_id"]: (r["n_bench_hits"], r["max_cos"])
+        for r in semantic_contamination_report(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert rep == {0: (1, 1.0), 1: (1, want)}
+
+    kept = sorted(
+        r["doc_id"]
+        for r in semantic_decontaminate(corpus, bench, threshold=0.5).collect()
+    )
+    assert kept == [2]  # doc 3 sits exactly AT 0.5 — inclusive threshold
+
+    # guard rails: colliding internal names and id==bench_id raise loudly
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        semantic_contamination_matches(
+            corpus.withColumn("cos", F.lit(1.0)), bench
+        )
+    with _pytest.raises(ValueError, match="differ"):
+        semantic_contamination_matches(
+            corpus, bench.withColumnRenamed("bench_id", "doc_id"),
+            bench_id_col="doc_id",
+        )
+
+
+def test_semantic_decontaminate_broadcast_plan(spark):
+    """The benchmark side must reach the score join as a BROADCAST nested
+    loop — the corpus side must never shuffle to form pairs."""
+    from taco_toolbox_spark.dedup.decontaminate import (
+        semantic_contamination_matches,
+    )
+
+    corpus = spark.range(0, 50).selectExpr(
+        "id AS doc_id",
+        "array(cast(id AS double), 1.0d, 2.0d) AS embedding",
+    )
+    bench = spark.createDataFrame(
+        [(0, [1.0, 1.0, 2.0])], "bench_id long, embedding array<double>"
+    )
+    plan = (
+        semantic_contamination_matches(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
