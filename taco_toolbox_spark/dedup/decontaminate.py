@@ -165,23 +165,30 @@ def semantic_contamination_matches(
             f"bench_id_col must differ from id_col (both {id_col!r}) — "
             "alias the benchmark id before joining"
         )
-    reserved = {"_bv", "_bn", "_cv", "_cn", "cos", bench_id_col}
-    clash = (reserved - {id_col}) & set(corpus.columns)
+    internal = {"_bv", "_bn", "_cv", "_cn", "cos"}
+    if id_col in internal or bench_id_col in internal:
+        raise ValueError(
+            f"id_col/bench_id_col may not use internal names {sorted(internal)}"
+        )
+    clash = (internal | {bench_id_col}) & set(corpus.columns)
     if clash:
         raise ValueError(
             f"corpus columns collide with internal names: {sorted(clash)}"
         )
+    # zero-norm vectors have no defined cosine: excluded on BOTH sides
+    # rather than left to divide-by-zero (NULL under non-ANSI silently
+    # drops the pair; stock ANSI Spark would kill the job outright)
     b = benchmark.select(
         F.col(bench_id_col).alias(bench_id_col),
         F.col(bench_vec_col).alias("_bv"),
         _norm(F.col(bench_vec_col)).alias("_bn"),
-    )
+    ).filter(F.col("_bn") > 0)
     if broadcast_benchmark:
         b = F.broadcast(b)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).filter(F.col("_cn") > 0)
     cos = F.round(
         _dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn")), 4
     )

@@ -1561,10 +1561,28 @@ def stream_categorical_tv(
     """
     from ..checks.drift import NULL_CATEGORY
 
-    cats = sorted(baseline_counts)
-    n_base = int(sum(baseline_counts.values()))
+    # str-key the histogram exactly like the batch path's literal frame
+    # ([(str(k), int(v))]): a raw non-string literal would make Spark
+    # coerce the string-cast category column back to the literal's type
+    # ('1.0' == 1 is TRUE under numeric coercion) and break batch parity
+    norm_counts: dict[str, int] = {}
+    for k, v in baseline_counts.items():
+        norm_counts[str(k)] = norm_counts.get(str(k), 0) + int(v)
+    cats = sorted(norm_counts)
+    n_base = int(sum(norm_counts.values()))
     if n_base <= 0:
         raise ValueError("baseline_counts must hold at least one observation")
+    # one conditional-sum aggregate column per category: plan width (and
+    # codegen size) is O(|categories|) — the small-vocabulary contract.
+    # Past ~1k categories whole-stage codegen falls off the 64KB method
+    # cliff; route wide vocabularies through the batch categorical_tv
+    # (grouped count + broadcast literal frame) per micro-batch instead.
+    if len(cats) > 1000:
+        raise ValueError(
+            f"baseline has {len(cats)} categories; stream_categorical_tv "
+            "is contracted to small vocabularies (<= 1000) — use the "
+            "batch categorical_tv over foreachBatch for wide ones"
+        )
 
     cat = F.coalesce(F.col(cat_col).cast("string"), F.lit(NULL_CATEGORY))
     per_cat = [
@@ -1586,7 +1604,7 @@ def stream_categorical_tv(
         (
             F.abs(
                 F.col(f"_n{i}") * F.lit(n_base)
-                - F.lit(int(baseline_counts[c])) * F.col("n_win")
+                - F.lit(norm_counts[c]) * F.col("n_win")
             )
             for i, c in enumerate(cats)
         ),

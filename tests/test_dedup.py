@@ -442,6 +442,8 @@ def test_semantic_decontaminate_flags_and_drops(spark):
             corpus, bench.withColumnRenamed("bench_id", "doc_id"),
             bench_id_col="doc_id",
         )
+    with _pytest.raises(ValueError, match="internal names"):
+        semantic_contamination_matches(corpus, bench, id_col="cos")
 
 
 def test_semantic_decontaminate_broadcast_plan(spark):

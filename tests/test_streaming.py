@@ -1069,3 +1069,65 @@ def test_stream_categorical_tv_unknown_category_mass(tmp_path, spark):
     # n_win=4: terms a:|2*4-2*4|=0, b:|1*4-1*4|=0, c:|0*4-1*4|=4, zz:1*4=4
     assert int(got.tv_num.iloc[0]) == 8
     assert float(got.tv.iloc[0]) == 8 / (2.0 * 4 * 4.0)
+
+
+def test_stream_categorical_tv_nonstring_keys_and_wide_vocab(tmp_path, spark):
+    """Non-string baseline keys must behave exactly like the batch path's
+    str(k) literal frame (no numeric coercion of the string-cast category
+    column), and a >1000-category baseline is rejected loudly."""
+    import datetime as dt
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cat_drift_smoke,
+        stream_categorical_tv,
+    )
+
+    t0 = dt.datetime(2025, 3, 1, 6, 0, 0)
+    pdf = pd.DataFrame({"cat": ["1.0", "1", "2"], "ts": [t0] * 3})
+    path = str(tmp_path / "nsk_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+
+    got = run_stream_cat_drift_smoke(
+        spark, path, "cat", {1: 2, 2: 1}, query_name="t_cat_nsk",
+        window="1 day",
+    ).toPandas()
+    # '1.0' must NOT count as category '1': present mass = {'1':1, '2':1},
+    # unknown mass = 1. n_win=3, N_base=3:
+    # |1*3-2*3| + |1*3-1*3| + 1*3 = 3 + 0 + 3 = 6
+    assert int(got.tv_num.iloc[0]) == 6
+
+    wide = {f"c{i}": 1 for i in range(1001)}
+    with _pytest.raises(ValueError, match="1001 categories"):
+        stream_categorical_tv(
+            spark.readStream.schema("cat string, ts timestamp").parquet(path),
+            "cat",
+            wide,
+        )
+
+
+def test_semantic_decontaminate_zero_norm_excluded(spark):
+    """Zero-norm vectors have no defined cosine — they must be excluded
+    on both sides, not divided by zero (silent NULL drop under non-ANSI,
+    job-killing ArithmeticException under stock ANSI Spark)."""
+    from taco_toolbox_spark.dedup.decontaminate import (
+        semantic_contamination_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])],
+        "bench_id long, embedding array<double>",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"])
+        for r in semantic_contamination_matches(
+            corpus, bench, threshold=0.0
+        ).collect()
+    }
+    assert got == {(0, 100)}  # every zero-norm pairing excluded
