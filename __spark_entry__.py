@@ -2344,6 +2344,23 @@ def q_stream_digest_windowed(spark, sf_dir):
     )
 
 
+def q_w11_burst_rate(spark, sf_dir):
+    """Trailing time-window rate rule (RANGE-frame window — the time-frame
+    sibling of the engine's row-frame ordering windows): flag every event
+    whose user produced more than 8 events in the trailing 86400s. One
+    shuffle on the key, one sort, no self-join
+    (operators/rolling.py:burst_violations); the frame keys on the
+    truncated epoch second, so rows sharing a second share one frame and
+    the count is independent of intra-second order — the property that
+    lets DuckDB reproduce it bit-for-bit via floor(epoch(ts))."""
+    from taco_toolbox_spark.operators.rolling import burst_violations
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_violations(
+        ev, ["user_id"], max_events=8, ts_col="ts", seconds=86400
+    )
+
+
 def q_stream_cat_drift(spark, sf_dir):
     """STREAMING categorical drift under the full value oracle: the
     events table streams through watermarked per-event-time-DAY windows,
@@ -2501,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_digest": q_stream_digest,
         "stream_digest_windowed": q_stream_digest_windowed,
         "stream_cat_drift": q_stream_cat_drift,
+        "w11_burst_rate": q_w11_burst_rate,
     }
 
 
@@ -3488,6 +3506,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*)::BIGINT AS n_rows, bit_xor(h) AS xor_d,
                    (sum(h) % 1099511627776)::BIGINT AS sum_d
             FROM h GROUP BY source
+        """,
+        "w11_burst_rate": """
+            WITH t AS (
+              SELECT user_id, ts,
+                     count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+                     ) AS n_trailing
+              FROM events
+            )
+            SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
+            FROM t WHERE n_trailing > 8
         """,
         "stream_cat_drift": """
             WITH c AS (

@@ -20,7 +20,11 @@ Stages (each a library operator; the funnel row counts land in
                        n-grams with a benchmark/eval parquet, via a
                        BROADCAST of the benchmark shingle set
                        (dedup/decontaminate.py) — the GPT-3 appendix-C
-                       eval-leak gate;
+                       eval-leak gate; optionally ALSO semantic
+                       (--sem-decontaminate-against EMB_DIR): drop docs
+                       within --sem-threshold embedding cosine of any
+                       benchmark vector — catches paraphrased eval items
+                       verbatim n-grams miss;
   5. near dedup      — MinHash+LSH candidate pairs (dedup/minhash.py)
                        closed into clusters (dedup/cluster.py), keep the
                        min-id canonical per cluster;
@@ -106,6 +110,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                    help="id column of the benchmark parquet")
     p.add_argument("--decontam-ngram", type=int, default=3)
     p.add_argument("--decontam-min-overlap", type=int, default=3)
+    p.add_argument("--sem-decontaminate-against", default=None,
+                   help="benchmark parquet dir with (bench-id, embedding) "
+                        "— drop corpus docs within --sem-threshold cosine "
+                        "of any benchmark vector (catches paraphrased "
+                        "eval items n-gram overlap misses); needs "
+                        "--embedding-col on the corpus")
+    p.add_argument("--embedding-col", default="embedding")
+    p.add_argument("--sem-threshold", type=float, default=0.9)
     p.add_argument("--dedup-against", default=None,
                    help="parquet dir of the EXISTING already-curated corpus "
                    "(incremental corpus update): new docs that exactly "
@@ -241,6 +253,46 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         else:
             clean = exact
 
+        # 4a. optional SEMANTIC decontamination: embedding-cosine vs a
+        # benchmark vector set (n-gram overlap misses paraphrased eval
+        # items). Requires an embedding column on the corpus; the
+        # benchmark parquet carries (bench-id, embedding). Same opt-in
+        # one-action funnel pattern.
+        if args.sem_decontaminate_against:
+            from taco_toolbox_spark.dedup.decontaminate import (
+                semantic_contamination_matches,
+            )
+
+            if args.embedding_col not in clean.columns:
+                raise SystemExit(
+                    f"--sem-decontaminate-against needs column "
+                    f"{args.embedding_col!r} on the corpus; input has "
+                    f"{sorted(clean.columns)}"
+                )
+            sem_bench = spark.read.parquet(
+                args.sem_decontaminate_against
+            ).select(
+                F.col(args.bench_id_col).alias("_sem_bench_id"),
+                F.col(args.embedding_col),
+            )
+            sem_flagged = (
+                semantic_contamination_matches(
+                    clean,
+                    sem_bench,
+                    threshold=args.sem_threshold,
+                    vec_col=args.embedding_col,
+                    id_col=args.id_col,
+                    bench_vec_col=args.embedding_col,
+                    bench_id_col="_sem_bench_id",
+                )
+                .select(args.id_col)
+                .distinct()
+                .persist()
+            )
+            prev = funnel.get("decontaminated", funnel["exact_deduped"])
+            funnel["sem_decontaminated"] = prev - sem_flagged.count()
+            clean = clean.join(sem_flagged, args.id_col, "left_anti")
+
         # 4b. optional incremental corpus-update dedup: the batch against
         # an EXISTING already-curated corpus — exact via fingerprint
         # semi-join (existing side ships one hash column, never text),
@@ -297,7 +349,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 .select(F.col("id").alias(args.id_col))
                 .persist()
             )
-            prev = funnel.get("decontaminated", funnel["exact_deduped"])
+            prev = funnel.get(
+                "sem_decontaminated",
+                funnel.get("decontaminated", funnel["exact_deduped"]),
+            )
             funnel["vs_existing"] = prev - dup_ids.count()
             clean = clean.join(dup_ids, args.id_col, "left_anti")
 

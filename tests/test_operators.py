@@ -550,3 +550,81 @@ def test_group_percentile_singleton_group_is_null(spark):
         for r in group_percentile(df, "score", "doc_id", ["g"]).collect()
     }
     assert got[0] is None and got[1] == 0.0 and got[2] == 1.0
+
+
+def test_trailing_counts_window_semantics(spark):
+    """Hand-computed trailing counts: inclusive [t-W, t] bounds at
+    one-second resolution, per-key isolation, intra-second ties sharing
+    one frame, and exact boundary membership (a row at t-W counts; one
+    at t-W-1 does not)."""
+    import datetime as dt
+
+    from taco_toolbox_spark.operators.rolling import (
+        burst_violations,
+        trailing_agg,
+        trailing_counts,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(s, us=0):
+        return t0 + dt.timedelta(seconds=s, microseconds=us)
+
+    rows = [
+        # key A: boundary pair — 10s window, second row exactly at +10
+        (1, "A", at(0)),
+        (2, "A", at(10)),          # [0,10] includes the row at 0 -> 2
+        (3, "A", at(21)),          # [11,21] excludes both -> 1
+        # intra-second tie: same truncated second -> same frame
+        (4, "A", at(21, 500_000)),  # truncates to 21: same frame as id 3
+        # key B isolated
+        (5, "B", at(10)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp")
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in trailing_counts(df, ["k"], "ts", seconds=10).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1}
+
+    # burst rule: only overflow rows fire; dropping them fixes the burst
+    v = burst_violations(df, ["k"], max_events=1, ts_col="ts", seconds=10)
+    fired = {r["ts"] for r in v.collect()}
+    assert fired == {at(10), at(21), at(21, 500_000)}
+    assert v.columns == ["check_id", "k", "ts", "n_trailing"]
+
+    # general form: order-independent min/max over the same frame
+    import pyspark.sql.functions as F
+
+    agg = trailing_agg(
+        df, ["k"], {"lo": F.min("event_id"), "hi": F.max("event_id")},
+        "ts", seconds=10,
+    )
+    m = {r["event_id"]: (r["lo"], r["hi"]) for r in agg.collect()}
+    assert m[2] == (1, 2) and m[4] == (3, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        trailing_counts(df.withColumn("n_trailing", F.lit(0)), ["k"])
+    with _pytest.raises(ValueError, match="collide"):
+        trailing_agg(df, ["k"], {"ts": F.count(F.lit(1))})
+    with _pytest.raises(ValueError, match="max_events"):
+        burst_violations(df, ["k"], max_events=0)
+
+
+def test_trailing_counts_partition_invariant(spark):
+    """The trailing count must be identical across partition layouts —
+    the range frame sorts within key, so layout cannot matter."""
+    from taco_toolbox_spark.operators.rolling import trailing_counts
+
+    df = spark.range(0, 400).selectExpr(
+        "id AS event_id",
+        "cast(id % 7 AS string) AS k",
+        "timestamp '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0, (id * 37) % 900) AS ts",
+    )
+    a = trailing_counts(df.coalesce(1), ["k"], "ts", 60).orderBy("event_id")
+    b = trailing_counts(df.repartition(13), ["k"], "ts", 60).orderBy("event_id")
+    assert [r["n_trailing"] for r in a.collect()] == [
+        r["n_trailing"] for r in b.collect()
+    ]

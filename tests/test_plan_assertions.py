@@ -534,3 +534,21 @@ def test_content_digest_plan_is_one_agg_no_python(spark, tmp_path):
     # logical relation mentions the full file schema; the executed scan's
     # Output/ReadSchema must not)
     assert "extra1" not in plan and "extra2" not in plan
+
+
+def test_trailing_counts_single_window_single_exchange(spark):
+    """The trailing rate window must compile to ONE Window over ONE hash
+    exchange on the key — no self-join, no Python eval, no second sort
+    beyond the window's own."""
+    from taco_toolbox_spark.operators.rolling import trailing_counts
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS event_id",
+        "cast(id % 11 AS string) AS k",
+        "timestamp '2025-01-01' + make_interval(0,0,0,0,0,0, id) AS ts",
+    )
+    plan = _plan(trailing_counts(df, ["k"], "ts", 60))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad

@@ -777,3 +777,52 @@ def test_validate_cli_record_digests_param_mix_fails_fast(
         )
     # fail-fast: no validation batch ran (a batch takes tens of seconds)
     assert _time.time() - t0 < 20
+
+
+def test_curate_semantic_decontaminate(tmp_path, spark):
+    """--sem-decontaminate-against drops docs within the cosine threshold
+    of a benchmark VECTOR set (funnel reports sem_decontaminated), and a
+    corpus without the embedding column is rejected loudly."""
+    import json
+
+    import jobs.curate as jc
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (0, "paraphrased leak of an eval item alpha beta", [1.0, 0.0]),
+            (1, "genuinely novel document gamma delta epsilon", [0.0, 1.0]),
+            (2, "another novel document zeta eta theta iota", [0.0, -1.0]),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(900, [0.9, 0.1])], "doc_id long, embedding array<double>"
+    )
+    inp, bdir, out = (str(tmp_path / d) for d in ("docs", "bench", "out"))
+    docs.write.parquet(inp)
+    bench.write.parquet(bdir)
+
+    rc = jc.main(
+        ["--input", inp, "--output", out, "--min-tokens", "2",
+         "--sem-decontaminate-against", bdir, "--sem-threshold", "0.9",
+         "--max-shard-tokens", "1000"],
+        stop_session=False,
+    )
+    assert rc == 0
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["funnel"]["exact_deduped"] == 3
+    assert m["funnel"]["sem_decontaminated"] == 2  # doc 0: cos ~ 0.9939
+    shards = spark.read.parquet(f"{out}/shards")
+    assert {r["doc_id"] for r in shards.select("doc_id").collect()} == {1, 2}
+
+    # corpus without the embedding column -> loud SystemExit, not a
+    # Catalyst column-resolution stack
+    inp2, out2 = str(tmp_path / "docs2"), str(tmp_path / "out2")
+    docs.drop("embedding").write.parquet(inp2)
+    with _pytest.raises(SystemExit, match="embedding"):
+        jc.main(
+            ["--input", inp2, "--output", out2, "--min-tokens", "2",
+             "--sem-decontaminate-against", bdir],
+            stop_session=False,
+        )
