@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         help="JSON constraint-suite file (taco_toolbox_spark.suite grammar)"
         " — REPLACES the stock transcript battery and the engine keys with"
         " the declared ones; flag-built extras (--fd, --role-grammar,"
-        " --max-gap, --cat-drift) still append on top. A text_equality"
+        " --max-gap, --max-rate, --cat-drift) still append on top. A text_equality"
         " entry binds to --baseline; a drift entry without inline"
         " baseline_quantiles also needs --baseline",
     )
@@ -129,6 +129,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         help="add a GapCheck: consecutive turns in a conversation must be at "
         "most SECONDS apart (rides the battery's existing lag window, so it "
         "adds no scans)",
+    )
+    p.add_argument(
+        "--max-rate",
+        metavar="SECONDS:MAX",
+        help="add a RateCheck: no turn may see more than MAX turns of its "
+        "conversation in the trailing SECONDS window (burst / retry-storm "
+        "rule; a RANGE-frame window sharing the battery's group-key "
+        "shuffle), e.g. --max-rate 60:20",
     )
     p.add_argument(
         "--fd",
@@ -317,6 +325,37 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 max_step=args.max_gap,
             )
         )
+    if args.max_rate:
+        from taco_toolbox_spark.checks import RateCheck
+
+        parts_ = args.max_rate.split(":")
+        if len(parts_) != 2:
+            raise SystemExit(
+                f"--max-rate {args.max_rate!r}: expected SECONDS:MAX "
+                "(e.g. 60:20)"
+            )
+        try:
+            rate_seconds, rate_max = int(parts_[0]), int(parts_[1])
+        except ValueError:
+            raise SystemExit(
+                f"--max-rate {args.max_rate!r}: SECONDS and MAX must be "
+                "integers"
+            ) from None
+        try:
+            checks.append(
+                RateCheck(
+                    check_id="turn_rate",
+                    description=(
+                        f"<= {rate_max} turns per conversation in any "
+                        f"trailing {rate_seconds}s"
+                    ),
+                    value_col="ts",
+                    seconds=rate_seconds,
+                    max_events=rate_max,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--max-rate: {e}") from None
     for spec in args.fd or []:
         from taco_toolbox_spark.checks import FunctionalDependencyCheck
 

@@ -109,6 +109,37 @@ class GapCheck(Check):
 
 
 @dataclass
+class RateCheck(Check):
+    """Trailing time-window rate bound within the group: no row may see
+    more than ``max_events`` rows of its group (itself included) in the
+    trailing ``seconds`` window ending at its own timestamp — the burst /
+    retry-storm / runaway-agent rule, the TIME-frame sibling of
+    GapCheck's adjacent-step bound (a gap rule sees one pair at a time
+    and misses "many small steps adding up to a storm"). Compiled into a
+    RANGE-frame window over the truncated epoch second
+    (operators/rolling.py has the determinism contract: rows sharing a
+    second share one frame, so the count is independent of intra-second
+    order); one shuffle on the engine key, shared exchange with the lag
+    window. Only the OVERFLOW rows fire, so dropping exactly the flagged
+    rows satisfies the rule. A NULL timestamp never fires (it is the row
+    pass's not-null problem)."""
+
+    value_col: str = ""
+    seconds: int = 3600
+    max_events: int = 1
+
+    def __post_init__(self) -> None:
+        if self.seconds < 0:
+            raise ValueError(
+                f"RateCheck {self.check_id!r}: seconds must be >= 0"
+            )
+        if self.max_events < 1:
+            raise ValueError(
+                f"RateCheck {self.check_id!r}: max_events must be >= 1"
+            )
+
+
+@dataclass
 class UniquenessCheck(Check):
     """Key must be unique (reference duplicate-id check,
     tortilla/datamodel.py:235-254). Keys default to the engine key."""

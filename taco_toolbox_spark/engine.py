@@ -10,7 +10,9 @@ Pass plan (the scale story — adding checks never adds scans):
                 SequenceChecks (adjacent-pair grammar) over ONE window
                 (single shuffle on the group key, all lags computed in one
                 Window operator); SequenceCheck opening/closing-value rules
-                ride one min_by/max_by group-agg piece.
+                ride one min_by/max_by group-agg piece; RateChecks
+                (trailing time-window burst bound) add RANGE-frame windows
+                on the SAME group-key exchange.
   agg pass      Uniqueness on the full key (fine-grained → no hot key);
                 Contiguity + GroupAggChecks share ONE groupBy(group) agg
                 (Spark's partial aggregation = map-side combine).
@@ -45,6 +47,7 @@ from .checks.base import (
     GapCheck,
     GroupAggCheck,
     MonotoneCheck,
+    RateCheck,
     RowCheck,
     SequenceCheck,
     TextEqualityCheck,
@@ -287,6 +290,51 @@ def _window_pass(
     for c in checks:
         prev = F.lag(F.col(c.value_col)).over(w)
         structs.append(_adjacent_fail(c, prev, c.value_col))
+    fails = df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.col(cfg.order_col).cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
+def _rate_pass(
+    df: DataFrame, checks: list[RateCheck], cfg: EngineConfig
+) -> DataFrame:
+    """Trailing-rate rules: one RANGE-frame window per distinct
+    (value_col, seconds) pair, all sharing the engine-key exchange the
+    lag window uses (same partitioning — Catalyst reuses the shuffle;
+    only the sort/frame differs). Determinism: frames key on the
+    truncated epoch second (operators/rolling.py contract), so intra-
+    second row order cannot move a row between frames."""
+    from .operators._time import epoch_seconds
+
+    structs = []
+    for c in checks:
+        e = F.floor(epoch_seconds(df, c.value_col)).cast("long")
+        w = (
+            Window.partitionBy(cfg.partition_col, cfg.group_col)
+            .orderBy(e)
+            .rangeBetween(-int(c.seconds), 0)
+        )
+        n = F.count(F.lit(1)).over(w)
+        bad = e.isNotNull() & (n > F.lit(int(c.max_events)))
+        detail = F.format_string(
+            f"%s rows in trailing {c.seconds}s > {c.max_events}",
+            n.cast("string"),
+        )
+        structs.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    detail.alias("detail"),
+                ),
+            )
+        )
     fails = df.select(
         F.col(cfg.partition_col).cast("string").alias("part"),
         F.col(cfg.group_col).cast("string").alias("conv_id"),
@@ -633,6 +681,7 @@ def run_validation(
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
     gap_checks = [c for c in checks if isinstance(c, GapCheck)]
+    rate_checks = [c for c in checks if isinstance(c, RateCheck)]
     seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
     fd_checks = [c for c in checks if isinstance(c, FunctionalDependencyCheck)]
@@ -671,6 +720,8 @@ def run_validation(
     ]
     if seq_endpoint:
         pieces.append(_seq_endpoint_pass(df, seq_endpoint, cfg))
+    if rate_checks:
+        pieces.append(_rate_pass(df, rate_checks, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
         if (
@@ -813,6 +864,7 @@ def run_validation(
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
+            "RateCheck, "
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
             "CorrelationDriftCheck, ConditionalDriftCheck, "

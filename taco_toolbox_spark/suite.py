@@ -69,6 +69,7 @@ from .checks.base import (
     GapCheck,
     GroupAggCheck,
     MonotoneCheck,
+    RateCheck,
     RowCheck,
     SequenceCheck,
     TextEqualityCheck,
@@ -100,6 +101,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "fd": {"determinant", "dependent", "skip_null_determinant"},
     "monotone": {"col", "strict"},
     "gap": {"col", "max_step", "min_step"},
+    "rate": {"col", "seconds", "max_events"},
     "contiguity": {"col"},
     "sequence": {"col", "allowed", "first", "last"},
     "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
@@ -285,6 +287,17 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
                 value_col=entry["col"],
                 max_step=entry.get("max_step"),
                 min_step=entry.get("min_step"),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "rate":
+        _require(entry, where, "col", "max_events")
+        try:
+            c = RateCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                seconds=int(entry.get("seconds", 3600)),
+                max_events=int(entry["max_events"]),
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None
@@ -496,6 +509,7 @@ _RESOLVED_ATTRS = {
     "row": {"null_ok": "null_ok"},
     "fd": {"skip_null_determinant": "skip_null_determinant"},
     "monotone": {"strict": "strict"},
+    "rate": {"seconds": "seconds"},
     "text_equality": {"text_col": "text_col", "colocated": "colocated"},
 }
 

@@ -160,3 +160,53 @@ def test_verdict_diff_null_part_is_null_safe(spark):
     rows = verdict_diff(prev, cur).collect()
     assert len(rows) == 1 and rows[0]["status"] == "new_failure"
     assert rows[0]["part"] is None and rows[0]["check_id"] == "a"
+
+
+def test_rate_check_exact_violations(spark):
+    """RateCheck through the engine: exactly the overflow rows fire, with
+    the right (part, conv, turn) attribution and detail counts; a NULL
+    timestamp never fires."""
+    import datetime as dt
+
+    from taco_toolbox_spark.checks.base import RateCheck
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # conv A: 3 turns inside 10s — with max_events=2 the third fires
+        ("p1", "A", 0, at(0)),
+        ("p1", "A", 1, at(5)),
+        ("p1", "A", 2, at(9)),
+        # turn 3 at t=14: its trailing-10s frame [4, 14] holds turns
+        # 1 (t=5), 2 (t=9) and itself -> n=3, fires too
+        ("p1", "A", 3, at(14)),
+        # conv B: spaced out, never fires
+        ("p1", "B", 0, at(0)),
+        ("p1", "B", 1, at(60)),
+        # conv C: NULL ts never fires the rate rule
+        ("p2", "C", 0, None),
+        ("p2", "C", 1, at(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, ts timestamp"
+    )
+    check = RateCheck(
+        check_id="turn_rate", value_col="ts", seconds=10, max_events=2
+    )
+    res = run_validation(df, [check], EngineConfig())
+    v = {
+        (r["part"], r["conv_id"], r["turn_idx"]): r["detail"]
+        for r in res.violations.collect()
+    }
+    assert set(v) == {("p1", "A", 2), ("p1", "A", 3)}
+    assert "3 rows in trailing 10s > 2" in v[("p1", "A", 2)]
+    verd = {
+        (r["part"], r["check_id"]): r["passed"]
+        for r in res.verdicts.collect()
+    }
+    assert verd[("p1", "turn_rate")] is False
+    assert verd[("p2", "turn_rate")] is True
+    res.release()

@@ -141,12 +141,14 @@ def test_every_type_constructs_and_runs(spark):
              "baseline_counts": {"system": 1, "user": 1, "assistant": 1}},
             {"type": "group_agg", "id": "t14",
              "aggs": ["count(1) as n"], "predicate": "n <= 100"},
+            {"type": "rate", "id": "t15", "col": "ts", "seconds": 60,
+             "max_events": 10},
         ],
     }
     suite = parse_suite(spec)
     res = suite.run(df)
     verd = _verdict_map(res)
-    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 15)}
+    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 16)}
     assert all(ok for ok, _ in verd.values())
 
 
@@ -167,6 +169,10 @@ def test_every_type_constructs_and_runs(spark):
         ({"checks": [{"type": "range", "id": "x", "col": "c"}]},
          "'min' and/or 'max'"),
         ({"checks": [{"type": "gap", "id": "x", "col": "c"}]}, "max_step"),
+        ({"checks": [{"type": "rate", "id": "x", "col": "c"}]},
+         "max_events"),
+        ({"checks": [{"type": "rate", "id": "x", "col": "c",
+                      "max_events": 0}]}, "max_events must be >= 1"),
         ({"checks": [{"type": "sequence", "id": "x", "col": "c"}]},
          "'allowed', 'first'"),
         ({"checks": [{"type": "drift", "id": "x", "expr": "1",

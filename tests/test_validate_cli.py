@@ -539,6 +539,39 @@ def test_validate_cli_fd_double_arrow_rejected(corpus_dir, tmp_path):
         )
 
 
+def test_validate_cli_max_rate(spark, corpus_dir, tmp_path):
+    """--max-rate adds the trailing-window RateCheck (a tight bound on
+    the hot conversations must fire); a malformed spec exits cleanly
+    before any JVM work."""
+    out = str(tmp_path / "rate_out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--max-rate", "3600:3",
+        ],
+        stop_session=False,
+    )
+    assert rc in (0, 1)
+    viol = spark.read.parquet(f"{out}/violations").filter(
+        "check_id = 'turn_rate'"
+    )
+    assert viol.count() > 0  # hot conversations burst past 3/hour
+
+    with pytest.raises(SystemExit, match="SECONDS:MAX"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "r2"), "--max-rate", "60"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="integers"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "r3"), "--max-rate", "60:abc"],
+            stop_session=False,
+        )
+
+
 def test_validate_cli_diff_against(spark, corpus_dir, tmp_path):
     """Two runs + --diff-against: a clean-baseline run diffed against the
     corrupted run surfaces every failing cell as new_failure."""
