@@ -2361,6 +2361,35 @@ def q_w11_burst_rate(spark, sf_dir):
     )
 
 
+def q_stream_burst(spark, sf_dir):
+    """STREAMING trailing-rate rule under the full value oracle: the
+    events table streams keyed by user (each user confined to one staged
+    file, so arrival order is event-time order per key) and every event
+    whose user exceeded 8 events in the trailing day is emitted LIVE
+    with its exact trailing count — the stateful twin of w11_burst_rate
+    (streaming/validate_stream.py:stream_rate_violations: per-key state
+    is the in-window second array, counts via two vectorized
+    searchsorted calls, RANGE-frame same-second-peer semantics). The
+    oracle is the batch RANGE window in SQL — identical rows."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_rate_smoke,
+    )
+
+    staged, tag = _stage_stream(
+        spark, sf_dir, "events", "events_burst",
+        build=lambda df: df.repartition(8, "user_id"),
+    )
+    return run_stream_rate_smoke(
+        spark,
+        staged,
+        "user_id",
+        "ts",
+        query_name=f"q_sburst_{tag}",
+        seconds=86400,
+        max_events=8,
+    ).select(F.col("user_id").cast("long").alias("user_id"), "ts", "n_trailing")
+
+
 def q_stream_cat_drift(spark, sf_dir):
     """STREAMING categorical drift under the full value oracle: the
     events table streams through watermarked per-event-time-DAY windows,
@@ -2519,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_digest_windowed": q_stream_digest_windowed,
         "stream_cat_drift": q_stream_cat_drift,
         "w11_burst_rate": q_w11_burst_rate,
+        "stream_burst": q_stream_burst,
     }
 
 
@@ -3518,6 +3548,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
+            FROM t WHERE n_trailing > 8
+        """,
+        "stream_burst": """
+            WITH t AS (
+              SELECT user_id, ts,
+                     count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+                     ) AS n_trailing
+              FROM events
+            )
+            SELECT user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
         """,
         "stream_cat_drift": """

@@ -1662,3 +1662,131 @@ def run_stream_cat_drift_smoke(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_rate_violations(
+    stream_df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    seconds: int = 3600,
+    max_events: int = 1,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming twin of the batch trailing rate rule
+    (operators/rolling.py:burst_violations / engine RateCheck): one
+    output row per event whose key produced more than ``max_events``
+    events in the trailing ``seconds`` window — emitted LIVE, the burst /
+    retry-storm alarm as a stream.
+
+    Exactness contract, same discipline as the batch family: the count
+    keys on the TRUNCATED EPOCH SECOND and includes same-second peers
+    (RANGE-frame semantics), computed per micro-batch as two vectorized
+    ``searchsorted`` calls against the union of retained state times and
+    the batch's own times — no per-row Python loop. Per-key state is the
+    array of event seconds within ``seconds`` of the newest event seen
+    (evicted on every batch): bounded by the key's own in-window volume,
+    i.e. proportional to exactly the quantity the rule bounds — a
+    compliant stream keeps state <= max_events+1 longs per key.
+
+    Boundary semantics vs batch, stated honestly: counts are exact when
+    each key's rows arrive in event-time order across micro-batches (the
+    transcript-ingestion contract shared by stream_transition_pairs /
+    ts_monotone) — guaranteed unconditionally when each key is confined
+    to one source file. A late-arriving older row is counted against the
+    retained state (its trailing window may under-count rows the batch
+    path would see before it), and rows older than the retention horizon
+    (newest - seconds) count only themselves plus peers.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if seconds < 0:
+        raise ValueError(f"seconds must be >= 0, got {seconds}")
+    if max_events < 1:
+        raise ValueError(f"max_events must be >= 1, got {max_events}")
+
+    from ..operators._time import epoch_seconds
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.floor(epoch_seconds(stream_df, ts_col)).cast("long").alias("_e"),
+    )
+    out_schema = f"{key_col} string, {ts_col} timestamp, n_trailing long"
+    win = int(seconds)
+    cap = int(max_events)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        old = np.asarray(state.get[0], dtype=np.int64) if state.exists else (
+            np.empty(0, dtype=np.int64)
+        )
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((old.tolist(),))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.dropna(subset=["_e"])  # NULL ts: the row pass's problem
+        if not len(pdf):
+            state.update((old.tolist(),))
+            return
+        e = pdf["_e"].to_numpy(dtype=np.int64)
+        all_times = np.sort(np.concatenate([old, e]))
+        n = np.searchsorted(all_times, e, side="right") - np.searchsorted(
+            all_times, e - win, side="left"
+        )
+        bad = n > cap
+        newest = int(all_times[-1])
+        keep = all_times[all_times >= newest - win]
+        state.update((keep.tolist(),))
+        if bad.any():
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    ts_col: pdf["_ts"].to_numpy()[bad],
+                    "n_trailing": n[bad],
+                }
+            )
+
+    return keyed.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="times array<bigint>",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_rate_smoke(
+    spark,
+    parquet_dir: str,
+    key_col: str,
+    ts_col: str = "ts",
+    query_name: str = "stream_rate",
+    max_files_per_trigger: int = 8,
+    **kwargs,
+):
+    """Drive stream_rate_violations over a bounded parquet dir (update
+    mode, memory sink). Stage with each key confined to ONE file
+    (``df.repartition(n, key_col).write``) and the violation set is
+    exactly the batch burst_violations set regardless of file arrival
+    order."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_rate_violations(stream, key_col, ts_col, **kwargs)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1131,3 +1131,96 @@ def test_semantic_decontaminate_zero_norm_excluded(spark):
         ).collect()
     }
     assert got == {(0, 100)}  # every zero-norm pairing excluded
+
+
+def test_stream_rate_matches_batch(tmp_path, spark):
+    """stream_rate_violations must emit exactly the batch
+    burst_violations rows (key, ts, n_trailing) when each key is staged
+    into one file, including same-second peers and NULL-ts immunity."""
+    import datetime as dt
+
+    from taco_toolbox_spark.operators.rolling import burst_violations
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_rate_smoke,
+    )
+
+    t0 = dt.datetime(2025, 2, 1, 0, 0, 0)
+
+    def at(s, us=0):
+        return t0 + dt.timedelta(seconds=s, microseconds=us)
+
+    rows = []
+    # key A: burst of 5 inside 10s (two same-second peers), then quiet
+    for i, s in enumerate([0, 3, 3, 7, 9, 60]):
+        rows.append(("A", i, at(s, us=i)))
+    # key B: steady, never fires
+    for i, s in enumerate([0, 30, 60, 90]):
+        rows.append(("B", 100 + i, at(s)))
+    # key C: NULL ts rows never fire
+    rows += [("C", 200, None), ("C", 201, at(0))]
+    df = spark.createDataFrame(rows, "k string, event_id long, ts timestamp")
+
+    inp = str(tmp_path / "rate_in")
+    df.repartition(4, "k").write.mode("overwrite").parquet(inp)
+
+    got = run_stream_rate_smoke(
+        spark, inp, "k", "ts", query_name="t_stream_rate",
+        seconds=10, max_events=2,
+    ).toPandas()
+    want = (
+        burst_violations(
+            spark.read.parquet(inp).filter("ts IS NOT NULL"),
+            ["k"], max_events=2, ts_col="ts", seconds=10,
+        )
+        .select("k", "ts", "n_trailing")
+        .toPandas()
+    )
+    gs = {(r.k, r.ts, r.n_trailing) for r in got.itertuples()}
+    ws = {(r.k, r.ts, r.n_trailing) for r in want.itertuples()}
+    assert gs == ws and len(ws) > 0
+    assert all(k != "C" for k, _, _ in gs)
+
+
+def test_stream_rate_state_carries_across_batches(tmp_path, spark):
+    """A burst SPANNING micro-batches must still fire: with one file per
+    micro-batch and in-order arrival, the retained state times complete
+    the trailing window for later batches; events past the retention
+    horizon count only themselves."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_rate_smoke,
+    )
+
+    t0 = dt.datetime(2025, 2, 2, 0, 0, 0)
+    inp = str(tmp_path / "carry_in")
+    # batch 1: two events at t=0,4; batch 2: one at t=8 (window [‑2,8]
+    # holds all three -> fires), one at t=100 (alone -> quiet)
+    spark.createDataFrame(
+        [("A", t0, 0)], "k string, ts timestamp, i int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p1"))
+    spark.createDataFrame(
+        [("A", t0 + dt.timedelta(seconds=4), 1)],
+        "k string, ts timestamp, i int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    spark.createDataFrame(
+        [("A", t0 + dt.timedelta(seconds=8), 2),
+         ("A", t0 + dt.timedelta(seconds=100), 3)],
+        "k string, ts timestamp, i int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p3"))
+    import os
+
+    os.makedirs(inp)
+    for j, d in enumerate(("p1", "p2", "p3")):
+        src = glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
+        shutil.copy(src, f"{inp}/{j:03d}.parquet")
+
+    got = run_stream_rate_smoke(
+        spark, inp, "k", "ts", query_name="t_stream_rate_carry",
+        max_files_per_trigger=1, seconds=10, max_events=2,
+    ).toPandas()
+    assert len(got) == 1
+    assert int(got.n_trailing.iloc[0]) == 3
+    assert got.ts.iloc[0] == t0 + dt.timedelta(seconds=8)
