@@ -269,9 +269,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     f"{args.embedding_col!r} on the corpus; input has "
                     f"{sorted(clean.columns)}"
                 )
-            sem_bench = spark.read.parquet(
-                args.sem_decontaminate_against
-            ).select(
+            sem_bench_raw = spark.read.parquet(args.sem_decontaminate_against)
+            missing = {args.bench_id_col, args.embedding_col} - set(
+                sem_bench_raw.columns
+            )
+            if missing:
+                raise SystemExit(
+                    f"--sem-decontaminate-against "
+                    f"{args.sem_decontaminate_against} lacks column(s) "
+                    f"{sorted(missing)}; it has "
+                    f"{sorted(sem_bench_raw.columns)}"
+                )
+            sem_bench = sem_bench_raw.select(
                 F.col(args.bench_id_col).alias("_sem_bench_id"),
                 F.col(args.embedding_col),
             )

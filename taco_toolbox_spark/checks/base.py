@@ -129,6 +129,11 @@ class RateCheck(Check):
     max_events: int = 1
 
     def __post_init__(self) -> None:
+        if not self.value_col:
+            raise ValueError(
+                f"RateCheck {self.check_id!r}: value_col (the timestamp "
+                "column) is required"
+            )
         if self.seconds < 0:
             raise ValueError(
                 f"RateCheck {self.check_id!r}: seconds must be >= 0"

@@ -310,11 +310,11 @@ def _rate_pass(
     only the sort/frame differs). Determinism: frames key on the
     truncated epoch second (operators/rolling.py contract), so intra-
     second row order cannot move a row between frames."""
-    from .operators._time import epoch_seconds
+    from .operators.rolling import _trunc_epoch
 
     structs = []
     for c in checks:
-        e = F.floor(epoch_seconds(df, c.value_col)).cast("long")
+        e = _trunc_epoch(df, c.value_col)
         w = (
             Window.partitionBy(cfg.partition_col, cfg.group_col)
             .orderBy(e)

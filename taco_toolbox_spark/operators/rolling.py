@@ -118,7 +118,12 @@ def burst_violations(
     means dropping exactly the flagged rows."""
     if max_events < 1:
         raise ValueError(f"max_events must be >= 1, got {max_events}")
-    counted = trailing_counts(df, keys, ts_col, seconds)
+    # NULL timestamps never fire a rate rule (they are the row pass's
+    # not-null problem) — the same exemption the engine RateCheck and the
+    # streaming twin apply, so all three emit identical violation sets
+    counted = trailing_counts(
+        df.filter(F.col(ts_col).isNotNull()), keys, ts_col, seconds
+    )
     return counted.filter(F.col("n_trailing") > max_events).select(
         F.lit(check_id).alias("check_id"),
         *[F.col(k) for k in keys],

@@ -1671,6 +1671,7 @@ def stream_rate_violations(
     seconds: int = 3600,
     max_events: int = 1,
     output_mode: str = "update",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch trailing rate rule
     (operators/rolling.py:burst_violations / engine RateCheck): one
@@ -1686,7 +1687,12 @@ def stream_rate_violations(
     array of event seconds within ``seconds`` of the newest event seen
     (evicted on every batch): bounded by the key's own in-window volume,
     i.e. proportional to exactly the quantity the rule bounds — a
-    compliant stream keeps state <= max_events+1 longs per key.
+    compliant stream keeps state <= max_events+1 longs per key. Per-KEY
+    entries live until ``state_ttl_ms`` (processing-time) passes without
+    the key appearing — set it for open key vocabularies (one-off users)
+    so lifetime-distinct keys can't grow the state store unboundedly; a
+    key evicted and seen again restarts its window empty (same bounded-
+    state trade the streaming FD check documents).
 
     Boundary semantics vs batch, stated honestly: counts are exact when
     each key's rows arrive in event-time order across micro-batches (the
@@ -1704,12 +1710,12 @@ def stream_rate_violations(
     if max_events < 1:
         raise ValueError(f"max_events must be >= 1, got {max_events}")
 
-    from ..operators._time import epoch_seconds
+    from ..operators.rolling import _trunc_epoch
 
     keyed = stream_df.select(
         F.col(key_col).cast("string").alias("_k"),
         F.col(ts_col).alias("_ts"),
-        F.floor(epoch_seconds(stream_df, ts_col)).cast("long").alias("_e"),
+        _trunc_epoch(stream_df, ts_col).alias("_e"),
     )
     out_schema = f"{key_col} string, {ts_col} timestamp, n_trailing long"
     win = int(seconds)
@@ -1719,17 +1725,26 @@ def stream_rate_violations(
         import numpy as np
         import pandas as pd
 
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         old = np.asarray(state.get[0], dtype=np.int64) if state.exists else (
             np.empty(0, dtype=np.int64)
         )
+
+        def park(times):
+            state.update((times,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
-            state.update((old.tolist(),))
+            park(old.tolist())
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         pdf = pdf.dropna(subset=["_e"])  # NULL ts: the row pass's problem
         if not len(pdf):
-            state.update((old.tolist(),))
+            park(old.tolist())
             return
         e = pdf["_e"].to_numpy(dtype=np.int64)
         all_times = np.sort(np.concatenate([old, e]))
@@ -1739,7 +1754,7 @@ def stream_rate_violations(
         bad = n > cap
         newest = int(all_times[-1])
         keep = all_times[all_times >= newest - win]
-        state.update((keep.tolist(),))
+        park(keep.tolist())
         if bad.any():
             yield pd.DataFrame(
                 {
@@ -1754,7 +1769,11 @@ def stream_rate_violations(
         outputStructType=out_schema,
         stateStructType="times array<bigint>",
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -1778,9 +1797,10 @@ def run_stream_rate_smoke(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(parquet_dir)
     )
+    mode = kwargs.setdefault("output_mode", "update")
     out = stream_rate_violations(stream, key_col, ts_col, **kwargs)
     q = (
-        out.writeStream.outputMode("update")
+        out.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .start()

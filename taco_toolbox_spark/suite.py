@@ -292,6 +292,13 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             raise SuiteError(f"{where}: {e}") from None
     elif t == "rate":
         _require(entry, where, "col", "max_events")
+        for k in ("seconds", "max_events"):
+            v = entry.get(k)
+            if v is not None and (isinstance(v, bool) or not isinstance(v, int)):
+                raise SuiteError(
+                    f"{where}: '{k}' must be an integer, got {v!r} — a "
+                    "fractional window would silently truncate"
+                )
         try:
             c = RateCheck(
                 check_id=cid,

@@ -1169,7 +1169,7 @@ def test_stream_rate_matches_batch(tmp_path, spark):
     ).toPandas()
     want = (
         burst_violations(
-            spark.read.parquet(inp).filter("ts IS NOT NULL"),
+            spark.read.parquet(inp),
             ["k"], max_events=2, ts_col="ts", seconds=10,
         )
         .select("k", "ts", "n_trailing")
@@ -1224,3 +1224,50 @@ def test_stream_rate_state_carries_across_batches(tmp_path, spark):
     assert len(got) == 1
     assert int(got.n_trailing.iloc[0]) == 3
     assert got.ts.iloc[0] == t0 + dt.timedelta(seconds=8)
+
+
+def test_stream_rate_state_ttl_smoke(tmp_path, spark):
+    """TTL mode runs end-to-end and still fires on bursts arriving within
+    the horizon (generous TTL; same poll-the-sink protocol as the FD TTL
+    smoke — a processing-time timeout keeps no-data batches running, so
+    processAllAvailable never returns)."""
+    import datetime as dt
+    import time as _time
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_rate_violations,
+    )
+
+    t0 = dt.datetime(2025, 2, 3, 0, 0, 0)
+    rows = [("A", t0 + dt.timedelta(seconds=s)) for s in (0, 2, 4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    inp = str(tmp_path / "rate_ttl_in")
+    df.coalesce(1).write.parquet(inp)
+    static = spark.read.parquet(inp)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = stream_rate_violations(
+        stream, "k", "ts", seconds=10, max_events=2,
+        state_ttl_ms=3_600_000,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_rate_ttl")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        got = []
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM t_rate_ttl").collect()
+            if got:
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+    assert [int(r["n_trailing"]) for r in got] == [3]

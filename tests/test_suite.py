@@ -173,6 +173,9 @@ def test_every_type_constructs_and_runs(spark):
          "max_events"),
         ({"checks": [{"type": "rate", "id": "x", "col": "c",
                       "max_events": 0}]}, "max_events must be >= 1"),
+        ({"checks": [{"type": "rate", "id": "x", "col": "c",
+                      "seconds": 0.9, "max_events": 5}]},
+         "must be an integer"),
         ({"checks": [{"type": "sequence", "id": "x", "col": "c"}]},
          "'allowed', 'first'"),
         ({"checks": [{"type": "drift", "id": "x", "expr": "1",
