@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_containment",  # asymmetric doc-inside-doc pairs (shared shingle core)
     "t5_budget_select",   # budget-capped selection (distributed prefix sum)
     "digest_documents",   # one-pass commutative content digest, xxhash64
+    "w11_burst_rate",     # trailing-rate RANGE window (one key exchange)
+    "d8_sem_decontaminate",  # broadcast benchmark-vector cosine overlap
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —
