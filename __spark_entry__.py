@@ -2361,6 +2361,20 @@ def q_w11_burst_rate(spark, sf_dir):
     )
 
 
+def q_diag_key_skew(spark, sf_dir):
+    """Pre-flight key-skew diagnosis (skew.py:key_skew_report): the 10
+    heaviest user_id values with exact counts and skew factor
+    n·n_keys/n_rows — the number that decides whether a planned
+    groupBy/join key needs salting and how many buckets. One grouped
+    count (map-side partial agg) + a broadcast 1-row summary +
+    TakeOrderedAndProject; deterministic (count desc, key asc) tiebreak
+    so an independent engine returns identical rows."""
+    from taco_toolbox_spark.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top_k=10)
+
+
 def q_stream_burst(spark, sf_dir):
     """STREAMING trailing-rate rule under the full value oracle: the
     events table streams keyed by user (each user confined to one staged
@@ -2549,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cat_drift": q_stream_cat_drift,
         "w11_burst_rate": q_w11_burst_rate,
         "stream_burst": q_stream_burst,
+        "diag_key_skew": q_diag_key_skew,
     }
 
 
@@ -3549,6 +3564,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
+        """,
+        "diag_key_skew": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ),
+            s AS (
+              SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows
+              FROM c
+            )
+            SELECT user_id, n, n_keys, n_rows,
+                   (n * n_keys) / (n_rows::DOUBLE) AS skew_x
+            FROM c, s
+            ORDER BY n DESC, user_id ASC
+            LIMIT 10
         """,
         "stream_burst": """
             WITH t AS (

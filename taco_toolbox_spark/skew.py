@@ -68,3 +68,49 @@ def conversation_lengths_salted(
         },
         buckets,
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for a planned groupBy/join key: the
+    ``top_k`` heaviest key values with their row counts and skew factor
+    ``skew_x = n · n_keys / n_rows`` (how many times the mean key weight
+    this key carries — 1.0 is perfectly uniform; the number that tells
+    you whether the key needs salting and roughly how many buckets:
+    a key at skew_x = 40 on a 32-task stage serializes ~40 mean-keys'
+    work through one task).
+
+    Exactly the question the salted-aggregation machinery above answers
+    AFTER the fact — this answers it BEFORE, from one cheap pass: one
+    grouped count (map-side partial agg), a 1-row global summary
+    broadcast onto the top-k, the top-k itself via TakeOrderedAndProject
+    (no full sort). Deterministic tiebreak (count desc, then key asc) so
+    two runs — or two engines — return identical rows. ``skew_x`` is
+    an exact-integer product with ONE float division, reproducible
+    bit-for-bit by an independent engine."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_k)
+        .select(
+            *keys,
+            "n",
+            "n_keys",
+            "n_rows",
+            ((F.col("n") * F.col("n_keys")) / F.col("n_rows").cast("double"))
+            .alias("skew_x"),
+        )
+    )
