@@ -2361,6 +2361,37 @@ def q_w11_burst_rate(spark, sf_dir):
     )
 
 
+def q_d9_groupsize_drift(spark, sf_dir):
+    """Drift on a DERIVED grain — the distribution of GROUP SIZES, not of
+    any row column (conversations getting shorter / orders shrinking in
+    one partition is invisible to every row-level drift check): order
+    line-counts per month vs the corpus-wide size distribution, scored
+    with the exact categorical-TV machinery (checks/drift.py:
+    categorical_tv) applied to the group-size frame. Two aggregations
+    total: one groupBy(order) count (map-side combined), one grouped
+    count inside the TV — the pattern for any group-grain drift
+    (turns-per-conversation, events-per-user)."""
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    sz = sizes.join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        ),
+        "l_orderkey",
+    ).withColumn("size_cat", F.col("n").cast("string"))
+    base = categorical_counts(sz, "size_cat")
+    return categorical_tv(sz, "size_cat", "month", base).select(
+        F.col("part").alias("month"), "n_part", "tv_num", "tv"
+    )
+
+
 def q_diag_key_skew(spark, sf_dir):
     """Pre-flight key-skew diagnosis (skew.py:key_skew_report): the 10
     heaviest user_id values with exact counts and skew factor
@@ -2564,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_burst_rate": q_w11_burst_rate,
         "stream_burst": q_stream_burst,
         "diag_key_skew": q_diag_key_skew,
+        "d9_groupsize_drift": q_d9_groupsize_drift,
     }
 
 
@@ -3564,6 +3596,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
+        """,
+        "d9_groupsize_drift": """
+            WITH sz AS (
+              SELECT l_orderkey AS k, count(*)::BIGINT AS n
+              FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT strftime(o.o_orderdate, '%Y-%m') AS part,
+                     sz.n::VARCHAR AS cat
+              FROM sz JOIN orders o ON o.o_orderkey = sz.k
+            ),
+            c AS (SELECT part, cat, count(*) AS n FROM j GROUP BY 1, 2),
+            tot AS (SELECT part, sum(n)::BIGINT AS n_part FROM c GROUP BY 1),
+            g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+            nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+            SELECT t.part AS month, t.n_part AS n_part,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                           - g.nb * t.n_part))::BIGINT AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                            - g.nb * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * nt.n_total)) AS tv
+            FROM tot t
+            CROSS JOIN nt
+            CROSS JOIN g
+            LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
+            GROUP BY t.part, t.n_part, nt.n_total
         """,
         "diag_key_skew": """
             WITH c AS (
