@@ -2392,6 +2392,47 @@ def q_d9_groupsize_drift(spark, sf_dir):
     )
 
 
+def q_d10_gap_drift(spark, sf_dir):
+    """Inter-arrival-time drift — the TEMPORAL-TEXTURE member of the
+    drift family: per-day total-variation of the distribution of gaps
+    between a user's consecutive events vs the corpus-wide gap
+    distribution. Batch replays, bot cadence, and retry storms change
+    the gap texture while every marginal (counts, values, categories)
+    and even the transition matrix stay intact. Gaps derive from ONE lag
+    window keyed by user under stable (ts, event_id) order (d7's
+    convention: a gap is attributed to the day of the row that COMPLETES
+    it), truncated-second integer differences bucketed by CASE
+    thresholds (engine-portable — no float log), then the exact
+    categorical-TV machinery. Another derived-grain composition like d9."""
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+    )
+    from pyspark.sql import Window
+
+    from taco_toolbox_spark.operators._time import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.floor(epoch_seconds(ev, "ts")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_gap", e - F.lag(e).over(w))
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .filter(F.col("_gap").isNotNull())
+        .withColumn(
+            "gap_cat",
+            F.when(F.col("_gap") < 60, "lt_1m")
+            .when(F.col("_gap") < 3600, "lt_1h")
+            .when(F.col("_gap") < 86400, "lt_1d")
+            .otherwise("ge_1d"),
+        )
+    )
+    base = categorical_counts(gaps, "gap_cat")
+    return categorical_tv(gaps, "gap_cat", "day", base).select(
+        F.col("part").alias("day"), "n_part", "tv_num", "tv"
+    )
+
+
 def q_diag_key_skew(spark, sf_dir):
     """Pre-flight key-skew diagnosis (skew.py:key_skew_report): the 10
     heaviest user_id values with exact counts and skew factor
@@ -2596,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_burst": q_stream_burst,
         "diag_key_skew": q_diag_key_skew,
         "d9_groupsize_drift": q_d9_groupsize_drift,
+        "d10_gap_drift": q_d10_gap_drift,
     }
 
 
@@ -3596,6 +3638,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
+        """,
+        "d10_gap_drift": """
+            WITH g0 AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+              FROM events
+            ),
+            j AS (
+              SELECT part,
+                     CASE WHEN gap < 60 THEN 'lt_1m'
+                          WHEN gap < 3600 THEN 'lt_1h'
+                          WHEN gap < 86400 THEN 'lt_1d'
+                          ELSE 'ge_1d' END AS cat
+              FROM g0 WHERE gap IS NOT NULL
+            ),
+            c AS (SELECT part, cat, count(*) AS n FROM j GROUP BY 1, 2),
+            tot AS (SELECT part, sum(n)::BIGINT AS n_part FROM c GROUP BY 1),
+            g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+            nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+            SELECT t.part AS day, t.n_part AS n_part,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                           - g.nb * t.n_part))::BIGINT AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                            - g.nb * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * nt.n_total)) AS tv
+            FROM tot t
+            CROSS JOIN nt
+            CROSS JOIN g
+            LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
+            GROUP BY t.part, t.n_part, nt.n_total
         """,
         "d9_groupsize_drift": """
             WITH sz AS (
