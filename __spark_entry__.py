@@ -2361,6 +2361,27 @@ def q_w11_burst_rate(spark, sf_dir):
     )
 
 
+def q_w12_stuck_runs(spark, sf_dir):
+    """Run-length (gaps-and-islands) rule — the EQUALITY-run member of
+    the window family (w4 orders, w11 rates, w12 runs): flag every event
+    past position 2 of a run of consecutive identical event_type values
+    per user under stable (ts, event_id) order (stuck-sensor / looping-
+    agent / template-storm detection — every adjacent pair inside a run
+    is "equal", which no gap/monotone/rate rule forbids). Two stacked
+    Window operators on ONE exchange and ONE sort
+    (operators/runs.py:stuck_runs; plan locked by
+    test_stuck_runs_one_exchange_one_sort); only OVERFLOW rows fire, so
+    dropping exactly the flagged rows satisfies the rule. DuckDB replays
+    the identical two-window identity (IS DISTINCT FROM = the null-safe
+    start marker)."""
+    from taco_toolbox_spark.operators.runs import stuck_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return stuck_runs(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", max_run=2
+    )
+
+
 def q_d9_groupsize_drift(spark, sf_dir):
     """Drift on a DERIVED grain — the distribution of GROUP SIZES, not of
     any row column (conversations getting shorter / orders shrinking in
@@ -2634,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_digest_windowed": q_stream_digest_windowed,
         "stream_cat_drift": q_stream_cat_drift,
         "w11_burst_rate": q_w11_burst_rate,
+        "w12_stuck_runs": q_w12_stuck_runs,
         "stream_burst": q_stream_burst,
         "diag_key_skew": q_diag_key_skew,
         "d9_groupsize_drift": q_d9_groupsize_drift,
@@ -3638,6 +3660,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
+        """,
+        "w12_stuck_runs": """
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER w AS rn,
+                     CASE WHEN row_number() OVER w = 1
+                            OR lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+              SELECT user_id, event_id, ts, event_type,
+                     rn - max(CASE WHEN is_new = 1 THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) + 1 AS run_pos
+              FROM t
+            )
+            SELECT user_id, ts, event_id, event_type, run_pos
+            FROM r WHERE run_pos > 2
         """,
         "d10_gap_drift": """
             WITH g0 AS (

@@ -139,6 +139,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "shuffle), e.g. --max-rate 60:20",
     )
     p.add_argument(
+        "--max-run",
+        metavar="COL:N",
+        action="append",
+        help="add a RunLengthCheck: no more than N consecutive turns of a "
+        "conversation may carry the same COL value (stuck-value / looping-"
+        "agent rule; gaps-and-islands windows sharing the battery's "
+        "group-key shuffle), e.g. --max-run role:8; repeatable",
+    )
+    p.add_argument(
         "--fd",
         action="append",
         metavar="DET->DEP",
@@ -356,6 +365,34 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
         except ValueError as e:
             raise SystemExit(f"--max-rate: {e}") from None
+    for spec in args.max_run or []:
+        from taco_toolbox_spark.checks import RunLengthCheck
+
+        parts_ = spec.split(":")
+        if len(parts_) != 2 or not parts_[0]:
+            raise SystemExit(
+                f"--max-run {spec!r}: expected COL:N (e.g. role:8)"
+            )
+        try:
+            run_max = int(parts_[1])
+        except ValueError:
+            raise SystemExit(
+                f"--max-run {spec!r}: N must be an integer"
+            ) from None
+        try:
+            checks.append(
+                RunLengthCheck(
+                    check_id=f"run_{parts_[0]}",
+                    description=(
+                        f"<= {run_max} consecutive equal {parts_[0]} "
+                        "values per conversation"
+                    ),
+                    value_col=parts_[0],
+                    max_run=run_max,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--max-run: {e}") from None
     for spec in args.fd or []:
         from taco_toolbox_spark.checks import FunctionalDependencyCheck
 

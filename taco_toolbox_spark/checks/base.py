@@ -145,6 +145,37 @@ class RateCheck(Check):
 
 
 @dataclass
+class RunLengthCheck(Check):
+    """Stuck-value bound within the group: no maximal run of consecutive
+    null-safe-equal ``value_col`` values (under the engine's order
+    column) may exceed ``max_run`` rows — the stuck-sensor / looping-
+    agent / template-storm rule, the EQUALITY-run sibling of GapCheck's
+    step bound (every adjacent pair inside a run is "equal", which no
+    gap/monotone/rate rule forbids, yet 500 identical assistant turns is
+    exactly the pathology a transcript validator must flag). Compiled via
+    the gaps-and-islands identity (operators/runs.py): row_number + lag
+    start-markers, then a running max over the markers — two stacked
+    Window operators sharing the engine-key exchange and ONE sort. Only
+    the OVERFLOW rows fire (run position > max_run), so dropping exactly
+    the flagged rows satisfies the rule. NULL values form runs too
+    (stuck-null is stuck); whether NULL is also illegal is the row
+    pass's problem."""
+
+    value_col: str = ""
+    max_run: int = 1
+
+    def __post_init__(self) -> None:
+        if not self.value_col:
+            raise ValueError(
+                f"RunLengthCheck {self.check_id!r}: value_col is required"
+            )
+        if self.max_run < 1:
+            raise ValueError(
+                f"RunLengthCheck {self.check_id!r}: max_run must be >= 1"
+            )
+
+
+@dataclass
 class UniquenessCheck(Check):
     """Key must be unique (reference duplicate-id check,
     tortilla/datamodel.py:235-254). Keys default to the engine key."""

@@ -12,7 +12,9 @@ Pass plan (the scale story — adding checks never adds scans):
                 Window operator); SequenceCheck opening/closing-value rules
                 ride one min_by/max_by group-agg piece; RateChecks
                 (trailing time-window burst bound) add RANGE-frame windows
-                on the SAME group-key exchange.
+                on the SAME group-key exchange; RunLengthChecks (stuck-
+                value run bound) stack two Window selects (gaps-and-
+                islands) on that exchange with one sort.
   agg pass      Uniqueness on the full key (fine-grained → no hot key);
                 Contiguity + GroupAggChecks share ONE groupBy(group) agg
                 (Spark's partial aggregation = map-side combine).
@@ -49,6 +51,7 @@ from .checks.base import (
     MonotoneCheck,
     RateCheck,
     RowCheck,
+    RunLengthCheck,
     SequenceCheck,
     TextEqualityCheck,
     TransitionDriftCheck,
@@ -336,6 +339,72 @@ def _rate_pass(
             )
         )
     fails = df.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.col(cfg.order_col).cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
+def _runlength_pass(
+    df: DataFrame, checks: list[RunLengthCheck], cfg: EngineConfig
+) -> DataFrame:
+    """Stuck-value run rules: the gaps-and-islands identity
+    (operators/runs.py) per checked column — row_number + lag start
+    markers in one select, a running max over the markers in a second —
+    all window specs identical to the lag pass's (same partitioning,
+    same order), so Catalyst stacks the Window operators on the shared
+    engine-key exchange with ONE sort. Only overflow rows (run position
+    > max_run) fire."""
+    w = Window.partitionBy(cfg.partition_col, cfg.group_col).orderBy(
+        cfg.order_col
+    )
+    rn = F.row_number().over(w)
+    # keep the ORIGINAL key/order columns through the intermediate select:
+    # the second window keys on them verbatim, so Catalyst reuses the
+    # exchange AND the sort (string-cast keys here would force a second
+    # shuffle — the casts happen only in the final projection)
+    marked = df.select(
+        F.col(cfg.partition_col),
+        F.col(cfg.group_col),
+        F.col(cfg.order_col),
+        rn.alias("_rn"),
+        *[
+            (
+                (rn == F.lit(1))
+                | ~F.lag(F.col(c.value_col)).over(w).eqNullSafe(
+                    F.col(c.value_col)
+                )
+            ).alias(f"_new_{i}")
+            for i, c in enumerate(checks)
+        ],
+    )
+    wc = (
+        Window.partitionBy(cfg.partition_col, cfg.group_col)
+        .orderBy(cfg.order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    structs = []
+    for i, c in enumerate(checks):
+        start = F.max(F.when(F.col(f"_new_{i}"), F.col("_rn"))).over(wc)
+        pos = F.col("_rn") - start + F.lit(1)
+        detail = F.format_string(
+            f"{c.value_col} run position %s > {c.max_run}",
+            pos.cast("string"),
+        )
+        structs.append(
+            F.when(
+                pos > F.lit(int(c.max_run)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    detail.alias("detail"),
+                ),
+            )
+        )
+    fails = marked.select(
         F.col(cfg.partition_col).cast("string").alias("part"),
         F.col(cfg.group_col).cast("string").alias("conv_id"),
         F.col(cfg.order_col).cast("int").alias("turn_idx"),
@@ -682,6 +751,7 @@ def run_validation(
     mono_checks = [c for c in checks if isinstance(c, MonotoneCheck)]
     gap_checks = [c for c in checks if isinstance(c, GapCheck)]
     rate_checks = [c for c in checks if isinstance(c, RateCheck)]
+    run_checks = [c for c in checks if isinstance(c, RunLengthCheck)]
     seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
     fd_checks = [c for c in checks if isinstance(c, FunctionalDependencyCheck)]
@@ -722,6 +792,8 @@ def run_validation(
         pieces.append(_seq_endpoint_pass(df, seq_endpoint, cfg))
     if rate_checks:
         pieces.append(_rate_pass(df, rate_checks, cfg))
+    if run_checks:
+        pieces.append(_runlength_pass(df, run_checks, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
         if (
@@ -864,7 +936,7 @@ def run_validation(
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
-            "RateCheck, "
+            "RateCheck, RunLengthCheck, "
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
             "CorrelationDriftCheck, ConditionalDriftCheck, "

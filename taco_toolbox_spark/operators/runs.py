@@ -1,0 +1,114 @@
+"""Run-length (gaps-and-islands) analysis — stuck-value / repeated-output
+detection over ordered groups.
+
+The window family so far covers ordering (lag monotone), adjacent steps
+(GapCheck), and time-frame rates (rolling.py RANGE windows). The missing
+member is the RUN: a maximal block of consecutive rows (in the group's
+order) whose value is null-safe equal. Long runs are the signature of a
+stuck sensor, a looping agent repeating the same tool call, a retry
+storm re-emitting one response, or a template generator pinned to one
+output — invisible to every rule above (each adjacent pair is "equal",
+which no gap/monotone/rate rule forbids).
+
+Plan shape — the scale contract:
+
+  * ONE shuffle on ``keys`` and ONE sort on ``order_cols``: run position
+    derives from two stacked window selects over the SAME window spec
+    (``row_number``+``lag`` first, then a running ``max`` over the
+    run-start markers), so Catalyst plans one Exchange, one Sort, and a
+    chain of Window operators — never a second exchange and never a
+    self-join (locked by tests/test_plan_assertions.py).
+  * run_pos = rn - max(rn where run starts, running) + 1 — the classic
+    gaps-and-islands identity, O(1) state per row inside the frame.
+  * Only OVERFLOW rows fire in :func:`stuck_runs` (position > max_run),
+    so dropping exactly the flagged rows satisfies the rule — the same
+    actionable-violation contract as the engine's RateCheck.
+
+Determinism: runs are defined by the ORDER of ``order_cols``; pass a
+tie-free ordering (the transcript battery orders by turn_idx, whose
+uniqueness is itself checked; event-stream callers add a unique id as a
+tiebreaker). NULL values form runs too — NULL is null-safe equal to
+NULL, so a stuck-null column is reported like any other stuck value
+(whether NULL is also a row-pass problem is a separate check).
+
+Skew: one hot key serializes its own sort, exactly like every ordered
+pass in the engine; the mitigations are the same (finer keys, or the
+engine's chunked path — a run crossing a chunk boundary is re-spliced by
+the boundary join, not implemented here because run rules bind to
+conversation-sized groups).
+
+Beyond-reference training-pipeline/validation operator (SURVEY.md §6);
+the reference validator has no run-length surface. DuckDB reproduces the
+result bit-for-bit with the same two stacked windows (IS DISTINCT FROM
+for the null-safe start marker).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTERNAL = {"_rn", "_new"}
+
+
+def run_positions(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "run_pos",
+) -> DataFrame:
+    """Every input row plus ``out_col`` = its 1-based position inside the
+    maximal run of null-safe-equal ``value_col`` values within its key
+    group under ``order_cols`` order. One shuffle, one sort (two stacked
+    Window operators on one exchange)."""
+    if not keys or not order_cols:
+        raise ValueError("run_positions needs at least one key and one order column")
+    clash = (_INTERNAL | {out_col}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with run_positions internals; "
+            "rename them first"
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    # run-start marker: first row of the group, or value differs from the
+    # predecessor under null-safe equality (NULL == NULL continues a run)
+    new = (rn == F.lit(1)) | ~F.lag(F.col(value_col)).over(w).eqNullSafe(
+        F.col(value_col)
+    )
+    marked = df.select("*", rn.alias("_rn"), new.alias("_new"))
+    # cumulative window ordered by the SAME order columns (not by _rn,
+    # which is order-equivalent but expression-different — ordering by
+    # order_cols lets Catalyst drop the second Sort entirely)
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
+    return marked.select(
+        *df.columns, (F.col("_rn") - run_start + F.lit(1)).alias(out_col)
+    )
+
+
+def stuck_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    max_run: int,
+) -> DataFrame:
+    """Overflow rows of runs longer than ``max_run``: every row at run
+    position > ``max_run`` (so the first ``max_run`` rows of even a
+    violating run are kept — dropping exactly the returned rows
+    satisfies the rule). Output: the key columns, the order columns, the
+    stuck value, and ``run_pos``."""
+    if max_run < 1:
+        raise ValueError("max_run must be >= 1")
+    pos = run_positions(df, keys, order_cols, value_col)
+    return pos.filter(F.col("run_pos") > F.lit(int(max_run))).select(
+        *keys, *order_cols, value_col, "run_pos"
+    )

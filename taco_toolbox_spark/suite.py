@@ -71,6 +71,7 @@ from .checks.base import (
     MonotoneCheck,
     RateCheck,
     RowCheck,
+    RunLengthCheck,
     SequenceCheck,
     TextEqualityCheck,
     TransitionDriftCheck,
@@ -102,6 +103,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "monotone": {"col", "strict"},
     "gap": {"col", "max_step", "min_step"},
     "rate": {"col", "seconds", "max_events"},
+    "runlength": {"col", "max_run"},
     "contiguity": {"col"},
     "sequence": {"col", "allowed", "first", "last"},
     "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
@@ -305,6 +307,21 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
                 value_col=entry["col"],
                 seconds=int(entry.get("seconds", 3600)),
                 max_events=int(entry["max_events"]),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "runlength":
+        _require(entry, where, "col", "max_run")
+        v = entry["max_run"]
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise SuiteError(
+                f"{where}: 'max_run' must be an integer, got {v!r}"
+            )
+        try:
+            c = RunLengthCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                max_run=int(v),
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None

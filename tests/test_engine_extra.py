@@ -1,5 +1,6 @@
 """GroupAggCheck + t-digest drift method through the engine."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from taco_toolbox_spark.checks.base import DriftCheck, GroupAggCheck
@@ -210,3 +211,54 @@ def test_rate_check_exact_violations(spark):
     assert verd[("p1", "turn_rate")] is False
     assert verd[("p2", "turn_rate")] is True
     res.release()
+
+
+def test_runlength_check_exact_violations(spark):
+    """RunLengthCheck through the engine: exactly the overflow rows of
+    over-long runs fire (position > max_run), NULL values form runs too,
+    and a run broken by a different value resets the counter."""
+    from taco_toolbox_spark.checks.base import RunLengthCheck
+
+    rows = [
+        # conv A: a,a,a,b,a -> run of 3 'a': only turn 2 (pos 3) fires
+        ("p1", "A", 0, "a"),
+        ("p1", "A", 1, "a"),
+        ("p1", "A", 2, "a"),
+        ("p1", "A", 3, "b"),
+        ("p1", "A", 4, "a"),
+        # conv B: NULL,NULL,NULL -> stuck-null run, turn 2 fires
+        ("p2", "B", 0, None),
+        ("p2", "B", 1, None),
+        ("p2", "B", 2, None),
+        # conv C: alternates, never fires
+        ("p2", "C", 0, "x"),
+        ("p2", "C", 1, "y"),
+        ("p2", "C", 2, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, role string"
+    )
+    check = RunLengthCheck(check_id="run_role", value_col="role", max_run=2)
+    res = run_validation(df, [check], EngineConfig())
+    v = {
+        (r["part"], r["conv_id"], r["turn_idx"]): r["detail"]
+        for r in res.violations.collect()
+    }
+    assert set(v) == {("p1", "A", 2), ("p2", "B", 2)}
+    assert "role run position 3 > 2" in v[("p1", "A", 2)]
+    verd = {
+        (r["part"], r["check_id"]): r["passed"]
+        for r in res.verdicts.collect()
+    }
+    assert verd[("p1", "run_role")] is False
+    assert verd[("p2", "run_role")] is False
+    res.release()
+
+
+def test_runlength_check_validates_params():
+    from taco_toolbox_spark.checks.base import RunLengthCheck
+
+    with pytest.raises(ValueError, match="value_col"):
+        RunLengthCheck(check_id="x")
+    with pytest.raises(ValueError, match="max_run"):
+        RunLengthCheck(check_id="x", value_col="role", max_run=0)

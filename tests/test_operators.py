@@ -628,3 +628,44 @@ def test_trailing_counts_partition_invariant(spark):
     assert [r["n_trailing"] for r in a.collect()] == [
         r["n_trailing"] for r in b.collect()
     ]
+
+
+def test_run_positions_semantics(spark):
+    """Gaps-and-islands positions: null-safe equality (NULL continues a
+    NULL run), resets on change, independent per key."""
+    from taco_toolbox_spark.operators.runs import run_positions, stuck_runs
+
+    rows = [
+        ("k1", 1, "a"), ("k1", 2, "a"), ("k1", 3, "b"), ("k1", 4, "a"),
+        ("k1", 5, None), ("k1", 6, None),
+        ("k2", 1, None), ("k2", 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    got = {
+        (r["k"], r["i"]): r["run_pos"]
+        for r in run_positions(df, ["k"], ["i"], "v").collect()
+    }
+    assert got == {
+        ("k1", 1): 1, ("k1", 2): 2, ("k1", 3): 1, ("k1", 4): 1,
+        ("k1", 5): 1, ("k1", 6): 2,
+        ("k2", 1): 1, ("k2", 2): 1,
+    }
+    # overflow-only contract: max_run=1 returns exactly the second rows
+    # of each >=2 run
+    over = {
+        (r["k"], r["i"]) for r in stuck_runs(df, ["k"], ["i"], "v", 1).collect()
+    }
+    assert over == {("k1", 2), ("k1", 6)}
+
+
+def test_run_positions_guards(spark):
+    from taco_toolbox_spark.operators.runs import run_positions, stuck_runs
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, i int, run_pos int")
+    with pytest.raises(ValueError, match="collide"):
+        run_positions(df, ["k"], ["i"], "k")
+    df2 = spark.createDataFrame([("a", 1)], "k string, i int")
+    with pytest.raises(ValueError, match="max_run"):
+        stuck_runs(df2, ["k"], ["i"], "k", 0)
+    with pytest.raises(ValueError, match="at least one key"):
+        run_positions(df2, [], ["i"], "k")

@@ -552,3 +552,46 @@ def test_trailing_counts_single_window_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_stuck_runs_one_exchange_one_sort(spark):
+    """The run-length (gaps-and-islands) pass must stack its two Window
+    operators on ONE exchange with ONE sort — no second shuffle for the
+    cumulative run-start window, no join, no Python eval."""
+    from taco_toolbox_spark.operators.runs import stuck_runs
+
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id % 11 as string) AS k",
+        "cast(id as int) AS i",
+        "case when id % 7 < 4 then 'a' else 'b' end AS v",
+    )
+    plan = _plan(stuck_runs(df, ["k"], ["i"], "v", 2))
+    assert plan.count("Window") == 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_engine_runlength_pass_shares_exchange(spark):
+    """The engine's RunLengthCheck pass compiles to the same one-exchange
+    one-sort shape keyed by (part, conv)."""
+    from taco_toolbox_spark.checks.base import RunLengthCheck
+    from taco_toolbox_spark.engine import _runlength_pass
+
+    df = spark.range(0, 500).selectExpr(
+        "cast(id % 3 as string) AS part",
+        "cast(id % 17 as string) AS conv_id",
+        "cast(id as int) AS turn_idx",
+        "case when id % 5 < 3 then 'u' else 'a' end AS role",
+    )
+    plan = _plan(
+        _runlength_pass(
+            df,
+            [RunLengthCheck(check_id="r", value_col="role", max_run=2)],
+            EngineConfig(),
+        )
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window") == 2, plan

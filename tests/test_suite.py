@@ -143,12 +143,14 @@ def test_every_type_constructs_and_runs(spark):
              "aggs": ["count(1) as n"], "predicate": "n <= 100"},
             {"type": "rate", "id": "t15", "col": "ts", "seconds": 60,
              "max_events": 10},
+            {"type": "runlength", "id": "t16", "col": "role",
+             "max_run": 50},
         ],
     }
     suite = parse_suite(spec)
     res = suite.run(df)
     verd = _verdict_map(res)
-    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 16)}
+    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 17)}
     assert all(ok for ok, _ in verd.values())
 
 
@@ -173,6 +175,12 @@ def test_every_type_constructs_and_runs(spark):
          "max_events"),
         ({"checks": [{"type": "rate", "id": "x", "col": "c",
                       "max_events": 0}]}, "max_events must be >= 1"),
+        ({"checks": [{"type": "runlength", "id": "x", "col": "c"}]},
+         "max_run"),
+        ({"checks": [{"type": "runlength", "id": "x", "col": "c",
+                      "max_run": 0}]}, "max_run must be >= 1"),
+        ({"checks": [{"type": "runlength", "id": "x", "col": "c",
+                      "max_run": 1.5}]}, "must be an integer"),
         ({"checks": [{"type": "rate", "id": "x", "col": "c",
                       "seconds": 0.9, "max_events": 5}]},
          "must be an integer"),

@@ -859,3 +859,48 @@ def test_curate_semantic_decontaminate(tmp_path, spark):
              "--sem-decontaminate-against", bdir],
             stop_session=False,
         )
+
+
+def test_validate_cli_max_run(spark, corpus_dir, tmp_path):
+    """--max-run adds the stuck-value RunLengthCheck per spec (repeatable);
+    the verdict grid carries it for every partition; malformed specs exit
+    cleanly before any JVM work."""
+    out = str(tmp_path / "run_out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--max-run", "role:1",
+            "--max-run", "tool:3",
+        ],
+        stop_session=False,
+    )
+    assert rc in (0, 1)
+    verd = spark.read.parquet(f"{out}/verdicts")
+    ids = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert {"run_role", "run_tool"} <= ids
+    # the synthetic transcripts ping-pong user/assistant with occasional
+    # repeats — a max_run=1 role rule must flag at least one repeat
+    viol = spark.read.parquet(f"{out}/violations").filter(
+        "check_id = 'run_role'"
+    )
+    assert viol.count() > 0
+
+    with pytest.raises(SystemExit, match="COL:N"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "r2"), "--max-run", "role"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="integer"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "r3"), "--max-run", "role:x"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="max_run must be >= 1"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "r4"), "--max-run", "role:0"],
+            stop_session=False,
+        )
