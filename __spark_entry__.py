@@ -2497,6 +2497,41 @@ def q_stream_burst(spark, sf_dir):
     ).select(F.col("user_id").cast("long").alias("user_id"), "ts", "n_trailing")
 
 
+def q_stream_runs(spark, sf_dir):
+    """STREAMING run-length rule under the full value oracle: the events
+    table streams keyed by user (each user confined to one staged file,
+    so arrival order is event-time order per key) and every event past
+    position 2 of a run of consecutive identical event_type values is
+    emitted LIVE with its exact run position — the stateful twin of
+    w12_stuck_runs (streaming/validate_stream.py:stream_run_violations:
+    per-key state is O(1) — last value + run length — with vectorized
+    pandas sort/shift/cumulative-max per micro-batch). The oracle is the
+    batch gaps-and-islands identity in SQL — identical rows."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_runs_smoke,
+    )
+
+    staged, tag = _stage_stream(
+        spark, sf_dir, "events", "events_runs",
+        build=lambda df: df.repartition(8, "user_id"),
+    )
+    return run_stream_runs_smoke(
+        spark,
+        staged,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        query_name=f"q_sruns_{tag}",
+        max_run=2,
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "run_pos",
+    )
+
+
 def q_stream_cat_drift(spark, sf_dir):
     """STREAMING categorical drift under the full value oracle: the
     events table streams through watermarked per-event-time-DAY windows,
@@ -2605,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_quality_filter": q_t1_quality_filter,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
+        "stream_runs": q_stream_runs,
         "stream_minhash_cands": q_stream_minhash_cands,
         "dedup_clusters": q_dedup_clusters,
         "engine_verdicts": q_engine_verdicts,
@@ -3662,6 +3698,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE n_trailing > 8
         """,
         "w12_stuck_runs": """
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER w AS rn,
+                     CASE WHEN row_number() OVER w = 1
+                            OR lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+              SELECT user_id, event_id, ts, event_type,
+                     rn - max(CASE WHEN is_new = 1 THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) + 1 AS run_pos
+              FROM t
+            )
+            SELECT user_id, ts, event_id, event_type, run_pos
+            FROM r WHERE run_pos > 2
+        """,
+        "stream_runs": """
             WITH t AS (
               SELECT user_id, event_id, ts, event_type,
                      row_number() OVER w AS rn,

@@ -1810,3 +1810,161 @@ def run_stream_rate_smoke(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_run_violations(
+    stream_df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    value_col: str = "role",
+    max_run: int = 1,
+    output_mode: str = "update",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch run-length rule
+    (operators/runs.py:stuck_runs / engine RunLengthCheck): one output
+    row per event past position ``max_run`` of a run of consecutive
+    equal ``value_col`` values within its key — the stuck-sensor /
+    looping-agent alarm LIVE, completing the batch↔stream matrix for
+    the RUN family (rates, transitions, digests, drift already have
+    streaming twins).
+
+    Per-key state is O(1) REGARDLESS of run length: the last value seen
+    plus the current run length — two fields, against the rate
+    emitter's in-window array. Within a micro-batch the run positions
+    are a vectorized pandas sort + shift + cumulative-max (the
+    gaps-and-islands identity, no per-row Python loop); only the first
+    row of the batch consults state.
+
+    Equality contract: runs compare on the CANONICAL STRING form of
+    ``value_col`` (cast JVM-side before Python) — identical to native
+    equality for string/integer/boolean columns, the engine-portable
+    move the hash families use; a NULL value continues a NULL run
+    (stuck-null is stuck), matching the batch rule's null-safe
+    equality. Rows are ordered by ``order_cols`` within the batch
+    (NULLs first, Spark's ascending convention).
+
+    Boundary semantics vs batch, stated honestly: positions are exact
+    when each key's rows arrive in ``order_cols`` order across
+    micro-batches — guaranteed unconditionally when each key is
+    confined to one source file (the smoke's staging). A late row
+    restarts or extends the CURRENT run as if appended; the batch path
+    would have spliced it into order. ``state_ttl_ms`` evicts idle keys
+    (open key vocabularies); an evicted key restarts its run count.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if max_run < 1:
+        raise ValueError(f"max_run must be >= 1, got {max_run}")
+    order_cols = list(order_cols)
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+
+    fields = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    missing = [c for c in [key_col, value_col, *order_cols] if c not in fields]
+    if missing:
+        raise ValueError(f"columns {missing} not in stream schema")
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    out_schema = (
+        f"{key_col} string, "
+        + ", ".join(f"{c} {fields[c]}" for c in order_cols)
+        + f", {value_col} string, run_pos long"
+    )
+    cap = int(max_run)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+
+        def park(last, run):
+            state.update((last, int(run)))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            if state.exists:
+                park(*state.get)
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values(order_cols, na_position="first", kind="stable")
+        v = pdf["_v"].astype(object).where(pdf["_v"].notna(), None)
+        prev = v.shift(1)
+        eq = (v == prev) | (v.isna() & prev.isna())
+        is_new = ~eq.to_numpy(dtype=bool)
+        is_new[0] = True
+        carry = 0
+        if state.exists:
+            last, run = state.get
+            v0 = v.iloc[0]
+            if v0 == last or (v0 is None and last is None):
+                is_new[0] = False
+                carry = int(run)
+        idx = np.arange(len(pdf))
+        start = np.maximum.accumulate(np.where(is_new, idx, -1))
+        pos = np.where(start >= 0, idx - start + 1, carry + idx + 1)
+        park(v.iloc[-1], pos[-1])
+        bad = pos > cap
+        if bad.any():
+            out = {key_col: key[0]}
+            for c in order_cols:
+                out[c] = pdf[c].to_numpy()[bad]
+            out[value_col] = v.to_numpy(dtype=object)[bad]
+            out["run_pos"] = pos[bad]
+            yield pd.DataFrame(out)
+
+    return keyed.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last string, run bigint",
+        outputMode=output_mode,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_stream_runs_smoke(
+    spark,
+    parquet_dir: str,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    query_name: str = "stream_runs",
+    max_files_per_trigger: int = 8,
+    **kwargs,
+):
+    """Drive stream_run_violations over a bounded parquet dir (update
+    mode, memory sink). Stage with each key confined to ONE file
+    (``df.repartition(n, key_col).write``) and the violation set is
+    exactly the batch stuck_runs set regardless of file arrival
+    order."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    mode = kwargs.setdefault("output_mode", "update")
+    out = stream_run_violations(stream, key_col, order_cols, value_col, **kwargs)
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

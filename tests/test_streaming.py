@@ -1,5 +1,6 @@
 """Streaming validation smoke: the same RowChecks over readStream."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from taco_toolbox_spark.checks import transcript_checks
@@ -1271,3 +1272,84 @@ def test_stream_rate_state_ttl_smoke(tmp_path, spark):
     finally:
         q.stop()
     assert [int(r["n_trailing"]) for r in got] == [3]
+
+
+def test_stream_runs_matches_batch(tmp_path, spark):
+    """stream_run_violations must emit exactly the batch stuck_runs rows
+    (key, order, value, run_pos) when each key is staged into one file —
+    including NULL runs (stuck-null) and per-key isolation."""
+    from taco_toolbox_spark.operators.runs import stuck_runs
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_runs_smoke,
+    )
+
+    rows = [
+        ("A", 1, "a"), ("A", 2, "a"), ("A", 3, "a"), ("A", 4, "b"),
+        ("A", 5, "a"), ("A", 6, None), ("A", 7, None), ("A", 8, None),
+        ("B", 1, "x"), ("B", 2, "y"), ("B", 3, "x"),
+        ("C", 1, "z"), ("C", 2, "z"), ("C", 3, "z"), ("C", 4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    inp = str(tmp_path / "runs_in")
+    df.repartition(4, "k").write.mode("overwrite").parquet(inp)
+
+    got = run_stream_runs_smoke(
+        spark, inp, "k", ["i"], "v", query_name="t_stream_runs", max_run=2,
+    ).toPandas()
+    want = (
+        stuck_runs(spark.read.parquet(inp), ["k"], ["i"], "v", 2)
+        .toPandas()
+    )
+    gs = {(r.k, r.i, r.v, r.run_pos) for r in got.itertuples()}
+    ws = {(r.k, r.i, r.v, r.run_pos) for r in want.itertuples()}
+    assert gs == ws and len(ws) > 0
+    # NULL run overflow present (stuck-null is stuck)
+    assert ("A", 8, None, 3) in gs
+
+
+def test_stream_runs_state_carries_across_batches(tmp_path, spark):
+    """A run SPANNING micro-batches must keep counting: with one file
+    per micro-batch and in-order arrival, the O(1) state (last value +
+    run length) extends the run; a different value resets it."""
+    import glob
+    import os
+    import shutil
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_runs_smoke,
+    )
+
+    inp = str(tmp_path / "runs_carry")
+    batches = [
+        [("A", 1, "a"), ("A", 2, "a")],      # run of 2 — quiet at max_run=2
+        [("A", 3, "a"), ("A", 4, "a")],      # extends to 4 — pos 3, 4 fire
+        [("A", 5, "b"), ("A", 6, "a")],      # reset — quiet
+    ]
+    os.makedirs(inp)
+    for j, b in enumerate(batches):
+        d = str(tmp_path / f"rb{j}")
+        spark.createDataFrame(b, "k string, i int, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{inp}/{j:03d}.parquet")
+
+    got = run_stream_runs_smoke(
+        spark, inp, "k", ["i"], "v",
+        query_name="t_stream_runs_carry", max_files_per_trigger=1, max_run=2,
+    ).toPandas()
+    gs = {(r.k, r.i, r.v, r.run_pos) for r in got.itertuples()}
+    assert gs == {("A", 3, "a", 3), ("A", 4, "a", 4)}
+
+
+def test_stream_runs_guards(spark):
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_run_violations,
+    )
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="max_run"):
+        stream_run_violations(df, "value", ["timestamp"], "value", max_run=0)
+    with pytest.raises(ValueError, match="not in stream schema"):
+        stream_run_violations(df, "value", ["nope"], "value", max_run=1)
+    with pytest.raises(ValueError, match="at least one column"):
+        stream_run_violations(df, "value", [], "value", max_run=1)
