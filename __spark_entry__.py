@@ -2454,6 +2454,38 @@ def q_d10_gap_drift(spark, sf_dir):
     )
 
 
+def q_d11_runlength_drift(spark, sf_dir):
+    """Run-length drift — the REPETITIVENESS-texture member of the drift
+    family: per-day total-variation of the distribution of run LENGTHS
+    (consecutive identical event_type per user under stable (ts,
+    event_id) order) vs the corpus-wide run-length distribution. A
+    template generator, a stuck upstream, or a looping agent shifts how
+    long runs get while the category marginal (d2), the transition
+    matrix (d7), and the gap texture (d10) can all stay intact — runs
+    are the one sequential statistic none of them see. One run-grain
+    frame from operators/runs.py:run_lengths (two stacked windows + one
+    exchange-reusing aggregation; a run is attributed to the day of its
+    STARTING row — order is non-decreasing within a run, so min(ts) is
+    deterministic), then the exact categorical-TV machinery — another
+    derived-grain composition like d9 (group sizes) and d10 (gaps)."""
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+    )
+    from taco_toolbox_spark.operators.runs import run_lengths
+
+    ev = _t(spark, sf_dir, "events")
+    rl = (
+        run_lengths(ev, ["user_id"], ["ts", "event_id"], "event_type")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("len_cat", F.col("run_len").cast("string"))
+    )
+    base = categorical_counts(rl, "len_cat")
+    return categorical_tv(rl, "len_cat", "day", base).select(
+        F.col("part").alias("day"), "n_part", "tv_num", "tv"
+    )
+
+
 def q_diag_key_skew(spark, sf_dir):
     """Pre-flight key-skew diagnosis (skew.py:key_skew_report): the 10
     heaviest user_id values with exact counts and skew factor
@@ -2696,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_key_skew": q_diag_key_skew,
         "d9_groupsize_drift": q_d9_groupsize_drift,
         "d10_gap_drift": q_d10_gap_drift,
+        "d11_runlength_drift": q_d11_runlength_drift,
     }
 
 
@@ -3787,6 +3820,50 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
             nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
             SELECT t.part AS month, t.n_part AS n_part,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                           - g.nb * t.n_part))::BIGINT AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
+                            - g.nb * t.n_part))::BIGINT
+                    / (2.0 * t.n_part * nt.n_total)) AS tv
+            FROM tot t
+            CROSS JOIN nt
+            CROSS JOIN g
+            LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
+            GROUP BY t.part, t.n_part, nt.n_total
+        """,
+        "d11_runlength_drift": """
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER w AS rn,
+                     CASE WHEN row_number() OVER w = 1
+                            OR lag(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+              SELECT user_id, ts, rn,
+                     max(CASE WHEN is_new = 1 THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS run_start
+              FROM t
+            ), runs AS (
+              SELECT user_id, run_start,
+                     count(*)::BIGINT AS run_len,
+                     min(ts) AS ts0
+              FROM r GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT strftime(ts0, '%Y-%m-%d') AS part,
+                     run_len::VARCHAR AS cat
+              FROM runs
+            ),
+            c AS (SELECT part, cat, count(*) AS n FROM j GROUP BY 1, 2),
+            tot AS (SELECT part, sum(n)::BIGINT AS n_part FROM c GROUP BY 1),
+            g AS (SELECT cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1),
+            nt AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+            SELECT t.part AS day, t.n_part AS n_part,
                    sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total
                            - g.nb * t.n_part))::BIGINT AS tv_num,
                    (sum(abs(coalesce(x.n, 0)::BIGINT * nt.n_total

@@ -94,6 +94,70 @@ def run_positions(
     )
 
 
+def run_lengths(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "run_len",
+) -> DataFrame:
+    """One row per RUN: the key columns, the order columns of the run's
+    STARTING row (the deterministic attribution convention — order is
+    non-decreasing within a run, so the start is the min order tuple),
+    the run's value, and ``out_col`` = the run's total length. The
+    run-GRAIN view of :func:`run_positions` — feed it to the categorical
+    drift machinery for repetitiveness-texture drift (how run lengths
+    distribute), or aggregate it for a stuck-value profile.
+
+    Plan: the same one-exchange two-window pass as run_positions, then
+    ONE aggregation grouped by (keys, run_start) — the grouping keys
+    contain the window partition keys, so Catalyst reuses the exchange
+    (no second shuffle) and the partial aggregation combines map-side.
+    The value column aggregates with ``min`` — every member of a run is
+    null-safe equal, so min IS the value (NULL for a NULL run)."""
+    if not keys or not order_cols:
+        raise ValueError("run_lengths needs at least one key and one order column")
+    if value_col in set(keys) | set(order_cols):
+        raise ValueError(
+            "value_col must be distinct from keys and order_cols"
+        )
+    clash = (_INTERNAL | {"_start", "_sk", out_col}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with run_lengths internals; "
+            "rename them first"
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    new = (rn == F.lit(1)) | ~F.lag(F.col(value_col)).over(w).eqNullSafe(
+        F.col(value_col)
+    )
+    marked = df.select(
+        *keys, *order_cols, value_col, rn.alias("_rn"), new.alias("_new")
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
+    return (
+        marked.withColumn("_start", start)
+        .groupBy(*keys, "_start")
+        .agg(
+            F.count(F.lit(1)).alias(out_col),
+            F.min(F.struct(*order_cols)).alias("_sk"),
+            F.min(value_col).alias(value_col),
+        )
+        .select(
+            *keys,
+            *[F.col(f"_sk.{c}").alias(c) for c in order_cols],
+            value_col,
+            out_col,
+        )
+    )
+
+
 def stuck_runs(
     df: DataFrame,
     keys: Sequence[str],

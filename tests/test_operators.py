@@ -669,3 +669,32 @@ def test_run_positions_guards(spark):
         stuck_runs(df2, ["k"], ["i"], "k", 0)
     with pytest.raises(ValueError, match="at least one key"):
         run_positions(df2, [], ["i"], "k")
+
+
+def test_run_lengths_run_grain(spark):
+    """run_lengths: one row per run with start-row attribution, the run's
+    value (NULL for a NULL run), and the exact length; exchange-reusing
+    plan (no second shuffle for the run aggregation)."""
+    from taco_toolbox_spark.operators.runs import run_lengths
+
+    rows = [
+        ("k1", 1, "a"), ("k1", 2, "a"), ("k1", 3, "b"),
+        ("k1", 4, None), ("k1", 5, None),
+        ("k2", 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    got = {
+        (r["k"], r["i"], r["v"], r["run_len"])
+        for r in run_lengths(df, ["k"], ["i"], "v").collect()
+    }
+    assert got == {
+        ("k1", 1, "a", 2), ("k1", 3, "b", 1), ("k1", 4, None, 2),
+        ("k2", 1, "a", 1),
+    }
+    plan = (
+        run_lengths(df, ["k"], ["i"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    with pytest.raises(ValueError, match="distinct from keys"):
+        run_lengths(df, ["k"], ["i"], "i")
