@@ -1214,9 +1214,16 @@ def test_stream_rate_state_carries_across_batches(tmp_path, spark):
     import os
 
     os.makedirs(inp)
+    # force distinct, increasing mod-times: FileStreamSource orders by
+    # mtime, and near-simultaneous copies can tie (observed flake)
+    import time as _t
+
+    now = _t.time()
     for j, d in enumerate(("p1", "p2", "p3")):
         src = glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
-        shutil.copy(src, f"{inp}/{j:03d}.parquet")
+        dst = f"{inp}/{j:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 100 + 10 * j, now - 100 + 10 * j))
 
     got = run_stream_rate_smoke(
         spark, inp, "k", "ts", query_name="t_stream_rate_carry",
@@ -1326,12 +1333,19 @@ def test_stream_runs_state_carries_across_batches(tmp_path, spark):
         [("A", 5, "b"), ("A", 6, "a")],      # reset — quiet
     ]
     os.makedirs(inp)
+    # distinct, increasing mod-times (FileStreamSource orders by mtime;
+    # ties break in-order arrival — observed flake in the rate twin)
+    import time as _t
+
+    now = _t.time()
     for j, b in enumerate(batches):
         d = str(tmp_path / f"rb{j}")
         spark.createDataFrame(b, "k string, i int, v string").coalesce(
             1
         ).write.mode("overwrite").parquet(d)
-        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{inp}/{j:03d}.parquet")
+        dst = f"{inp}/{j:03d}.parquet"
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 100 + 10 * j, now - 100 + 10 * j))
 
     got = run_stream_runs_smoke(
         spark, inp, "k", ["i"], "v",
