@@ -2486,6 +2486,31 @@ def q_d11_runlength_drift(spark, sf_dir):
     )
 
 
+def q_w13_loop_detect(spark, sf_dir):
+    """Periodic-loop detection — the PERIOD-p member of the window
+    family: one row per maximal period-2 stretch (every event_type
+    null-safe equal to the value two rows earlier, per user under stable
+    (ts, event_id) order) with at least 2 full motif repetitions. The
+    ping-pong failure mode — an agent alternating between two tools
+    (a b a b a b), a retry pair, a two-state template rotation — is
+    invisible to every other sequential rule: adjacent pairs all differ
+    (no run, w12), gaps can be regular (no d10 signal), and the
+    transition matrix (a10) only sees the marginal a->b mass, not that
+    one group loops contiguously. operators/runs.py:periodic_runs:
+    three stacked Windows + an exchange-reusing island aggregation on
+    ONE shuffle; emits the stretch's first-row order tuple (carried
+    through the island via min_by on lag(struct, p)), total length, and
+    floor(len/p) repetitions. DuckDB replays the identical lag-2
+    indicator -> island -> min_by pipeline."""
+    from taco_toolbox_spark.operators.runs import periodic_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return periodic_runs(
+        ev, ["user_id"], ["ts", "event_id"], "event_type",
+        period=2, min_reps=2,
+    )
+
+
 def q_diag_key_skew(spark, sf_dir):
     """Pre-flight key-skew diagnosis (skew.py:key_skew_report): the 10
     heaviest user_id values with exact counts and skew factor
@@ -2729,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_groupsize_drift": q_d9_groupsize_drift,
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
+        "w13_loop_detect": q_w13_loop_detect,
     }
 
 
@@ -3874,6 +3900,43 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
             GROUP BY t.part, t.n_part, nt.n_total
+        """,
+        "w13_loop_detect": """
+            WITH t AS (
+              SELECT user_id, ts, event_id,
+                     row_number() OVER w AS rn,
+                     (row_number() OVER w > 2
+                      AND event_type IS NOT DISTINCT FROM
+                          lag(event_type, 2) OVER w) AS c,
+                     lag(ts, 2) OVER w AS pts,
+                     lag(event_id, 2) OVER w AS pid
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT *,
+                     (c AND NOT coalesce(lag(c) OVER w, FALSE)) AS isnew
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *,
+                     max(CASE WHEN isnew THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS run_start
+              FROM m
+            ), r AS (
+              SELECT user_id, run_start,
+                     count(*)::BIGINT AS clen,
+                     min_by(pts, rn) AS ts,
+                     min_by(pid, rn) AS event_id
+              FROM s WHERE c GROUP BY 1, 2
+            )
+            SELECT user_id, ts, event_id,
+                   2 AS period,
+                   (clen + 2)::BIGINT AS stretch_len,
+                   ((clen + 2) // 2)::BIGINT AS n_reps
+            FROM r
+            WHERE (clen + 2) // 2 >= 2
         """,
         "diag_key_skew": """
             WITH c AS (

@@ -158,6 +158,101 @@ def run_lengths(
     )
 
 
+def periodic_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int,
+    min_reps: int = 2,
+    out_len: str = "stretch_len",
+    out_reps: str = "n_reps",
+) -> DataFrame:
+    """One row per maximal PERIOD-``period`` stretch: a block of
+    consecutive rows (in the group's order) where every value null-safe
+    equals the value ``period`` rows earlier. Period 1 is the plain run
+    (:func:`run_lengths`); period 2+ catches what run rules cannot see —
+    the ping-pong agent alternating between two tools (``a b a b a b``),
+    the retry pair, the template cycling through a fixed rotation. Every
+    adjacent pair differs, so stuck-value, gap, and monotone rules are
+    all blind to it; the transition MATRIX (a10) sees the marginal
+    ``a->b``/``b->a`` mass but not that one group loops contiguously.
+
+    Output: the key columns, the order columns of the stretch's FIRST
+    row (the row ``period`` before the first continuing row — reached by
+    carrying ``lag(struct(order), period)`` through the island
+    aggregation with ``min_by``), a ``period`` literal, ``out_len`` =
+    total rows in the stretch (continuing rows + the seed motif), and
+    ``out_reps`` = ``out_len // period`` full motif repetitions. Only
+    stretches with at least ``min_reps`` repetitions are returned.
+
+    Plan: the same ONE-exchange contract as every member of this module
+    — three stacked Window selects over one (keys, order) spec (lag-p
+    indicator, island-start marker, running max), then a groupBy whose
+    keys contain the partition keys, so Catalyst reuses the exchange for
+    the island aggregation (locked by the plan test).
+    """
+    if not keys or not order_cols:
+        raise ValueError(
+            "periodic_runs needs at least one key and one order column"
+        )
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    if min_reps < 1:
+        raise ValueError("min_reps must be >= 1")
+    internal = {"_rn", "_c", "_ps", "_new", "_start"}
+    clash = (internal | {out_len, out_reps, "period"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with periodic_runs "
+            "internals/outputs; rename them first"
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    # continuing-row indicator: the value repeats the one `period` rows
+    # back (null-safe: a NULL cycling with NULLs is still a loop); the
+    # rn guard keeps out-of-range lag NULLs from matching real NULLs
+    cont = (rn > F.lit(period)) & F.col(value_col).eqNullSafe(
+        F.lag(F.col(value_col), period).over(w)
+    )
+    marked = df.select(
+        *keys,
+        *order_cols,
+        rn.alias("_rn"),
+        cont.alias("_c"),
+        # order tuple of the row that STARTS the periodic stretch
+        F.lag(F.struct(*order_cols), period).over(w).alias("_ps"),
+    )
+    m2 = marked.select(
+        "*",
+        (F.col("_c") & ~F.lag(F.col("_c"), 1, False).over(w)).alias("_new"),
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
+    stretch = F.col("_clen") + F.lit(period)
+    return (
+        m2.withColumn("_start", start)
+        .filter(F.col("_c"))
+        .groupBy(*keys, "_start")
+        .agg(
+            F.count(F.lit(1)).alias("_clen"),
+            F.min_by("_ps", "_rn").alias("_s0"),
+        )
+        .select(
+            *keys,
+            *[F.col(f"_s0.{c}").alias(c) for c in order_cols],
+            F.lit(period).alias("period"),
+            stretch.alias(out_len),
+            F.floor(stretch / F.lit(period)).cast("long").alias(out_reps),
+        )
+        .filter(F.col(out_reps) >= F.lit(int(min_reps)))
+    )
+
+
 def stuck_runs(
     df: DataFrame,
     keys: Sequence[str],

@@ -698,3 +698,63 @@ def test_run_lengths_run_grain(spark):
     assert plan.count("Exchange") == 1, plan
     with pytest.raises(ValueError, match="distinct from keys"):
         run_lengths(df, ["k"], ["i"], "i")
+
+
+def test_periodic_runs_semantics_and_plan(spark):
+    """periodic_runs: maximal period-2 stretches with first-row
+    attribution, NULL-cycling stretches included, sub-threshold stretches
+    filtered, ONE exchange (island agg reuses the window shuffle)."""
+    from taco_toolbox_spark.operators.runs import periodic_runs
+
+    rows = [
+        # a b a b a b -> stretch 6, 3 reps; then c breaks; a b a -> 1 rep
+        ("k1", 1, "a"), ("k1", 2, "b"), ("k1", 3, "a"),
+        ("k1", 4, "b"), ("k1", 5, "a"), ("k1", 6, "b"),
+        ("k1", 7, "c"), ("k1", 8, "a"), ("k1", 9, "b"), ("k1", 10, "a"),
+        # NULL cycling with NULL is a loop: null x null x null -> 2 reps
+        ("k2", 1, None), ("k2", 2, "x"), ("k2", 3, None),
+        ("k2", 4, "x"), ("k2", 5, None),
+        # constant run is also periodic at p=2: aaaa -> stretch 4, 2 reps
+        ("k3", 1, "a"), ("k3", 2, "a"), ("k3", 3, "a"), ("k3", 4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    out = periodic_runs(df, ["k"], ["i"], "v", 2, min_reps=2)
+    got = {
+        (r["k"], r["i"], r["period"], r["stretch_len"], r["n_reps"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("k1", 1, 2, 6, 3), ("k2", 1, 2, 5, 2), ("k3", 1, 2, 4, 2),
+    }
+    # fresh frame: pre-AQE executedPlan (post-collect strings repeat the
+    # Initial Plan section and double-count the single Exchange)
+    plan = (
+        periodic_runs(df, ["k"], ["i"], "v", 2, min_reps=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_periodic_runs_guards(spark):
+    from taco_toolbox_spark.operators.runs import periodic_runs
+
+    df = spark.createDataFrame([("k", 1, "a")], "k string, i int, v string")
+    with pytest.raises(ValueError, match="period must be >= 1"):
+        periodic_runs(df, ["k"], ["i"], "v", 0)
+    with pytest.raises(ValueError, match="min_reps must be >= 1"):
+        periodic_runs(df, ["k"], ["i"], "v", 2, min_reps=0)
+    with pytest.raises(ValueError, match="at least one key"):
+        periodic_runs(df, [], ["i"], "v", 2)
+    bad = df.withColumnRenamed("v", "_c")
+    with pytest.raises(ValueError, match="collide"):
+        periodic_runs(bad, ["k"], ["i"], "_c", 2)
+    # period 1 degenerates to the plain run (run_lengths semantics)
+    df2 = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 2, "a"), ("k", 3, "a"), ("k", 4, "b")],
+        "k string, i int, v string",
+    )
+    got = {
+        (r["i"], r["stretch_len"], r["n_reps"])
+        for r in periodic_runs(df2, ["k"], ["i"], "v", 1, min_reps=2).collect()
+    }
+    assert got == {(1, 3, 3)}
