@@ -176,6 +176,43 @@ class RunLengthCheck(Check):
 
 
 @dataclass
+class PeriodicLoopCheck(Check):
+    """Period-``period`` loop bound within the group: no maximal stretch
+    of rows where ``value_col`` null-safe equals the value ``period``
+    rows earlier (under the engine's order column) may contain more than
+    ``max_reps`` full motif repetitions — the PING-PONG rule, the
+    period-p sibling of :class:`RunLengthCheck` (period 1). An agent
+    alternating between two tools (``a b a b a b``) defeats every other
+    sequential rule: adjacent pairs all differ (no run), gaps can be
+    regular, and the transition grammar sees only legal ``a->b`` edges.
+    Compiled like the run pass (operators/runs.py:periodic_runs): a
+    lag-``period`` continuing indicator, island-start markers, a running
+    max — stacked Window operators sharing the engine-key exchange with
+    ONE sort. Only OVERFLOW rows fire (rows extending the stretch past
+    ``max_reps * period`` total rows), so dropping exactly the flagged
+    rows leaves at most ``max_reps`` repetitions. NULL cycling with NULL
+    is a loop (stuck-null discipline, as in the run rule)."""
+
+    value_col: str = ""
+    period: int = 2
+    max_reps: int = 2
+
+    def __post_init__(self) -> None:
+        if not self.value_col:
+            raise ValueError(
+                f"PeriodicLoopCheck {self.check_id!r}: value_col is required"
+            )
+        if self.period < 1:
+            raise ValueError(
+                f"PeriodicLoopCheck {self.check_id!r}: period must be >= 1"
+            )
+        if self.max_reps < 1:
+            raise ValueError(
+                f"PeriodicLoopCheck {self.check_id!r}: max_reps must be >= 1"
+            )
+
+
+@dataclass
 class UniquenessCheck(Check):
     """Key must be unique (reference duplicate-id check,
     tortilla/datamodel.py:235-254). Keys default to the engine key."""

@@ -49,6 +49,7 @@ from .checks.base import (
     GapCheck,
     GroupAggCheck,
     MonotoneCheck,
+    PeriodicLoopCheck,
     RateCheck,
     RowCheck,
     RunLengthCheck,
@@ -415,6 +416,84 @@ def _runlength_pass(
     ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
 
 
+def _periodic_pass(
+    df: DataFrame, checks: list["PeriodicLoopCheck"], cfg: EngineConfig
+) -> DataFrame:
+    """Ping-pong (period-p loop) rules: per check, a lag-``period``
+    null-safe continuing indicator, island-start markers over it, and a
+    running max — the same stacked-window shape as the run pass
+    (operators/runs.py:periodic_runs has the full rationale), every spec
+    keyed identically to the engine's lag pass, so Catalyst shares the
+    exchange and the sort. A row fires when it extends its stretch past
+    ``max_reps * period`` total rows (stretch-so-far = continuing-run
+    position + period), so dropping exactly the flagged rows leaves at
+    most ``max_reps`` full repetitions."""
+    w = Window.partitionBy(cfg.partition_col, cfg.group_col).orderBy(
+        cfg.order_col
+    )
+    rn = F.row_number().over(w)
+    conts = []
+    for i, c in enumerate(checks):
+        cont = (rn > F.lit(int(c.period))) & F.col(c.value_col).eqNullSafe(
+            F.lag(F.col(c.value_col), int(c.period)).over(w)
+        )
+        conts.append(cont.alias(f"_c_{i}"))
+    marked = df.select(
+        F.col(cfg.partition_col),
+        F.col(cfg.group_col),
+        F.col(cfg.order_col),
+        rn.alias("_rn"),
+        *conts,
+    )
+    # island-start markers need a second stacked select (they lag the
+    # continuing indicators computed above)
+    marked = marked.select(
+        "*",
+        *[
+            (
+                F.col(f"_c_{i}")
+                & ~F.lag(F.col(f"_c_{i}"), 1, False).over(w)
+            ).alias(f"_new_{i}")
+            for i in range(len(checks))
+        ],
+    )
+    wc = (
+        Window.partitionBy(cfg.partition_col, cfg.group_col)
+        .orderBy(cfg.order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    structs = []
+    for i, c in enumerate(checks):
+        start = F.max(F.when(F.col(f"_new_{i}"), F.col("_rn"))).over(wc)
+        stretch = F.col("_rn") - start + F.lit(1) + F.lit(int(c.period))
+        bad = F.col(f"_c_{i}") & (
+            stretch > F.lit(int(c.max_reps) * int(c.period))
+        )
+        detail = F.format_string(
+            f"{c.value_col} period-{c.period} stretch row %s > "
+            f"{c.max_reps} reps",
+            stretch.cast("string"),
+        )
+        structs.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    detail.alias("detail"),
+                ),
+            )
+        )
+    fails = marked.select(
+        F.col(cfg.partition_col).cast("string").alias("part"),
+        F.col(cfg.group_col).cast("string").alias("conv_id"),
+        F.col(cfg.order_col).cast("int").alias("turn_idx"),
+        F.array_compact(F.array(*structs)).alias("fails"),
+    ).filter(F.size("fails") > 0)
+    return fails.select(
+        "part", F.explode("fails").alias("f"), "conv_id", "turn_idx"
+    ).select("part", "f.check_id", "conv_id", "turn_idx", "f.detail")
+
+
 def _window_pass_chunked(
     df: DataFrame, checks: list[MonotoneCheck | GapCheck | SequenceCheck], cfg: EngineConfig
 ) -> DataFrame:
@@ -752,6 +831,7 @@ def run_validation(
     gap_checks = [c for c in checks if isinstance(c, GapCheck)]
     rate_checks = [c for c in checks if isinstance(c, RateCheck)]
     run_checks = [c for c in checks if isinstance(c, RunLengthCheck)]
+    loop_checks = [c for c in checks if isinstance(c, PeriodicLoopCheck)]
     seq_checks = [c for c in checks if isinstance(c, SequenceCheck)]
     uniq_checks = [c for c in checks if isinstance(c, UniquenessCheck)]
     fd_checks = [c for c in checks if isinstance(c, FunctionalDependencyCheck)]
@@ -794,6 +874,8 @@ def run_validation(
         pieces.append(_rate_pass(df, rate_checks, cfg))
     if run_checks:
         pieces.append(_runlength_pass(df, run_checks, cfg))
+    if loop_checks:
+        pieces.append(_periodic_pass(df, loop_checks, cfg))
     for c in uniq_checks:
         keys = tuple(c.keys or cfg.key_cols)
         if (
@@ -936,7 +1018,7 @@ def run_validation(
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
             "Check subclass (RowCheck, MonotoneCheck, SequenceCheck, "
-            "RateCheck, RunLengthCheck, "
+            "RateCheck, RunLengthCheck, PeriodicLoopCheck, "
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
             "CorrelationDriftCheck, ConditionalDriftCheck, "

@@ -262,3 +262,64 @@ def test_runlength_check_validates_params():
         RunLengthCheck(check_id="x")
     with pytest.raises(ValueError, match="max_run"):
         RunLengthCheck(check_id="x", value_col="role", max_run=0)
+
+
+def test_periodic_loop_check_exact_violations(spark):
+    """PeriodicLoopCheck through the engine: exactly the rows extending a
+    period-2 stretch past max_reps*period total rows fire; a constant run
+    is also periodic; alternation that stops in time never fires."""
+    from taco_toolbox_spark.checks.base import PeriodicLoopCheck
+
+    rows = [
+        # conv A: a,b,a,b,a,b -> stretch rows 5 (turn 4) and 6 (turn 5)
+        # exceed 2 reps * period 2 = 4 rows
+        ("p1", "A", 0, "a"),
+        ("p1", "A", 1, "b"),
+        ("p1", "A", 2, "a"),
+        ("p1", "A", 3, "b"),
+        ("p1", "A", 4, "a"),
+        ("p1", "A", 5, "b"),
+        # conv B: a,b,a,b then broken -> exactly 2 reps, never fires
+        ("p2", "B", 0, "a"),
+        ("p2", "B", 1, "b"),
+        ("p2", "B", 2, "a"),
+        ("p2", "B", 3, "b"),
+        ("p2", "B", 4, "c"),
+        # conv C: constant x5 is periodic at p=2 too: turn 4 = stretch 5
+        ("p2", "C", 0, "x"),
+        ("p2", "C", 1, "x"),
+        ("p2", "C", 2, "x"),
+        ("p2", "C", 3, "x"),
+        ("p2", "C", 4, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, role string"
+    )
+    check = PeriodicLoopCheck(
+        check_id="loop_role", value_col="role", period=2, max_reps=2
+    )
+    res = run_validation(df, [check], EngineConfig())
+    v = {
+        (r["part"], r["conv_id"], r["turn_idx"]): r["detail"]
+        for r in res.violations.collect()
+    }
+    assert set(v) == {("p1", "A", 4), ("p1", "A", 5), ("p2", "C", 4)}
+    assert "role period-2 stretch row 5 > 2 reps" in v[("p1", "A", 4)]
+    verd = {
+        (r["part"], r["check_id"]): r["passed"]
+        for r in res.verdicts.collect()
+    }
+    assert verd[("p1", "loop_role")] is False
+    assert verd[("p2", "loop_role")] is False
+    res.release()
+
+
+def test_periodic_loop_check_validates_params():
+    from taco_toolbox_spark.checks.base import PeriodicLoopCheck
+
+    with pytest.raises(ValueError, match="value_col"):
+        PeriodicLoopCheck(check_id="x")
+    with pytest.raises(ValueError, match="period"):
+        PeriodicLoopCheck(check_id="x", value_col="role", period=0)
+    with pytest.raises(ValueError, match="max_reps"):
+        PeriodicLoopCheck(check_id="x", value_col="role", max_reps=0)
