@@ -2589,6 +2589,45 @@ def q_stream_runs(spark, sf_dir):
     )
 
 
+def q_stream_pingpong(spark, sf_dir):
+    """STREAMING periodic-loop rule under the full value oracle: the
+    events table streams keyed by user (each user confined to one staged
+    file, so arrival order is event-time order per key) and every event
+    extending a period-2 stretch (event_type equal to the value two rows
+    earlier) past 2 full motif repetitions is emitted LIVE with its
+    exact stretch position — the stateful twin of the engine's
+    PeriodicLoopCheck and of operators/runs.py:periodic_overflow
+    (streaming/validate_stream.py:stream_periodic_violations: per-key
+    state is O(period) — last p values + continuing-run length — with
+    vectorized numpy lag-compare + cumulative-max islands per
+    micro-batch). The oracle is the batch island identity in SQL —
+    identical rows."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_periodic_smoke,
+    )
+
+    staged, tag = _stage_stream(
+        spark, sf_dir, "events", "events_pingpong",
+        build=lambda df: df.repartition(8, "user_id"),
+    )
+    return run_stream_periodic_smoke(
+        spark,
+        staged,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        query_name=f"q_spingpong_{tag}",
+        period=2,
+        max_reps=2,
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "stretch_pos",
+    )
+
+
 def q_stream_cat_drift(spark, sf_dir):
     """STREAMING categorical drift under the full value oracle: the
     events table streams through watermarked per-event-time-DAY windows,
@@ -2755,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
         "w13_loop_detect": q_w13_loop_detect,
+        "stream_pingpong": q_stream_pingpong,
     }
 
 
@@ -3900,6 +3940,33 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
             GROUP BY t.part, t.n_part, nt.n_total
+        """,
+        "stream_pingpong": """
+            WITH t AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER w AS rn,
+                     (row_number() OVER w > 2
+                      AND event_type IS NOT DISTINCT FROM
+                          lag(event_type, 2) OVER w) AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT *,
+                     (c AND NOT coalesce(lag(c) OVER w, FALSE)) AS isnew
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *,
+                     max(CASE WHEN isnew THEN rn END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS run_start
+              FROM m
+            )
+            SELECT user_id, ts, event_id, event_type,
+                   (rn - run_start + 3)::BIGINT AS stretch_pos
+            FROM s
+            WHERE c AND rn - run_start + 3 > 4
         """,
         "w13_loop_detect": """
             WITH t AS (

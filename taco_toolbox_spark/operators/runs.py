@@ -253,6 +253,66 @@ def periodic_runs(
     )
 
 
+def periodic_overflow(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int,
+    max_reps: int,
+) -> DataFrame:
+    """Per-row overflow twin of :func:`periodic_runs` — the loop family's
+    :func:`stuck_runs`: every row whose 1-based position in its
+    period-``period`` stretch (continuing-run position + ``period``)
+    exceeds ``max_reps * period``, so dropping exactly the returned rows
+    leaves at most ``max_reps`` full motif repetitions (the engine
+    PeriodicLoopCheck contract). Output: the key columns, the order
+    columns, the row's value, and ``stretch_pos``. Same ONE-exchange
+    stacked-window plan as the summary variant."""
+    if max_reps < 1:
+        raise ValueError("max_reps must be >= 1")
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    if not keys or not order_cols:
+        raise ValueError(
+            "periodic_overflow needs at least one key and one order column"
+        )
+    internal = {"_rn", "_c", "_new", "stretch_pos"}
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with periodic_overflow "
+            "internals/outputs; rename them first"
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    cont = (rn > F.lit(period)) & F.col(value_col).eqNullSafe(
+        F.lag(F.col(value_col), period).over(w)
+    )
+    marked = df.select(
+        *keys, *order_cols, value_col, rn.alias("_rn"), cont.alias("_c")
+    )
+    m2 = marked.select(
+        "*",
+        (F.col("_c") & ~F.lag(F.col("_c"), 1, False).over(w)).alias("_new"),
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
+    stretch = (F.col("_rn") - start + F.lit(1 + period)).cast("long")
+    return (
+        m2.withColumn("stretch_pos", stretch)
+        .filter(
+            F.col("_c")
+            & (F.col("stretch_pos") > F.lit(int(max_reps) * int(period)))
+        )
+        .select(*keys, *order_cols, value_col, "stretch_pos")
+    )
+
+
 def stuck_runs(
     df: DataFrame,
     keys: Sequence[str],

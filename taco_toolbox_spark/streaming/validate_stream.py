@@ -1934,6 +1934,174 @@ def stream_run_violations(
     )
 
 
+def stream_periodic_violations(
+    stream_df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    value_col: str = "role",
+    period: int = 2,
+    max_reps: int = 2,
+    output_mode: str = "update",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch periodic-loop rule
+    (operators/runs.py:periodic_runs / engine PeriodicLoopCheck): one
+    output row per event extending a period-``period`` stretch (value
+    null-safe equal to the value ``period`` rows earlier within its key)
+    past ``max_reps`` full motif repetitions — the ping-pong agent
+    alarm LIVE, completing the batch↔stream matrix for the LOOP family
+    the way stream_run_violations does for runs (period 1).
+
+    Per-key state is O(period) REGARDLESS of stretch length: the last
+    ``period`` values plus the current continuing-run length — the
+    buffer's own length doubles as the batch rule's rn-guard (a row can
+    only continue a loop once ``period`` predecessors exist).
+    Within a micro-batch everything is vectorized numpy (object-array
+    lag compare + cumulative-max islands, no per-row Python); only the
+    batch's opening rows consult the carried buffer.
+
+    Equality contract and boundary semantics are stream_run_violations'
+    verbatim: canonical-string comparison (cast JVM-side), NULL cycling
+    with NULL is a loop, positions exact when each key's rows arrive in
+    ``order_cols`` order across micro-batches (guaranteed when each key
+    is confined to one staged file), ``state_ttl_ms`` evicts idle keys.
+
+    Emitted ``stretch_pos`` = the row's 1-based position in its stretch
+    (continuing-run length + ``period``) — fires when it exceeds
+    ``max_reps * period``, so dropping exactly the emitted rows leaves
+    at most ``max_reps`` repetitions (the engine pass's contract)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    if max_reps < 1:
+        raise ValueError(f"max_reps must be >= 1, got {max_reps}")
+    order_cols = list(order_cols)
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+
+    fields = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    missing = [c for c in [key_col, value_col, *order_cols] if c not in fields]
+    if missing:
+        raise ValueError(f"columns {missing} not in stream schema")
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    out_schema = (
+        f"{key_col} string, "
+        + ", ".join(f"{c} {fields[c]}" for c in order_cols)
+        + f", {value_col} string, stretch_pos long"
+    )
+    p = int(period)
+    cap = int(max_reps) * p  # stretch_pos above this fires
+
+    def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+
+        def park(buf, clen):
+            state.update((list(buf), int(clen)))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            if state.exists:
+                park(*state.get)
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values(order_cols, na_position="first", kind="stable")
+        v = pdf["_v"].astype(object).where(pdf["_v"].notna(), None)
+
+        buf, clen = ([], 0)
+        if state.exists:
+            b, clen = state.get
+            buf = list(b)
+        n = len(pdf)
+        ext = np.array([*buf, *v], dtype=object)
+        blen = len(buf)
+        idx = np.arange(n)
+        iprev = blen + idx - p
+        valid = iprev >= 0  # batch rn-guard: >= p predecessors exist
+        cur = ext[blen:]
+        eq = np.zeros(n, dtype=bool)
+        if valid.any():
+            a = cur[valid]
+            b_ = ext[iprev[valid]]
+            both_null = pd.isna(a) & pd.isna(b_)
+            eq[valid] = (a == b_) | both_null
+        # continuing-run length ending at each row (0 where not
+        # continuing), carried across the batch boundary
+        last_reset = np.maximum.accumulate(np.where(~eq, idx, -1))
+        r = np.where(last_reset >= 0, idx - last_reset, clen + idx + 1)
+        park(list(ext[-p:]), r[-1])
+        stretch = r + p
+        bad = (r > 0) & (stretch > cap)
+        if bad.any():
+            out = {key_col: key[0]}
+            for c in order_cols:
+                out[c] = pdf[c].to_numpy()[bad]
+            out[value_col] = v.to_numpy(dtype=object)[bad]
+            out["stretch_pos"] = stretch[bad]
+            yield pd.DataFrame(out)
+
+    return keyed.groupBy("_k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="vals array<string>, clen bigint",
+        outputMode=output_mode,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_stream_periodic_smoke(
+    spark,
+    parquet_dir: str,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    query_name: str = "stream_periodic",
+    max_files_per_trigger: int = 8,
+    **kwargs,
+):
+    """Drive stream_periodic_violations over a bounded parquet dir
+    (update mode, memory sink). Stage with each key confined to ONE file
+    (``df.repartition(n, key_col).write``) and the violation set is
+    exactly the batch engine-pass set regardless of file arrival
+    order."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    mode = kwargs.setdefault("output_mode", "update")
+    out = stream_periodic_violations(
+        stream, key_col, order_cols, value_col, **kwargs
+    )
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_runs_smoke(
     spark,
     parquet_dir: str,

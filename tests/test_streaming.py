@@ -1367,3 +1367,103 @@ def test_stream_runs_guards(spark):
         stream_run_violations(df, "value", ["nope"], "value", max_run=1)
     with pytest.raises(ValueError, match="at least one column"):
         stream_run_violations(df, "value", [], "value", max_run=1)
+
+
+def test_stream_periodic_matches_batch(tmp_path, spark):
+    """stream_periodic_violations must emit exactly the batch
+    periodic_overflow rows (key, order, value, stretch_pos) when each key
+    is staged into one file — ping-pong loops, NULL cycling, constant
+    runs (periodic at any p), and per-key isolation."""
+    from taco_toolbox_spark.operators.runs import periodic_overflow
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_periodic_smoke,
+    )
+
+    rows = [
+        # A: a,b,a,b,a,b -> rows 5,6 of the stretch exceed 2 reps * p 2
+        ("A", 1, "a"), ("A", 2, "b"), ("A", 3, "a"),
+        ("A", 4, "b"), ("A", 5, "a"), ("A", 6, "b"),
+        # B: exactly 2 reps then broken — quiet
+        ("B", 1, "x"), ("B", 2, "y"), ("B", 3, "x"),
+        ("B", 4, "y"), ("B", 5, "z"),
+        # C: NULL cycling with NULL: null,w,null,w,null -> row 5 fires
+        ("C", 1, None), ("C", 2, "w"), ("C", 3, None),
+        ("C", 4, "w"), ("C", 5, None),
+        # D: constant x5 is periodic at p=2: row 5 fires
+        ("D", 1, "q"), ("D", 2, "q"), ("D", 3, "q"),
+        ("D", 4, "q"), ("D", 5, "q"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    inp = str(tmp_path / "periodic_in")
+    df.repartition(4, "k").write.mode("overwrite").parquet(inp)
+
+    got = run_stream_periodic_smoke(
+        spark, inp, "k", ["i"], "v",
+        query_name="t_stream_periodic", period=2, max_reps=2,
+    ).toPandas()
+    want = (
+        periodic_overflow(spark.read.parquet(inp), ["k"], ["i"], "v", 2, 2)
+        .toPandas()
+    )
+    gs = {(r.k, r.i, r.v, r.stretch_pos) for r in got.itertuples()}
+    ws = {(r.k, r.i, r.v, r.stretch_pos) for r in want.itertuples()}
+    assert gs == ws and len(ws) > 0
+    assert ("C", 5, None, 5) in gs  # NULL cycling fires
+    assert ("B", 5, "z", 5) not in gs  # broken stretch stays quiet
+
+
+def test_stream_periodic_state_carries_across_batches(tmp_path, spark):
+    """A ping-pong stretch SPANNING micro-batches must keep counting:
+    with one file per micro-batch and in-order arrival, the O(period)
+    state (last p values + continuing-run length) extends the stretch; a
+    breaking value resets it."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_periodic_smoke,
+    )
+
+    inp = str(tmp_path / "periodic_carry")
+    batches = [
+        [("A", 1, "a"), ("A", 2, "b")],      # seed motif — quiet
+        [("A", 3, "a"), ("A", 4, "b")],      # 2 full reps — quiet at max 2
+        [("A", 5, "a"), ("A", 6, "c")],      # row 5 fires (stretch 5), c resets
+        [("A", 7, "a"), ("A", 8, "c")],      # new motif building — quiet
+    ]
+    os.makedirs(inp)
+    now = _t.time()
+    for j, b in enumerate(batches):
+        d = str(tmp_path / f"pb{j}")
+        spark.createDataFrame(b, "k string, i int, v string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        dst = f"{inp}/{j:03d}.parquet"
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 100 + 10 * j, now - 100 + 10 * j))
+
+    got = run_stream_periodic_smoke(
+        spark, inp, "k", ["i"], "v",
+        query_name="t_stream_periodic_carry",
+        max_files_per_trigger=1, period=2, max_reps=2,
+    ).toPandas()
+    gs = {(r.k, r.i, r.v, r.stretch_pos) for r in got.itertuples()}
+    assert gs == {("A", 5, "a", 5)}
+
+
+def test_stream_periodic_guards(spark):
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_periodic_violations,
+    )
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="period"):
+        stream_periodic_violations(df, "value", ["timestamp"], "value", period=0)
+    with pytest.raises(ValueError, match="max_reps"):
+        stream_periodic_violations(
+            df, "value", ["timestamp"], "value", max_reps=0
+        )
+    with pytest.raises(ValueError, match="not in stream schema"):
+        stream_periodic_violations(df, "value", ["nope"], "value")
