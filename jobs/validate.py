@@ -148,6 +148,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "group-key shuffle), e.g. --max-run role:8; repeatable",
     )
     p.add_argument(
+        "--max-loop",
+        metavar="COL:PERIOD:REPS",
+        action="append",
+        help="add a PeriodicLoopCheck: no period-PERIOD stretch of COL "
+        "(each value equal to the one PERIOD turns earlier) may exceed "
+        "REPS full repetitions per conversation (ping-pong / cycling-"
+        "agent rule; stacked windows sharing the battery's group-key "
+        "shuffle), e.g. --max-loop tool:2:4; repeatable",
+    )
+    p.add_argument(
         "--fd",
         action="append",
         metavar="DET->DEP",
@@ -393,6 +403,36 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
         except ValueError as e:
             raise SystemExit(f"--max-run: {e}") from None
+    for spec in args.max_loop or []:
+        from taco_toolbox_spark.checks import PeriodicLoopCheck
+
+        parts_ = spec.split(":")
+        if len(parts_) != 3 or not parts_[0]:
+            raise SystemExit(
+                f"--max-loop {spec!r}: expected COL:PERIOD:REPS "
+                "(e.g. tool:2:4)"
+            )
+        try:
+            loop_p, loop_r = int(parts_[1]), int(parts_[2])
+        except ValueError:
+            raise SystemExit(
+                f"--max-loop {spec!r}: PERIOD and REPS must be integers"
+            ) from None
+        try:
+            checks.append(
+                PeriodicLoopCheck(
+                    check_id=f"loop_{parts_[0]}",
+                    description=(
+                        f"<= {loop_r} reps of any period-{loop_p} "
+                        f"{parts_[0]} cycle per conversation"
+                    ),
+                    value_col=parts_[0],
+                    period=loop_p,
+                    max_reps=loop_r,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--max-loop: {e}") from None
     for spec in args.fd or []:
         from taco_toolbox_spark.checks import FunctionalDependencyCheck
 

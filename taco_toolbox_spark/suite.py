@@ -69,6 +69,7 @@ from .checks.base import (
     GapCheck,
     GroupAggCheck,
     MonotoneCheck,
+    PeriodicLoopCheck,
     RateCheck,
     RowCheck,
     RunLengthCheck,
@@ -104,6 +105,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "gap": {"col", "max_step", "min_step"},
     "rate": {"col", "seconds", "max_events"},
     "runlength": {"col", "max_run"},
+    "periodic": {"col", "period", "max_reps"},
     "contiguity": {"col"},
     "sequence": {"col", "allowed", "first", "last"},
     "drift": {"expr", "probes", "threshold", "method", "baseline_quantiles"},
@@ -322,6 +324,23 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
                 check_id=cid,
                 value_col=entry["col"],
                 max_run=int(v),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "periodic":
+        _require(entry, where, "col")
+        for k in ("period", "max_reps"):
+            v = entry.get(k, 2)
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise SuiteError(
+                    f"{where}: {k!r} must be an integer, got {v!r}"
+                )
+        try:
+            c = PeriodicLoopCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                period=int(entry.get("period", 2)),
+                max_reps=int(entry.get("max_reps", 2)),
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None

@@ -145,12 +145,14 @@ def test_every_type_constructs_and_runs(spark):
              "max_events": 10},
             {"type": "runlength", "id": "t16", "col": "role",
              "max_run": 50},
+            {"type": "periodic", "id": "t17", "col": "role",
+             "period": 2, "max_reps": 50},
         ],
     }
     suite = parse_suite(spec)
     res = suite.run(df)
     verd = _verdict_map(res)
-    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 17)}
+    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 18)}
     assert all(ok for ok, _ in verd.values())
 
 
@@ -181,6 +183,12 @@ def test_every_type_constructs_and_runs(spark):
                       "max_run": 0}]}, "max_run must be >= 1"),
         ({"checks": [{"type": "runlength", "id": "x", "col": "c",
                       "max_run": 1.5}]}, "must be an integer"),
+        ({"checks": [{"type": "periodic", "id": "x", "col": "c",
+                      "period": 0}]}, "period must be >= 1"),
+        ({"checks": [{"type": "periodic", "id": "x", "col": "c",
+                      "max_reps": 1.5}]}, "must be an integer"),
+        ({"checks": [{"type": "periodic", "id": "x", "col": "c",
+                      "reps": 3}]}, "unknown keys"),
         ({"checks": [{"type": "rate", "id": "x", "col": "c",
                       "seconds": 0.9, "max_events": 5}]},
          "must be an integer"),

@@ -904,3 +904,47 @@ def test_validate_cli_max_run(spark, corpus_dir, tmp_path):
              "--output", str(tmp_path / "r4"), "--max-run", "role:0"],
             stop_session=False,
         )
+
+
+def test_validate_cli_max_loop(spark, corpus_dir, tmp_path):
+    """--max-loop adds the ping-pong PeriodicLoopCheck per spec
+    (repeatable); the verdict grid carries it for every partition;
+    malformed specs exit cleanly before any JVM work."""
+    out = str(tmp_path / "loop_out")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--max-loop", "role:2:2",
+        ],
+        stop_session=False,
+    )
+    assert rc in (0, 1)
+    verd = spark.read.parquet(f"{out}/verdicts")
+    ids = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert "loop_role" in ids
+    # the synthetic transcripts ping-pong user/assistant — a 2-rep cap on
+    # period-2 role cycles must flag rows in any conversation >= 5 turns
+    viol = spark.read.parquet(f"{out}/violations").filter(
+        "check_id = 'loop_role'"
+    )
+    assert viol.count() > 0
+
+    with pytest.raises(SystemExit, match="COL:PERIOD:REPS"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "l2"), "--max-loop", "role:2"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="integers"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "l3"), "--max-loop", "role:2:x"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="period must be >= 1"):
+        validate_main(
+            ["--input", f"{corpus_dir}/transcripts",
+             "--output", str(tmp_path / "l4"), "--max-loop", "role:0:2"],
+            stop_session=False,
+        )
