@@ -595,3 +595,56 @@ def test_engine_runlength_pass_shares_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort ") == 1, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_periodic_runs_one_exchange(spark):
+    """The periodic-loop pass (summary and overflow grains) must stack
+    its Window operators on ONE exchange — the island aggregation reuses
+    the window shuffle (grouping keys contain the partition keys) — with
+    no join and no Python eval."""
+    from taco_toolbox_spark.operators.runs import (
+        periodic_overflow,
+        periodic_runs,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id % 11 as string) AS k",
+        "cast(id as int) AS i",
+        "case when id % 2 = 0 then 'a' else 'b' end AS v",
+    )
+    for out in (
+        periodic_runs(df, ["k"], ["i"], "v", 2, min_reps=2),
+        periodic_overflow(df, ["k"], ["i"], "v", 2, 2),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Window") == 3, plan
+        for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, bad
+
+
+def test_engine_periodic_pass_shares_exchange(spark):
+    """The engine's PeriodicLoopCheck pass compiles to the same
+    one-exchange stacked-window shape keyed by (part, conv)."""
+    from taco_toolbox_spark.checks.base import PeriodicLoopCheck
+    from taco_toolbox_spark.engine import _periodic_pass
+
+    df = spark.range(0, 500).selectExpr(
+        "cast(id % 3 as string) AS part",
+        "cast(id % 17 as string) AS conv_id",
+        "cast(id as int) AS turn_idx",
+        "case when id % 2 = 0 then 'u' else 'a' end AS role",
+    )
+    plan = _plan(
+        _periodic_pass(
+            df,
+            [PeriodicLoopCheck(check_id="l", value_col="role", period=2,
+                               max_reps=2)],
+            EngineConfig(),
+        )
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window") == 3, plan
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
