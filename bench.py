@@ -95,6 +95,7 @@ HEADLINE = [
     "digest_documents",   # one-pass commutative content digest, xxhash64
     "w11_burst_rate",     # trailing-rate RANGE window (one key exchange)
     "w12_stuck_runs",     # gaps-and-islands runs (two windows, one exchange)
+    "w13_loop_detect",    # periodic ping-pong loops (stacked windows + island agg)
     "d8_sem_decontaminate",  # broadcast benchmark-vector cosine overlap
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
