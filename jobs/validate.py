@@ -421,7 +421,9 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         try:
             checks.append(
                 PeriodicLoopCheck(
-                    check_id=f"loop_{parts_[0]}",
+                    # period-qualified id: the flag is repeatable and two
+                    # periods on one column is its natural repeated use
+                    check_id=f"loop_{parts_[0]}_p{loop_p}",
                     description=(
                         f"<= {loop_r} reps of any period-{loop_p} "
                         f"{parts_[0]} cycle per conversation"

@@ -14,7 +14,8 @@ Pass plan (the scale story — adding checks never adds scans):
                 (trailing time-window burst bound) add RANGE-frame windows
                 on the SAME group-key exchange; RunLengthChecks (stuck-
                 value run bound) stack two Window selects (gaps-and-
-                islands) on that exchange with one sort.
+                islands) on that exchange with one sort; PeriodicLoopChecks
+                (period-p ping-pong bound) stack three the same way.
   agg pass      Uniqueness on the full key (fine-grained → no hot key);
                 Contiguity + GroupAggChecks share ONE groupBy(group) agg
                 (Spark's partial aggregation = map-side combine).

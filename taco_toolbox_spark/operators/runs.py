@@ -158,6 +158,73 @@ def run_lengths(
     )
 
 
+def _periodic_islands(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    period: int,
+    caller: str,
+    out_names: set[str],
+    carry_start_struct: bool,
+) -> DataFrame:
+    """Shared island stack for the loop family (guards + plan): the
+    lag-``period`` continuing indicator ``_c``, the island-start marker
+    ``_new``, and the running island-start row number ``_start``, all
+    over ONE (keys, order) window spec — three stacked Window selects on
+    one exchange. ``carry_start_struct`` additionally carries
+    ``lag(struct(order), period)`` as ``_ps`` (the summary grain's
+    motif-start attribution); the overflow grain carries the value
+    column itself instead."""
+    if not keys or not order_cols:
+        raise ValueError(
+            f"{caller} needs at least one key and one order column"
+        )
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    if value_col in set(keys) | set(order_cols):
+        raise ValueError(
+            "value_col must be distinct from keys and order_cols"
+        )
+    internal = {"_rn", "_c", "_new", "_start"}
+    if carry_start_struct:
+        internal = internal | {"_ps"}
+    clash = (internal | out_names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with {caller} "
+            "internals/outputs; rename them first"
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    # continuing-row indicator: the value repeats the one `period` rows
+    # back (null-safe: a NULL cycling with NULLs is still a loop); the
+    # rn guard keeps out-of-range lag NULLs from matching real NULLs
+    cont = (rn > F.lit(period)) & F.col(value_col).eqNullSafe(
+        F.lag(F.col(value_col), period).over(w)
+    )
+    extra = (
+        # order tuple of the row that STARTS the periodic stretch
+        [F.lag(F.struct(*order_cols), period).over(w).alias("_ps")]
+        if carry_start_struct
+        else [F.col(value_col)]
+    )
+    marked = df.select(
+        *keys, *order_cols, *extra, rn.alias("_rn"), cont.alias("_c")
+    )
+    m2 = marked.select(
+        "*",
+        (F.col("_c") & ~F.lag(F.col("_c"), 1, False).over(w)).alias("_new"),
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
+    return m2.withColumn("_start", start)
+
+
 def periodic_runs(
     df: DataFrame,
     keys: Sequence[str],
@@ -192,51 +259,17 @@ def periodic_runs(
     keys contain the partition keys, so Catalyst reuses the exchange for
     the island aggregation (locked by the plan test).
     """
-    if not keys or not order_cols:
-        raise ValueError(
-            "periodic_runs needs at least one key and one order column"
-        )
-    if period < 1:
-        raise ValueError("period must be >= 1")
     if min_reps < 1:
         raise ValueError("min_reps must be >= 1")
-    internal = {"_rn", "_c", "_ps", "_new", "_start"}
-    clash = (internal | {out_len, out_reps, "period"}) & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"columns {sorted(clash)} collide with periodic_runs "
-            "internals/outputs; rename them first"
-        )
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
-    rn = F.row_number().over(w)
-    # continuing-row indicator: the value repeats the one `period` rows
-    # back (null-safe: a NULL cycling with NULLs is still a loop); the
-    # rn guard keeps out-of-range lag NULLs from matching real NULLs
-    cont = (rn > F.lit(period)) & F.col(value_col).eqNullSafe(
-        F.lag(F.col(value_col), period).over(w)
+    m2 = _periodic_islands(
+        df, keys, order_cols, value_col, period,
+        caller="periodic_runs",
+        out_names={out_len, out_reps, "period"},
+        carry_start_struct=True,
     )
-    marked = df.select(
-        *keys,
-        *order_cols,
-        rn.alias("_rn"),
-        cont.alias("_c"),
-        # order tuple of the row that STARTS the periodic stretch
-        F.lag(F.struct(*order_cols), period).over(w).alias("_ps"),
-    )
-    m2 = marked.select(
-        "*",
-        (F.col("_c") & ~F.lag(F.col("_c"), 1, False).over(w)).alias("_new"),
-    )
-    wc = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
     stretch = F.col("_clen") + F.lit(period)
     return (
-        m2.withColumn("_start", start)
-        .filter(F.col("_c"))
+        m2.filter(F.col("_c"))
         .groupBy(*keys, "_start")
         .agg(
             F.count(F.lit(1)).alias("_clen"),
@@ -271,38 +304,15 @@ def periodic_overflow(
     stacked-window plan as the summary variant."""
     if max_reps < 1:
         raise ValueError("max_reps must be >= 1")
-    if period < 1:
-        raise ValueError("period must be >= 1")
-    if not keys or not order_cols:
-        raise ValueError(
-            "periodic_overflow needs at least one key and one order column"
-        )
-    internal = {"_rn", "_c", "_new", "stretch_pos"}
-    clash = internal & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"columns {sorted(clash)} collide with periodic_overflow "
-            "internals/outputs; rename them first"
-        )
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
-    rn = F.row_number().over(w)
-    cont = (rn > F.lit(period)) & F.col(value_col).eqNullSafe(
-        F.lag(F.col(value_col), period).over(w)
+    m2 = _periodic_islands(
+        df, keys, order_cols, value_col, period,
+        caller="periodic_overflow",
+        out_names={"stretch_pos"},
+        carry_start_struct=False,
     )
-    marked = df.select(
-        *keys, *order_cols, value_col, rn.alias("_rn"), cont.alias("_c")
+    stretch = (F.col("_rn") - F.col("_start") + F.lit(1 + period)).cast(
+        "long"
     )
-    m2 = marked.select(
-        "*",
-        (F.col("_c") & ~F.lag(F.col("_c"), 1, False).over(w)).alias("_new"),
-    )
-    wc = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.max(F.when(F.col("_new"), F.col("_rn"))).over(wc)
-    stretch = (F.col("_rn") - start + F.lit(1 + period)).cast("long")
     return (
         m2.withColumn("stretch_pos", stretch)
         .filter(

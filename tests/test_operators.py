@@ -748,6 +748,14 @@ def test_periodic_runs_guards(spark):
     bad = df.withColumnRenamed("v", "_c")
     with pytest.raises(ValueError, match="collide"):
         periodic_runs(bad, ["k"], ["i"], "_c", 2)
+    with pytest.raises(ValueError, match="distinct from keys"):
+        periodic_runs(df, ["k"], ["i"], "i", 2)
+    from taco_toolbox_spark.operators.runs import periodic_overflow
+
+    with pytest.raises(ValueError, match="distinct from keys"):
+        periodic_overflow(df, ["k"], ["i"], "k", 2, 2)
+    with pytest.raises(ValueError, match="max_reps must be >= 1"):
+        periodic_overflow(df, ["k"], ["i"], "v", 2, 0)
     # period 1 degenerates to the plain run (run_lengths semantics)
     df2 = spark.createDataFrame(
         [("k", 1, "a"), ("k", 2, "a"), ("k", 3, "a"), ("k", 4, "b")],

@@ -916,17 +916,18 @@ def test_validate_cli_max_loop(spark, corpus_dir, tmp_path):
             "--input", f"{corpus_dir}/transcripts",
             "--output", out,
             "--max-loop", "role:2:2",
+            "--max-loop", "role:3:4",  # same column, second period: distinct id
         ],
         stop_session=False,
     )
     assert rc in (0, 1)
     verd = spark.read.parquet(f"{out}/verdicts")
     ids = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
-    assert "loop_role" in ids
+    assert {"loop_role_p2", "loop_role_p3"} <= ids
     # the synthetic transcripts ping-pong user/assistant — a 2-rep cap on
     # period-2 role cycles must flag rows in any conversation >= 5 turns
     viol = spark.read.parquet(f"{out}/violations").filter(
-        "check_id = 'loop_role'"
+        "check_id = 'loop_role_p2'"
     )
     assert viol.count() > 0
 
