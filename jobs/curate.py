@@ -165,6 +165,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     spark = get_spark("curate")
     t0 = time.time()
     funnel: dict[str, int] = {}
+    # CURATE_TIMING=1: per-action phase walls to stderr (actions are the
+    # only places wall time accrues; everything between them is lazy)
+    _tlast = [t0]
+
+    def _mark(phase: str) -> None:
+        if os.environ.get("CURATE_TIMING"):
+            now = time.time()
+            print(
+                f"curate-timing {phase}: {now - _tlast[0]:.1f}s",
+                file=sys.stderr,
+            )
+            _tlast[0] = now
     try:
         docs = spark.read.parquet(args.input)
 
@@ -214,6 +226,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         funnel["quality_gate"] = int(row.n_gate or 0)
         funnel["sampled"] = int(row.n_samp or 0)
         funnel["exact_deduped"] = int(row.n_exact or 0)
+        _mark("funnel_agg")
 
         # the actual surviving frame: same predicates, then one-per-
         # fingerprint; persisted — the minhash pair scan and the keep-join
@@ -249,6 +262,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 .persist()
             )
             funnel["decontaminated"] = funnel["exact_deduped"] - flagged.count()
+            _mark("decontam")
             clean = exact.join(flagged, args.id_col, "left_anti")
         else:
             clean = exact
@@ -300,6 +314,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
             prev = funnel.get("decontaminated", funnel["exact_deduped"])
             funnel["sem_decontaminated"] = prev - sem_flagged.count()
+            _mark("sem_decontam")
             clean = clean.join(sem_flagged, args.id_col, "left_anti")
 
         # 4b. optional incremental corpus-update dedup: the batch against
@@ -363,6 +378,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 funnel.get("decontaminated", funnel["exact_deduped"]),
             )
             funnel["vs_existing"] = prev - dup_ids.count()
+            _mark("vs_existing")
             clean = clean.join(dup_ids, args.id_col, "left_anti")
 
         # 5. near dedup via minhash -> components -> canonical keep.
@@ -375,6 +391,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 threshold=args.jaccard_threshold,
             ).select("id_a", "id_b")
             comp = connected_components(pairs, "id_a", "id_b")
+            _mark("components")  # CC's entry checkpoints + rounds are eager
             losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
                 F.col("node").alias(args.id_col)
             )
@@ -443,6 +460,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         packed.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(args.output, "shards")
         )
+        _mark("pack_write")
         m = obs.get
         funnel["near_deduped"] = int(m["n_rows"])
         # shard ids are globally contiguous (greedy_pack_bins offsets

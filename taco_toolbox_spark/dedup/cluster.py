@@ -145,8 +145,14 @@ def connected_components(
     always checks). ``stats``, when a dict is passed, receives
     ``{"rounds": r, "convergence_checks": c}`` for tests and telemetry.
     """
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a").isNotNull() & F.col("b").isNotNull()
+    # materialize the cleaned pair list ONCE: nodes and edges below each
+    # trigger an eager checkpoint, and without this the caller's pair
+    # pipeline (typically a full minhash/LSH candidate scan) would run
+    # twice — measured as ~1/3 of the curation job's wall time
+    p = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=True)
     )
     # node universe includes self-paired ids (they are singletons)
     nodes = (
@@ -161,6 +167,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    p.unpersist()  # both children are materialized; blocks are dead
     rounds = checks = 0
     converged = False
     try:

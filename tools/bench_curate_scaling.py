@@ -28,7 +28,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = "/tmp/spark_graft_curate_bench"
+# overridable so a CURATE_DOCS change regenerates instead of silently
+# reusing a cached corpus of the old size
+CORPUS = os.environ.get("CURATE_CORPUS", "/tmp/spark_graft_curate_bench")
 
 
 def _cpu():
