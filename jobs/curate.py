@@ -50,9 +50,16 @@ sequential segments as Amdahl overhead; since then every driver
 synchronization has been folded away or amortized: the stage-1-3
 funnel counts are ONE aggregation pass of conditional counts + a
 distinct-fingerprint count; the survivor and shard counts ride the
-shard write itself as an Observation; and connected components runs
+shard write itself as an Observation; connected components runs
 alternating large-star/small-star rounds with the convergence barrier
-checked every ``check_every`` rounds (dedup/cluster.py).
+checked every ``check_every`` rounds (dedup/cluster.py); and the
+minhash pair pipeline is materialized exactly ONCE (the CC entry
+checkpoint — before that fix the nodes/edges eager checkpoints each
+re-ran the full candidate scan, ~2x the near-dedup stage cost).
+Residual 4->16 gap is per-core memory-hierarchy contention in the
+hash-heavy pair scan (all 16 cores busy, GC < 1s, core-seconds
+inflate ~1.9x at 16 threads) — single-box physics a real cluster
+does not share (BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
