@@ -2486,6 +2486,85 @@ def q_d11_runlength_drift(spark, sf_dir):
     )
 
 
+def q_d12_volume_anomaly(spark, sf_dir):
+    """Partition VOLUME anomaly — the first member of the partition-
+    health trio (checks/health.py): per-day row counts judged against
+    the run's own robust median±3·MAD band. An upstream outage or a
+    double-delivery changes how MUCH data a day carries while every
+    row-level rule, marginal, and sequence statistic stays intact — the
+    failure class invisible to checks that look inside rows. ONE grouped
+    count (map-side partial agg, one row per partition out), then two
+    whole-frame windows over that tiny profile frame sharing a single
+    single-partition exchange. Exact: integer counts; the median is the
+    exact interpolated percentile (Spark percentile == DuckDB
+    quantile_cont bit-for-bit on integer inputs); MAD values are halves
+    at worst — every band and verdict replays exactly in an independent
+    engine."""
+    from taco_toolbox_spark.checks.health import volume_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return volume_anomaly(
+        ev, F.date_format("ts", "yyyy-MM-dd"), k=3.0
+    ).select(F.col("part").alias("day"), "n", "med", "mad", "dev", "is_anomaly")
+
+
+def q_d13_completeness_drift(spark, sf_dir):
+    """Partition COMPLETENESS drift — the second member of the
+    partition-health trio: per-day NULL fraction of a validity
+    expression vs the corpus-wide fraction, both from ONE grouped
+    aggregation (the baseline is whole-frame window sums over the same
+    tiny profile — zero extra scans, the self-calibrating mode a first
+    run uses before a blessed baseline exists). The validity expression
+    here marks non-purchase events as valid, so the per-day 'null
+    fraction' is the purchase share — a real drifting quantity in the
+    corpus. Exact: integer counts, ONE float division per fraction,
+    strict-greater tolerance — bit-for-bit reproducible."""
+    from taco_toolbox_spark.checks.health import completeness_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return completeness_drift(
+        ev,
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.expr("CASE WHEN event_type <> 'purchase' THEN 1 END"),
+        tol=0.02,
+    ).select(
+        F.col("part").alias("day"),
+        "n",
+        "n_valid",
+        "null_frac",
+        "base_frac",
+        "delta",
+        "is_drift",
+    )
+
+
+def q_d14_cardinality_anomaly(spark, sf_dir):
+    """Partition CARDINALITY anomaly — the third member of the
+    partition-health trio: per-day EXACT distinct user count judged
+    against the robust median±3·MAD band. Distinct-users-per-day
+    collapsing means an id-mapping bug; exploding means a fan-out join —
+    both invisible to every other rule (counts intact, values in-vocab,
+    order fine). With the key set to a content fingerprint the same
+    check is a per-partition duplicate-rate monitor. One grouped
+    aggregation with a single distinct aggregate (two-phase partial
+    distinct, NO Expand — locked by tests/test_health.py), then the
+    shared band windows."""
+    from taco_toolbox_spark.checks.health import cardinality_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return cardinality_anomaly(
+        ev, F.date_format("ts", "yyyy-MM-dd"), "user_id", k=3.0
+    ).select(
+        F.col("part").alias("day"),
+        "n",
+        "n_distinct",
+        "med",
+        "mad",
+        "dev",
+        "is_anomaly",
+    )
+
+
 def q_w13_loop_detect(spark, sf_dir):
     """Periodic-loop detection — the PERIOD-p member of the window
     family: one row per maximal period-2 stretch (every event_type
@@ -2791,6 +2870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_burst": q_stream_burst,
         "diag_key_skew": q_diag_key_skew,
         "d9_groupsize_drift": q_d9_groupsize_drift,
+        "d12_volume_anomaly": q_d12_volume_anomaly,
+        "d13_completeness_drift": q_d13_completeness_drift,
+        "d14_cardinality_anomaly": q_d14_cardinality_anomaly,
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
         "w13_loop_detect": q_w13_loop_detect,
@@ -3896,6 +3978,59 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
             GROUP BY t.part, t.n_part, nt.n_total
+        """,
+        "d12_volume_anomaly": """
+            WITH prof AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            ),
+            b1 AS (SELECT *, quantile_cont(n, 0.5) OVER () AS med
+                   FROM prof),
+            b2 AS (SELECT *, abs(n::DOUBLE - med) AS dev FROM b1),
+            b3 AS (SELECT *, quantile_cont(dev, 0.5) OVER () AS mad
+                   FROM b2)
+            SELECT part AS day, n, med, mad, dev,
+                   dev > 3.0 * mad AS is_anomaly
+            FROM b3
+        """,
+        "d13_completeness_drift": """
+            WITH prof AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n,
+                     count(CASE WHEN event_type <> 'purchase' THEN 1
+                           END)::BIGINT AS nv
+              FROM events GROUP BY 1
+            ),
+            g AS (
+              SELECT *, sum(n) OVER ()::BIGINT AS tn,
+                        sum(nv) OVER ()::BIGINT AS tnv
+              FROM prof
+            )
+            SELECT part AS day, n, nv AS n_valid,
+                   (n - nv)::DOUBLE / n::DOUBLE AS null_frac,
+                   (tn - tnv)::DOUBLE / tn::DOUBLE AS base_frac,
+                   (n - nv)::DOUBLE / n::DOUBLE
+                     - (tn - tnv)::DOUBLE / tn::DOUBLE AS delta,
+                   abs((n - nv)::DOUBLE / n::DOUBLE
+                       - (tn - tnv)::DOUBLE / tn::DOUBLE) > 0.02 AS is_drift
+            FROM g
+        """,
+        "d14_cardinality_anomaly": """
+            WITH prof AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n,
+                     count(DISTINCT user_id)::BIGINT AS nd
+              FROM events GROUP BY 1
+            ),
+            b1 AS (SELECT *, quantile_cont(nd, 0.5) OVER () AS med
+                   FROM prof),
+            b2 AS (SELECT *, abs(nd::DOUBLE - med) AS dev FROM b1),
+            b3 AS (SELECT *, quantile_cont(dev, 0.5) OVER () AS mad
+                   FROM b2)
+            SELECT part AS day, n, nd AS n_distinct, med, mad, dev,
+                   dev > 3.0 * mad AS is_anomaly
+            FROM b3
         """,
         "d11_runlength_drift": """
             WITH t AS (

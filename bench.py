@@ -97,6 +97,7 @@ HEADLINE = [
     "w12_stuck_runs",     # gaps-and-islands runs (two windows, one exchange)
     "w13_loop_detect",    # periodic ping-pong loops (stacked windows + island agg)
     "d8_sem_decontaminate",  # broadcast benchmark-vector cosine overlap
+    "d14_cardinality_anomaly",  # partition-health band (exact distinct, heaviest of the trio)
     "stream_sessionize",  # full micro-batched streaming run, memory sink
     # dedup_clusters is oracle-only (like dedup_ngram_jaccard's role): its
     # pair source is the EXACT ngram join — the sf0.01 correctness anchor —

@@ -191,6 +191,33 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     )
     p.add_argument("--cat-drift-threshold", type=float, default=0.25)
     p.add_argument(
+        "--volume-k",
+        type=float,
+        metavar="K",
+        help="add a VolumeAnomalyCheck: every partition's row count must "
+        "sit inside the robust median±K·MAD band of the partitions the "
+        "pass sees. NOTE: with --batch-parts > 0 the band is computed "
+        "within each batch; use --batch-parts 0 for a whole-run band",
+    )
+    p.add_argument(
+        "--null-drift",
+        metavar="COL:TOL",
+        action="append",
+        help="add a CompletenessDriftCheck: COL's per-partition null "
+        "fraction must stay within TOL of the pass-wide fraction (e.g. "
+        "--null-drift tool:0.1); repeatable. Same --batch-parts caveat "
+        "as --volume-k",
+    )
+    p.add_argument(
+        "--distinct-band",
+        metavar="COL:K",
+        action="append",
+        help="add a CardinalityAnomalyCheck: every partition's exact "
+        "distinct COL count must sit inside the robust median±K·MAD band "
+        "(e.g. --distinct-band conv_id:3); repeatable. Same --batch-parts "
+        "caveat as --volume-k",
+    )
+    p.add_argument(
         "--actions",
         choices=("auto", "concurrent", "sequential"),
         default="auto",
@@ -477,6 +504,79 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 baseline_counts=categorical_counts(ref, args.cat_drift),
             )
         )
+    if args.volume_k is not None:
+        from taco_toolbox_spark.checks import VolumeAnomalyCheck
+
+        try:
+            checks.append(
+                VolumeAnomalyCheck(
+                    check_id="volume",
+                    description=(
+                        f"partition row count within median±{args.volume_k}"
+                        "·MAD of the pass's partitions"
+                    ),
+                    k=args.volume_k,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--volume-k: {e}") from None
+    for spec in args.null_drift or []:
+        from taco_toolbox_spark.checks import CompletenessDriftCheck
+
+        col, sep, tol_s = spec.rpartition(":")
+        if not sep or not col:
+            raise SystemExit(
+                f"--null-drift {spec!r}: expected COL:TOL (e.g. tool:0.1)"
+            )
+        try:
+            tol = float(tol_s)
+        except ValueError:
+            raise SystemExit(
+                f"--null-drift {spec!r}: TOL must be a number"
+            ) from None
+        try:
+            checks.append(
+                CompletenessDriftCheck(
+                    check_id=f"null_drift_{col}",
+                    description=(
+                        f"{col} null fraction within {tol} of the "
+                        "pass-wide fraction"
+                    ),
+                    value_col=col,
+                    tol=tol,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--null-drift: {e}") from None
+    for spec in args.distinct_band or []:
+        from taco_toolbox_spark.checks import CardinalityAnomalyCheck
+
+        col, sep, k_s = spec.rpartition(":")
+        if not sep or not col:
+            raise SystemExit(
+                f"--distinct-band {spec!r}: expected COL:K "
+                "(e.g. conv_id:3)"
+            )
+        try:
+            band_k = float(k_s)
+        except ValueError:
+            raise SystemExit(
+                f"--distinct-band {spec!r}: K must be a number"
+            ) from None
+        try:
+            checks.append(
+                CardinalityAnomalyCheck(
+                    check_id=f"distinct_band_{col}",
+                    description=(
+                        f"distinct {col} per partition within "
+                        f"median±{band_k}·MAD"
+                    ),
+                    value_col=col,
+                    k=band_k,
+                )
+            )
+        except ValueError as e:
+            raise SystemExit(f"--distinct-band: {e}") from None
 
     # Crash-safe writes: outputs are partitioned by `part` and written with
     # dynamic partition overwrite, so re-validating a partition REPLACES its

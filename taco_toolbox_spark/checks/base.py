@@ -384,6 +384,93 @@ class TransitionDriftCheck(Check):
 
 
 @dataclass
+class VolumeAnomalyCheck(Check):
+    """A partition's ROW COUNT must sit inside the robust median±k·MAD
+    band of the run's partitions — the VOLUME member of the partition-
+    health trio (checks/health.py): upstream outages and double-
+    deliveries change how much data a partition carries while every
+    row-level, marginal, and sequential rule stays intact. Self-
+    calibrating (the band comes from the run itself); the whole health
+    battery shares ONE grouped aggregation over the partition grain, so
+    adding this check adds no scans. MAD = 0 (all partitions identical)
+    flags ANY deviating partition — strict by construction."""
+
+    k: float = 3.0
+
+    def __post_init__(self) -> None:
+        if self.k <= 0:
+            raise ValueError(
+                f"VolumeAnomalyCheck {self.check_id!r}: k must be > 0, "
+                f"got {self.k}"
+            )
+
+
+@dataclass
+class CompletenessDriftCheck(Check):
+    """A partition's NULL FRACTION of ``value_col`` (a column name or SQL
+    validity expression — NULL means incomplete) must stay within ``tol``
+    of ``baseline_frac``, or of the corpus-wide fraction computed in the
+    same pass when no baseline is given. The COMPLETENESS member of the
+    partition-health trio: a half-broken upstream join turns a 2%-null
+    column into a 40%-null day while not_null row rules (columns that may
+    never be null) and global profiling (which averages the day away)
+    both stay silent. Exact integer counts, ONE float division — an
+    independent engine replays every verdict bit-for-bit."""
+
+    value_col: str = ""
+    tol: float = 0.05
+    #: expected null fraction; None = judge against the corpus-wide
+    #: fraction from the same aggregation (self-calibrating first run)
+    baseline_frac: float | None = None
+
+    def __post_init__(self) -> None:
+        if not self.value_col:
+            raise ValueError(
+                f"CompletenessDriftCheck {self.check_id!r} needs value_col"
+            )
+        if not 0.0 <= self.tol <= 1.0:
+            raise ValueError(
+                f"CompletenessDriftCheck {self.check_id!r}: tol must be in "
+                f"[0, 1], got {self.tol}"
+            )
+        if self.baseline_frac is not None and not (
+            0.0 <= self.baseline_frac <= 1.0
+        ):
+            raise ValueError(
+                f"CompletenessDriftCheck {self.check_id!r}: baseline_frac "
+                f"must be in [0, 1], got {self.baseline_frac}"
+            )
+
+
+@dataclass
+class CardinalityAnomalyCheck(Check):
+    """A partition's EXACT DISTINCT count of ``value_col`` must sit inside
+    the robust median±k·MAD band of the run's partitions — the
+    CARDINALITY member of the partition-health trio: distinct-users-per-
+    day collapsing means an id-mapping bug, exploding means a fan-out
+    join; both invisible to every other rule (counts intact, values
+    in-vocab, order fine). With ``value_col`` set to a content
+    fingerprint this is a per-partition duplicate-rate monitor. Each
+    distinct column adds an Expand projection to the shared aggregation —
+    watch the keys a check actually needs; the approximate wide-battery
+    path is stats.py's HLL sketches."""
+
+    value_col: str = ""
+    k: float = 3.0
+
+    def __post_init__(self) -> None:
+        if not self.value_col:
+            raise ValueError(
+                f"CardinalityAnomalyCheck {self.check_id!r} needs value_col"
+            )
+        if self.k <= 0:
+            raise ValueError(
+                f"CardinalityAnomalyCheck {self.check_id!r}: k must be > 0, "
+                f"got {self.k}"
+            )
+
+
+@dataclass
 class GroupAggCheck(Check):
     """Generic per-group aggregate invariant: ``aggs`` are computed per
     group, ``predicate`` (over the agg row) must hold."""

@@ -40,8 +40,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checks.base import (
+    CardinalityAnomalyCheck,
     CategoricalDriftCheck,
     Check,
+    CompletenessDriftCheck,
     ConditionalDriftCheck,
     ContiguityCheck,
     CorrelationDriftCheck,
@@ -58,6 +60,7 @@ from .checks.base import (
     TextEqualityCheck,
     TransitionDriftCheck,
     UniquenessCheck,
+    VolumeAnomalyCheck,
 )
 from .checks.fd import fd_violations
 from .checks.drift import (
@@ -808,6 +811,117 @@ def _group_agg_pass(
     )
 
 
+def _health_pass(
+    df: DataFrame,
+    vol_checks: list[VolumeAnomalyCheck],
+    comp_checks: list[CompletenessDriftCheck],
+    card_checks: list[CardinalityAnomalyCheck],
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Volume / completeness / cardinality checks share ONE grouped
+    aggregation over the partition grain (checks/health.py contract): the
+    input is scanned once no matter how many health checks run, the
+    profile frame is one row per partition, and every robust band /
+    corpus baseline is a whole-frame window over that tiny frame sharing
+    a single single-partition exchange. Violations are partition-grain
+    (conv_id/turn_idx NULL), built as structs in one select and exploded
+    — the _group_agg_pass pattern, so N checks never means N branches
+    re-executing the data-sized subtree."""
+    from .checks.health import partition_profile, robust_band
+
+    valid = {c.check_id: F.expr(c.value_col) for c in comp_checks}
+    distinct = {c.check_id: F.expr(c.value_col) for c in card_checks}
+    frame = partition_profile(
+        df, cfg.partition_col, valid=valid, distinct=distinct
+    )
+    w = Window.partitionBy(F.lit(1))
+    for c in vol_checks:
+        frame = robust_band(frame, "n", c.k, prefix=f"_{c.check_id}_")
+    for c in card_checks:
+        frame = robust_band(
+            frame, f"d_{c.check_id}", c.k, prefix=f"_{c.check_id}_"
+        )
+    for c in comp_checks:
+        nf = (F.col("n") - F.col(f"v_{c.check_id}")).cast(
+            "double"
+        ) / F.col("n").cast("double")
+        frame = frame.withColumn(f"_{c.check_id}_nf", nf)
+        if c.baseline_frac is None:
+            base = (
+                (F.sum("n").over(w) - F.sum(f"v_{c.check_id}").over(w)).cast(
+                    "double"
+                )
+                / F.sum("n").over(w).cast("double")
+            )
+        else:
+            base = F.lit(float(c.baseline_frac))
+        frame = frame.withColumn(f"_{c.check_id}_bf", base)
+
+    structs: list[Column] = []
+    for c in vol_checks:
+        p = f"_{c.check_id}_"
+        structs.append(
+            F.when(
+                F.coalesce(F.col(f"{p}flag"), F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"partition_rows=%s outside median±{c.k}·MAD "
+                        "(med=%s mad=%s)",
+                        F.col("n").cast("string"),
+                        F.col(f"{p}med").cast("string"),
+                        F.col(f"{p}mad").cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    for c in card_checks:
+        p = f"_{c.check_id}_"
+        structs.append(
+            F.when(
+                F.coalesce(F.col(f"{p}flag"), F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"n_distinct=%s outside median±{c.k}·MAD "
+                        "(med=%s mad=%s)",
+                        F.col(f"d_{c.check_id}").cast("string"),
+                        F.col(f"{p}med").cast("string"),
+                        F.col(f"{p}mad").cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    for c in comp_checks:
+        p = f"_{c.check_id}_"
+        drifted = F.abs(
+            F.col(f"{p}nf") - F.col(f"{p}bf")
+        ) > F.lit(float(c.tol))
+        structs.append(
+            F.when(
+                F.coalesce(drifted, F.lit(False)),
+                F.struct(
+                    F.lit(c.check_id).alias("check_id"),
+                    F.format_string(
+                        f"null_frac=%s vs baseline=%s (|delta| > {c.tol})",
+                        F.round(f"{p}nf", 6).cast("string"),
+                        F.round(f"{p}bf", 6).cast("string"),
+                    ).alias("detail"),
+                ),
+            )
+        )
+    fails = frame.select(
+        "part", F.array_compact(F.array(*structs)).alias("fails")
+    ).filter(F.size("fails") > 0)
+    return fails.select("part", F.explode("fails").alias("f")).select(
+        "part",
+        "f.check_id",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        "f.detail",
+    )
+
+
 def run_validation(
     df: DataFrame,
     checks: list[Check],
@@ -850,6 +964,13 @@ def run_validation(
         c for c in checks if isinstance(c, TransitionDriftCheck)
     ]
     text_checks = [c for c in checks if isinstance(c, TextEqualityCheck)]
+    vol_checks = [c for c in checks if isinstance(c, VolumeAnomalyCheck)]
+    comp_checks = [
+        c for c in checks if isinstance(c, CompletenessDriftCheck)
+    ]
+    card_checks = [
+        c for c in checks if isinstance(c, CardinalityAnomalyCheck)
+    ]
 
     pieces: list[DataFrame] = []
     if row_checks:
@@ -1015,6 +1136,11 @@ def run_validation(
             )
         )
 
+    if vol_checks or comp_checks or card_checks:
+        pieces.append(
+            _health_pass(df, vol_checks, comp_checks, card_checks, cfg)
+        )
+
     if not pieces:
         raise ValueError(
             "no supported checks: every entry in `checks` must be a known "
@@ -1023,7 +1149,8 @@ def run_validation(
             "UniquenessCheck, FunctionalDependencyCheck, ContiguityCheck, "
             "GroupAggCheck, DriftCheck, CategoricalDriftCheck, "
             "CorrelationDriftCheck, ConditionalDriftCheck, "
-            "TransitionDriftCheck, TextEqualityCheck)"
+            "TransitionDriftCheck, TextEqualityCheck, VolumeAnomalyCheck, "
+            "CompletenessDriftCheck, CardinalityAnomalyCheck)"
         )
     violations = pieces[0]
     for p in pieces[1:]:

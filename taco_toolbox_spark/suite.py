@@ -59,8 +59,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checks.base import (
+    CardinalityAnomalyCheck,
     CategoricalDriftCheck,
     Check,
+    CompletenessDriftCheck,
     ConditionalDriftCheck,
     ContiguityCheck,
     CorrelationDriftCheck,
@@ -77,6 +79,7 @@ from .checks.base import (
     TextEqualityCheck,
     TransitionDriftCheck,
     UniquenessCheck,
+    VolumeAnomalyCheck,
     format_check,
     not_null_check,
     range_check,
@@ -117,6 +120,9 @@ _TYPE_KEYS: dict[str, set[str]] = {
     },
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
+    "volume": {"k"},
+    "completeness": {"col", "tol", "baseline_frac"},
+    "cardinality": {"col", "k"},
 }
 
 _ENGINE_KEYS = {
@@ -506,6 +512,43 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             include_boundaries=boundaries,
             baseline_counts=bc,
         )
+    elif t == "volume":
+        try:
+            c = VolumeAnomalyCheck(
+                check_id=cid, k=_float(entry, where, "k", 3.0)
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "completeness":
+        _require(entry, where, "col")
+        bf = entry.get("baseline_frac")
+        if bf is not None and (
+            isinstance(bf, bool) or not isinstance(bf, (int, float))
+        ):
+            raise SuiteError(
+                f"{where}: 'baseline_frac' must be a number, got {bf!r}"
+            )
+        _sql_expr(entry["col"], where, "col")  # parse-lint the expression
+        try:
+            c = CompletenessDriftCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                tol=_float(entry, where, "tol", 0.05),
+                baseline_frac=None if bf is None else float(bf),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
+    elif t == "cardinality":
+        _require(entry, where, "col")
+        _sql_expr(entry["col"], where, "col")
+        try:
+            c = CardinalityAnomalyCheck(
+                check_id=cid,
+                value_col=entry["col"],
+                k=_float(entry, where, "k", 3.0),
+            )
+        except ValueError as e:
+            raise SuiteError(f"{where}: {e}") from None
     elif t == "group_agg":
         _require(entry, where, "aggs", "predicate")
         aggs = _str_list(entry, where, "aggs")
@@ -554,6 +597,9 @@ _RESOLVED_ATTRS = {
     "monotone": {"strict": "strict"},
     "rate": {"seconds": "seconds"},
     "text_equality": {"text_col": "text_col", "colocated": "colocated"},
+    "volume": {"k": "k"},
+    "completeness": {"tol": "tol"},
+    "cardinality": {"k": "k"},
 }
 
 
@@ -701,7 +747,9 @@ def _entry_columns(entry: dict, columns: set[str]) -> set[str]:
         v = entry.get(k)
         if isinstance(v, (list, tuple)):
             cols.update(x for x in v if isinstance(x, str))
-    for k in ("predicate", "detail", "expr", "x", "y", "cond", "cat"):
+    # "col" re-appears here because completeness/cardinality entries may
+    # carry an SQL expression (not a bare name) in that field
+    for k in ("predicate", "detail", "expr", "x", "y", "cond", "cat", "col"):
         v = entry.get(k)
         if isinstance(v, str):
             cols.update(set(_IDENT.findall(v)) & columns)

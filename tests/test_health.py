@@ -1,0 +1,302 @@
+"""Partition-health trio (checks/health.py): volume anomaly,
+completeness drift, cardinality anomaly — operator semantics, exact
+band arithmetic, engine integration, single-scan plan shape, CLI."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from taco_toolbox_spark.checks import (  # noqa: E402
+    CardinalityAnomalyCheck,
+    CompletenessDriftCheck,
+    VolumeAnomalyCheck,
+)
+from taco_toolbox_spark.checks.health import (  # noqa: E402
+    cardinality_anomaly,
+    completeness_drift,
+    partition_profile,
+    robust_band,
+    volume_anomaly,
+)
+from taco_toolbox_spark.engine import EngineConfig, run_validation  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Six partitions: p5 is a volume outlier (400 rows vs 100), p3 a
+    cardinality collapse (5 distinct conv_ids vs 50), p4 a completeness
+    break (50% NULL tool vs ~0% elsewhere)."""
+    rows = []
+    for p in range(6):
+        n = 100 if p != 5 else 400
+        for i in range(n):
+            rows.append(
+                (
+                    f"p{p}",
+                    f"c{p}_{i % (50 if p != 3 else 5)}",
+                    i,
+                    None if (p == 4 and i % 2 == 0) else "search",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, tool string"
+    )
+
+
+def test_volume_anomaly_band_values(spark, corpus):
+    rows = {r["part"]: r for r in volume_anomaly(corpus, "part").collect()}
+    assert len(rows) == 6
+    # counts [100]*5 + [400]: med=100, devs [0]*5+[300], mad=0
+    assert rows["p5"]["n"] == 400
+    assert rows["p5"]["med"] == 100.0
+    assert rows["p5"]["mad"] == 0.0
+    assert rows["p5"]["dev"] == 300.0
+    assert rows["p5"]["is_anomaly"] is True
+    assert all(
+        rows[f"p{i}"]["is_anomaly"] is False for i in range(5)
+    ), "MAD=0 must flag only DEVIATING partitions"
+
+
+def test_volume_even_count_interpolated_median(spark):
+    """Median over an even number of partitions interpolates exactly —
+    the halves stay exactly representable, so the band is deterministic."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)]
+        + [("b", i) for i in range(20)]
+        + [("c", i) for i in range(30)]
+        + [("d", i) for i in range(41)],
+        "part string, x int",
+    )
+    rows = {r["part"]: r for r in volume_anomaly(df, "part", k=10.0).collect()}
+    assert rows["a"]["med"] == 25.0  # (20+30)/2
+    assert rows["a"]["dev"] == 15.0
+    # devs: 15, 5, 5, 16 -> sorted 5,5,15,16 -> med = 10.0
+    assert rows["a"]["mad"] == 10.0
+    assert rows["d"]["is_anomaly"] is False  # 16 > 10*10 is false
+
+
+def test_completeness_self_calibrating_and_explicit_baseline(spark, corpus):
+    got = {
+        r["part"]: r
+        for r in completeness_drift(corpus, "part", "tool", 0.1).collect()
+    }
+    # corpus: 900 rows, 50 NULLs (p4) -> base 50/900
+    base = 50.0 / 900.0
+    assert got["p4"]["null_frac"] == 0.5
+    assert abs(got["p4"]["base_frac"] - base) < 1e-15
+    assert got["p4"]["is_drift"] is True
+    assert all(got[f"p{i}"]["is_drift"] is False for i in (0, 1, 2, 3, 5))
+
+    # explicit baseline: 0.5 makes p4 the only COMPLIANT partition
+    got2 = {
+        r["part"]: r
+        for r in completeness_drift(
+            corpus, "part", "tool", 0.1, baseline_frac=0.5
+        ).collect()
+    }
+    assert got2["p4"]["is_drift"] is False
+    assert got2["p0"]["is_drift"] is True
+
+
+def test_completeness_tol_boundary_is_strict(spark):
+    """|delta| == tol must NOT fire — the rule is strictly-greater, same
+    contract as the drift family's thresholds."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("b", "x"), ("b", "x")],
+        "part string, c string",
+    )
+    # fracs: a=0.5, b=0.0; explicit baseline 0.25 -> |delta| = 0.25 both
+    got = {
+        r["part"]: r["is_drift"]
+        for r in completeness_drift(
+            df, "part", "c", 0.25, baseline_frac=0.25
+        ).collect()
+    }
+    assert got == {"a": False, "b": False}
+
+
+def test_completeness_validity_expression(spark, corpus):
+    """value_col may be any SQL validity expression, not just a column —
+    here 'incomplete' means turn_idx >= 50 (NULLs from the CASE)."""
+    got = {
+        r["part"]: r
+        for r in completeness_drift(
+            corpus,
+            "part",
+            F.expr("CASE WHEN turn_idx < 50 THEN 1 END"),
+            0.2,
+        ).collect()
+    }
+    # every 100-row partition has 50% "null"; p5 has 350/400 = 87.5%
+    assert got["p5"]["null_frac"] == 0.875
+    assert got["p5"]["is_drift"] is True
+    assert got["p0"]["is_drift"] is False
+
+
+def test_cardinality_anomaly_flags_collapse(spark, corpus):
+    rows = {
+        r["part"]: r
+        for r in cardinality_anomaly(corpus, "part", "conv_id").collect()
+    }
+    assert rows["p3"]["n_distinct"] == 5
+    assert rows["p3"]["is_anomaly"] is True
+    assert sum(1 for r in rows.values() if r["is_anomaly"]) == 1
+
+
+def test_cardinality_as_duplicate_rate_monitor(spark):
+    """key = a content fingerprint makes the same check a per-partition
+    duplicate-rate monitor: the partition where a crawler re-delivered
+    one document collapses in distinct-fingerprint count."""
+    rows = [("ok", f"doc {i}") for i in range(20)] + [
+        ("dup", f"doc {i % 2}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows * 2, "part string, text string")
+    extra = spark.createDataFrame(
+        [(f"ok{j}", f"doc {i}") for j in range(3) for i in range(20)],
+        "part string, text string",
+    )
+    both = df.unionAll(extra)
+    got = {
+        r["part"]: r["is_anomaly"]
+        for r in cardinality_anomaly(
+            both, "part", F.sha2(F.col("text"), 256)
+        ).collect()
+    }
+    assert got["dup"] is True
+    assert not any(v for k, v in got.items() if k != "dup")
+
+
+def test_robust_band_guards(spark, corpus):
+    prof = partition_profile(corpus, "part")
+    with pytest.raises(ValueError, match="k must be > 0"):
+        robust_band(prof, "n", 0.0)
+    clash = prof.withColumn("med", F.lit(1))
+    with pytest.raises(ValueError, match="med"):
+        robust_band(clash, "n", 3.0)
+
+
+def test_check_constructor_guards():
+    with pytest.raises(ValueError, match="k must be > 0"):
+        VolumeAnomalyCheck("v", k=-1)
+    with pytest.raises(ValueError, match="needs value_col"):
+        CompletenessDriftCheck("c")
+    with pytest.raises(ValueError, match="tol must be in"):
+        CompletenessDriftCheck("c", value_col="x", tol=2.0)
+    with pytest.raises(ValueError, match="baseline_frac"):
+        CompletenessDriftCheck("c", value_col="x", baseline_frac=1.5)
+    with pytest.raises(ValueError, match="needs value_col"):
+        CardinalityAnomalyCheck("d")
+    with pytest.raises(ValueError, match="k must be > 0"):
+        CardinalityAnomalyCheck("d", value_col="x", k=0)
+
+
+def test_engine_battery_verdicts_and_details(spark, corpus):
+    res = run_validation(
+        corpus,
+        [
+            VolumeAnomalyCheck("volume"),
+            CompletenessDriftCheck("tool_null", value_col="tool", tol=0.1),
+            CardinalityAnomalyCheck("conv_card", value_col="conv_id"),
+        ],
+        EngineConfig(),
+    )
+    viol = sorted(
+        (r["part"], r["check_id"], r["conv_id"], r["turn_idx"])
+        for r in res.violations.collect()
+    )
+    # partition-grain violations: conv_id/turn_idx NULL, one per offender
+    assert viol == [
+        ("p3", "conv_card", None, None),
+        ("p4", "tool_null", None, None),
+        ("p5", "volume", None, None),
+    ]
+    details = {
+        r["check_id"]: r["detail"] for r in res.violations.collect()
+    }
+    assert "partition_rows=400" in details["volume"]
+    assert "null_frac=0.5" in details["tool_null"]
+    assert "n_distinct=5" in details["conv_card"]
+    verd = {
+        (r["part"], r["check_id"]): r["passed"]
+        for r in res.verdicts.collect()
+    }
+    assert len(verd) == 18  # 6 parts x 3 checks
+    assert sum(1 for ok in verd.values() if not ok) == 3
+
+
+def test_health_pass_plan_single_scan_no_expand(spark, corpus):
+    """The whole trio rides ONE scan + ONE partition-grain aggregation;
+    the band windows share one single-partition exchange over the tiny
+    profile frame; a single distinct aggregate plans without Expand."""
+    from taco_toolbox_spark.engine import _health_pass
+
+    v = _health_pass(
+        corpus,
+        [VolumeAnomalyCheck("volume")],
+        [CompletenessDriftCheck("tool_null", value_col="tool", tol=0.1)],
+        [CardinalityAnomalyCheck("conv_card", value_col="conv_id")],
+        EngineConfig(),
+    )
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1
+    assert plan.count("Expand") == 0
+    # two agg exchanges (part,key then part) + one SinglePartition
+    assert plan.count("Exchange") <= 3
+    assert "SinglePartition" in plan
+
+
+@pytest.fixture(scope="module")
+def cli_corpus_dir(spark, tmp_path_factory):
+    from taco_toolbox_spark.datagen import generate_transcripts, write_corpus
+
+    d = tmp_path_factory.mktemp("health_cli")
+    corpus = generate_transcripts(
+        spark, n_convs=120, seed=7, violation_denom=200
+    )
+    write_corpus(corpus, str(d))
+    return str(d)
+
+
+def test_validate_cli_health_flags(spark, cli_corpus_dir, tmp_path):
+    from jobs.validate import main as validate_main
+
+    out = str(tmp_path / "out")
+    args = [
+        "--input", f"{cli_corpus_dir}/transcripts",
+        "--output", out,
+        "--batch-parts", "0",
+        "--volume-k", "3",
+        "--null-drift", "tool:0.45",
+        "--distinct-band", "conv_id:3",
+    ]
+    assert validate_main(args + ["--run-id", "h1"], stop_session=False) == 0
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    ids = {r["check_id"] for r in verd.select("check_id").distinct().collect()}
+    assert {"volume", "null_drift_tool", "distinct_band_conv_id"} <= ids
+
+
+@pytest.mark.parametrize(
+    "args,frag",
+    [
+        (["--volume-k", "-2"], "k must be > 0"),
+        (["--null-drift", "tool"], "expected COL:TOL"),
+        (["--null-drift", "tool:lots"], "TOL must be a number"),
+        (["--distinct-band", ":3"], "expected COL:K"),
+        (["--distinct-band", "conv_id:x"], "K must be a number"),
+    ],
+)
+def test_validate_cli_health_bad_specs(
+    spark, cli_corpus_dir, tmp_path, args, frag
+):
+    from jobs.validate import main as validate_main
+
+    base = [
+        "--input", f"{cli_corpus_dir}/transcripts",
+        "--output", str(tmp_path / "out"),
+    ]
+    with pytest.raises(SystemExit, match=frag):
+        validate_main(base + args, stop_session=False)

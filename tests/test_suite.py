@@ -147,12 +147,17 @@ def test_every_type_constructs_and_runs(spark):
              "max_run": 50},
             {"type": "periodic", "id": "t17", "col": "role",
              "period": 2, "max_reps": 50},
+            {"type": "volume", "id": "t18", "k": 3},
+            {"type": "completeness", "id": "t19", "col": "text",
+             "tol": 0.5},
+            {"type": "cardinality", "id": "t20", "col": "conv_id",
+             "k": 3},
         ],
     }
     suite = parse_suite(spec)
     res = suite.run(df)
     verd = _verdict_map(res)
-    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 18)}
+    assert {cid for _, cid in verd} == {f"t{i}" for i in range(1, 21)}
     assert all(ok for ok, _ in verd.values())
 
 
@@ -200,6 +205,18 @@ def test_every_type_constructs_and_runs(spark):
                       "dependent": ["r"]}]}, "non-empty list"),
         ({"checks": [{"type": "text_equality", "id": "x"}]},
          "reference"),
+        ({"checks": [{"type": "volume", "id": "x", "k": 0}]},
+         "k must be > 0"),
+        ({"checks": [{"type": "completeness", "id": "x"}]},
+         "'col'"),
+        ({"checks": [{"type": "completeness", "id": "x", "col": "c",
+                      "tol": 1.5}]}, "tol must be in"),
+        ({"checks": [{"type": "completeness", "id": "x", "col": "c",
+                      "baseline_frac": "high"}]}, "must be a number"),
+        ({"checks": [{"type": "cardinality", "id": "x", "col": "c",
+                      "k": -1}]}, "k must be > 0"),
+        ({"checks": [{"type": "cardinality", "id": "x", "col": "c",
+                      "band": 3}]}, "unknown keys"),
         ({"extra": 1}, "unknown top-level"),
     ],
 )
