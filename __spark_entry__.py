@@ -2736,6 +2736,50 @@ def q_stream_cat_drift(spark, sf_dir):
     ).select("window_start", "n_win", "tv_num", "tv")
 
 
+def q_stream_health(spark, sf_dir):
+    """STREAMING partition health under the full value oracle: the events
+    table streams through watermarked per-event-time-DAY windows; each
+    window carries the exact volume verdict (|n − med| > k·MAD against
+    the batch-computed band — the batch-computes / stream-consumes
+    contract of stream_categorical_tv and stream_drift, since a stream
+    cannot self-calibrate an unbounded window population) and the exact
+    completeness verdict (the window's null fraction of the validity
+    expression vs the batch-computed corpus fraction). The DuckDB oracle
+    reproduces every (window, n, band, fractions, flags) row bit-for-bit
+    by replaying the identical quantile_cont band and float arithmetic
+    (streaming/validate_stream.py:stream_health). Completes the
+    batch<->stream matrix for the health family (d12/d13); cardinality
+    deliberately stays batch-exact-only — an exact per-window distinct
+    needs the full key set as state (the stream offers the HLL
+    approximation, excluded from the value oracle by construction)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_health_smoke,
+    )
+
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events")
+    return run_stream_health_smoke(
+        spark,
+        staged,
+        query_name=f"q_shealth_{tag}",
+        valid_expr="CASE WHEN event_type <> 'purchase' THEN 1 END",
+        tol=0.02,
+        window="1 day",
+        watermark="2 days",
+    ).select(
+        "window_start",
+        "n",
+        "n_valid",
+        "med",
+        "mad",
+        "dev",
+        "is_anomaly",
+        "null_frac",
+        "base_frac",
+        "delta",
+        "is_drift",
+    )
+
+
 def q_digest_documents(spark, sf_dir):
     """Bench-only twin of m1_content_digest at data scale: native
     xxhash64-family content digest of the sf ``documents`` table grouped
@@ -2871,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_key_skew": q_diag_key_skew,
         "d9_groupsize_drift": q_d9_groupsize_drift,
         "d12_volume_anomaly": q_d12_volume_anomaly,
+        "stream_health": q_stream_health,
         "d13_completeness_drift": q_d13_completeness_drift,
         "d14_cardinality_anomaly": q_d14_cardinality_anomaly,
         "d10_gap_drift": q_d10_gap_drift,
@@ -4188,6 +4233,34 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN g
             LEFT JOIN c x ON x.part = t.part AND x.cat = g.cat
             GROUP BY t.part, t.n_win, nt.n_total
+        """,
+        "stream_health": """
+            WITH prof AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     count(*)::BIGINT AS n,
+                     count(CASE WHEN event_type <> 'purchase' THEN 1
+                           END)::BIGINT AS nv
+              FROM events GROUP BY 1
+            ),
+            b1 AS (SELECT *, quantile_cont(n, 0.5) OVER () AS med
+                   FROM prof),
+            b2 AS (SELECT *, abs(n::DOUBLE - med) AS dev FROM b1),
+            b3 AS (SELECT *, quantile_cont(dev, 0.5) OVER () AS mad
+                   FROM b2),
+            g AS (
+              SELECT *, sum(n) OVER ()::BIGINT AS tn,
+                        sum(nv) OVER ()::BIGINT AS tnv
+              FROM b3
+            )
+            SELECT window_start, n, nv AS n_valid, med, mad, dev,
+                   dev > 3.0 * mad AS is_anomaly,
+                   (n - nv)::DOUBLE / n::DOUBLE AS null_frac,
+                   (tn - tnv)::DOUBLE / tn::DOUBLE AS base_frac,
+                   (n - nv)::DOUBLE / n::DOUBLE
+                     - (tn - tnv)::DOUBLE / tn::DOUBLE AS delta,
+                   abs((n - nv)::DOUBLE / n::DOUBLE
+                       - (tn - tnv)::DOUBLE / tn::DOUBLE) > 0.02 AS is_drift
+            FROM g
         """,
         "stream_digest_windowed": """
             WITH h AS (

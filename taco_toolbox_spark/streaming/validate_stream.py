@@ -1664,6 +1664,185 @@ def run_stream_cat_drift_smoke(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_health(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    volume_band: tuple[float, float] | None = None,
+    volume_k: float = 3.0,
+    valid_expr=None,
+    baseline_frac: float | None = None,
+    tol: float = 0.05,
+    distinct_col: str | None = None,
+    distinct_band: tuple[float, float] | None = None,
+    distinct_k: float = 3.0,
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """Partition-health on a STREAM: per watermarked event-time window,
+    the volume / completeness (/ approximate cardinality) verdicts of
+    ``checks.health`` — the streaming twin completing the batch<->stream
+    matrix for the health family.
+
+    The streaming contract differs from batch in exactly the honest way:
+    a stream cannot SELF-calibrate its band (the population of windows is
+    unbounded and still arriving), so the robust band and the baseline
+    fraction are REQUIRED state from a batch run — the same
+    batch-computes / stream-consumes split as ``stream_categorical_tv``
+    (baseline histogram) and ``stream_drift`` (baseline quantiles). Pass
+    ``volume_band=(med, mad)`` from a batch ``volume_anomaly`` run (e.g.
+    the previous day's corpus) and ``baseline_frac`` from the blessed
+    corpus; both ride the closure as literals — no join, no broadcast.
+
+    Exactness: volume/completeness verdicts replay the batch float
+    arithmetic verbatim on the window's exact counts (dev = |n - med|,
+    flag = dev > k·mad; frac = (n - n_valid)/n, flag = |frac - base| >
+    tol) — bit-for-bit reproducible given the same band. Cardinality is
+    the one member that CANNOT stream exactly: an exact per-window
+    distinct needs the full key set as state, so the stream uses Spark's
+    HLL (``approx_count_distinct``, bounded state — the documented
+    approximate path of stats.py) and says so in the column name
+    (``n_distinct_approx``); the batch check stays the exact anchor.
+
+    State per open window: a handful of longs (plus one HLL sketch when
+    ``distinct_col`` is set) — ONE watermarked grouped aggregation,
+    partial-combined map-side per micro-batch."""
+    if volume_band is None and valid_expr is None and distinct_col is None:
+        raise ValueError(
+            "stream_health needs at least one member: volume_band=(med, "
+            "mad), valid_expr+baseline_frac, or distinct_col(+band)"
+        )
+    if valid_expr is not None and baseline_frac is None:
+        raise ValueError(
+            "streaming completeness needs an explicit baseline_frac — a "
+            "stream cannot self-calibrate (compute it with the batch "
+            "completeness_drift on the blessed corpus)"
+        )
+    if baseline_frac is not None and not 0.0 <= baseline_frac <= 1.0:
+        raise ValueError(
+            f"baseline_frac must be in [0, 1], got {baseline_frac}"
+        )
+    if distinct_col is not None and distinct_band is None:
+        raise ValueError(
+            "streaming cardinality needs distinct_band=(med, mad) from a "
+            "batch cardinality_anomaly run"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if valid_expr is not None:
+        ve = valid_expr if not isinstance(valid_expr, str) else F.expr(valid_expr)
+        aggs.append(F.count(ve).alias("n_valid"))
+    if distinct_col is not None:
+        aggs.append(
+            F.approx_count_distinct(distinct_col, rsd=distinct_rsd).alias(
+                "n_distinct_approx"
+            )
+        )
+    agg = (
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(*aggs)
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "*",
+    ).drop("window")
+    if volume_band is not None:
+        med, mad = float(volume_band[0]), float(volume_band[1])
+        out = (
+            out.withColumn("med", F.lit(med))
+            .withColumn("mad", F.lit(mad))
+            .withColumn(
+                "dev", F.abs(F.col("n").cast("double") - F.col("med"))
+            )
+            .withColumn(
+                "is_anomaly",
+                F.col("dev") > F.lit(float(volume_k)) * F.col("mad"),
+            )
+        )
+    if valid_expr is not None:
+        out = (
+            out.withColumn(
+                "null_frac",
+                (F.col("n") - F.col("n_valid")).cast("double")
+                / F.col("n").cast("double"),
+            )
+            .withColumn("base_frac", F.lit(float(baseline_frac)))
+            .withColumn("delta", F.col("null_frac") - F.col("base_frac"))
+            .withColumn(
+                "is_drift", F.abs(F.col("delta")) > F.lit(float(tol))
+            )
+        )
+    if distinct_col is not None:
+        dmed, dmad = float(distinct_band[0]), float(distinct_band[1])
+        out = out.withColumn(
+            "card_flag_approx",
+            F.abs(F.col("n_distinct_approx").cast("double") - F.lit(dmed))
+            > F.lit(float(distinct_k)) * F.lit(dmad),
+        )
+    return out
+
+
+def run_stream_health_smoke(
+    spark,
+    parquet_dir: str,
+    query_name: str = "stream_health",
+    max_files_per_trigger: int = 4,
+    part_fmt: str = "yyyy-MM-dd",
+    valid_expr: str | None = None,
+    tol: float = 0.05,
+    **kwargs,
+):
+    """Drive the streaming health check over a bounded parquet dir in
+    complete mode (one row per open window — tiny). Self-contained the
+    way a real deployment is: the band and baseline are computed by the
+    BATCH operators on the static read of the same dir (the
+    batch-computes / stream-consumes contract), then passed as
+    literals."""
+    from ..checks.health import completeness_drift, volume_anomaly
+
+    static = spark.read.parquet(parquet_dir)
+    ts_col = kwargs.get("ts_col", "ts")
+    part = F.date_format(ts_col, part_fmt)
+    band_row = (
+        volume_anomaly(static, part).select("med", "mad").limit(1).first()
+    )
+    base_frac = None
+    if valid_expr is not None:
+        base_frac = (
+            completeness_drift(static, part, F.expr(valid_expr), tol)
+            .select("base_frac")
+            .limit(1)
+            .first()["base_frac"]
+        )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_health(
+        stream,
+        volume_band=(band_row["med"], band_row["mad"]),
+        valid_expr=valid_expr,
+        baseline_frac=base_frac,
+        tol=tol,
+        **kwargs,
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_rate_violations(
     stream_df: DataFrame,
     key_col: str = "conv_id",

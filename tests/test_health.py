@@ -249,6 +249,138 @@ def test_health_pass_plan_single_scan_no_expand(spark, corpus):
     assert "SinglePartition" in plan
 
 
+def test_stream_health_batch_parity(spark, tmp_path):
+    """The streaming twin re-emits the BATCH verdicts exactly when fed
+    the batch-computed band/baseline: per-day windows == volume_anomaly
+    + completeness_drift on the same corpus, compared ==-exact (floats
+    included), across multiple forced micro-batches."""
+    import datetime
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_health_smoke,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(8):
+        n = 50 if d != 5 else 200  # planted volume outlier on day 5
+        for i in range(n):
+            rows.append(
+                (
+                    base + datetime.timedelta(days=d, seconds=i),
+                    None if (d == 3 and i % 2 == 0) else "x",
+                )
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, tool string")
+    src = str(tmp_path / "events")
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(src)
+
+    out = run_stream_health_smoke(
+        spark,
+        src,
+        query_name="t_shealth",
+        valid_expr="tool",
+        tol=0.1,
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["window_start"].strftime("%Y-%m-%d"): r
+        for r in out.collect()
+    }
+    assert len(got) == 8
+
+    day = F.date_format("ts", "yyyy-MM-dd")
+    vol = {
+        r["part"]: r for r in volume_anomaly(df, day).collect()
+    }
+    comp = {
+        r["part"]: r
+        for r in completeness_drift(df, day, "tool", 0.1).collect()
+    }
+    for p, v in vol.items():
+        s = got[p]
+        assert (s["n"], s["med"], s["mad"], s["dev"], s["is_anomaly"]) == (
+            v["n"], v["med"], v["mad"], v["dev"], v["is_anomaly"]
+        )
+        c = comp[p]
+        assert (
+            s["n_valid"], s["null_frac"], s["base_frac"], s["delta"],
+            s["is_drift"],
+        ) == (
+            c["n_valid"], c["null_frac"], c["base_frac"], c["delta"],
+            c["is_drift"],
+        )
+    assert got["2024-03-06"]["is_anomaly"] is True
+    assert got["2024-03-04"]["is_drift"] is True
+
+
+def test_stream_health_guards(spark):
+    from taco_toolbox_spark.streaming.validate_stream import stream_health
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="at least one member"):
+        stream_health(df, ts_col="timestamp")
+    with pytest.raises(ValueError, match="explicit baseline_frac"):
+        stream_health(df, ts_col="timestamp", valid_expr="value")
+    with pytest.raises(ValueError, match="distinct_band"):
+        stream_health(df, ts_col="timestamp", distinct_col="value")
+    with pytest.raises(ValueError, match="baseline_frac must be in"):
+        stream_health(
+            df, ts_col="timestamp", valid_expr="value", baseline_frac=2.0
+        )
+
+
+def test_stream_health_approx_cardinality_member(spark, tmp_path):
+    """The cardinality member streams as an HLL approximation (bounded
+    state) with the band applied to the approximate count — the column
+    names say so; the batch check stays the exact anchor."""
+    import datetime
+
+    from taco_toolbox_spark.streaming.validate_stream import stream_health
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(4):
+        for i in range(40):
+            # day 2 collapses to 2 distinct users
+            rows.append(
+                (
+                    base + datetime.timedelta(days=d, seconds=i),
+                    f"u{i % (2 if d == 2 else 40)}",
+                )
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_health(
+        stream,
+        distinct_col="user",
+        distinct_band=(40.0, 0.0),
+        distinct_k=3.0,
+        # small rsd: at these cardinalities the HLL answer is exact
+        distinct_rsd=0.01,
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_shealth_card")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start"].strftime("%Y-%m-%d"): r
+        for r in spark.sql("SELECT * FROM t_shealth_card").collect()
+    }
+    assert got["2024-03-03"]["card_flag_approx"] is True
+    assert got["2024-03-01"]["card_flag_approx"] is False
+    assert "n_distinct_approx" in got["2024-03-01"].asDict()
+
+
 @pytest.fixture(scope="module")
 def cli_corpus_dir(spark, tmp_path_factory):
     from taco_toolbox_spark.datagen import generate_transcripts, write_corpus
