@@ -824,3 +824,282 @@ def transcript_suite_spec() -> dict:
             {"type": "text_equality", "id": "text_equality"},
         ],
     }
+
+
+def suggest_suite(
+    df: DataFrame,
+    cfg: EngineConfig | None = None,
+    vocab_max: int = 20,
+    health: bool = True,
+) -> dict:
+    """Draft a constraint-suite document FROM the corpus itself — the
+    profiler-to-expectations surface: point it at a blessed corpus and it
+    synthesizes the rules that corpus already satisfies, for a human to
+    review, loosen, and commit. The reference encodes this workflow
+    manually (its extension schemas are hand-written from known-good
+    datasets, /root/reference/tacotoolbox/sample/datamodel.py:49-57);
+    here the engine writes the first draft.
+
+    What it synthesizes, and from which pass:
+
+    * ONE global aggregation (single scan, map-side combined; collect_set
+      only for columns the HLL probe already bounded to ~``vocab_max``,
+      so driver state is bounded by construction):
+      ``not_null`` for columns observed null-free, ``vocab`` for string
+      columns with ≤ ``vocab_max`` exact distinct values (``nullable``
+      from the observed null count), ``range`` (observed min/max —
+      intentionally TIGHT: a reviewer widens ranges, a generator must
+      not invent slack), ``uniqueness`` when the exact distinct count
+      of ``cfg.key_cols`` equals the row count.
+    * ONE group aggregation on ``cfg.group_col``: ``contiguity`` on
+      ``cfg.order_col`` when every group is exactly 0..n-1.
+    * ONE window pass on the battery's (group, order) exchange:
+      ``monotone`` for each timestamp column with zero observed
+      inversions.
+    * ONE partition-grain aggregation (the health pass shape):
+      ``completeness`` for columns with a nonzero null fraction and —
+      with ``health`` — ``volume`` / ``cardinality`` (on
+      ``cfg.group_col``), each CALIBRATED so the blessed corpus itself
+      passes: tol / k are the smallest values (floored at the 0.05 /
+      3-MAD conventions) every observed partition satisfies — a draft
+      that alarms on its own source is noise, not safety. A MAD of 0
+      with real deviations is un-bandable; that entry is skipped.
+
+    The returned document is guaranteed to parse (it is round-tripped
+    through :func:`parse_suite` before returning) and is deterministic
+    for a given corpus. It is a DRAFT: observed-value rules (vocab,
+    range) will fire on any legitimately-new value — that is the point
+    of a review step, not a bug in the generator.
+    """
+    from pyspark.sql import Window
+
+    cfg = cfg or EngineConfig()
+    fields = [f for f in df.schema.fields]
+    names = [f.name for f in fields]
+    for k in (cfg.partition_col, cfg.group_col, cfg.order_col, *cfg.key_cols):
+        if k not in names:
+            raise ValueError(
+                f"suggest_suite: engine column {k!r} missing from the "
+                f"input (has {names}) — pass a matching EngineConfig"
+            )
+
+    numeric = {
+        f.name
+        for f in fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    stringy = {f.name for f in fields if f.dataType.typeName() == "string"}
+    tsy = {f.name for f in fields if f.dataType.typeName().startswith("timestamp")}
+
+    # ---- pass 1a: global profile (one scan) -----------------------------
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), 0.01).alias(f"_ad_{c}")
+        )
+    for c in sorted(numeric):
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+    aggs.append(
+        F.count_distinct(*[F.col(k) for k in cfg.key_cols]).alias("_kd")
+    )
+    prof = df.agg(*aggs).first()
+    n_rows = int(prof["_n"])
+    if n_rows == 0:
+        raise ValueError(
+            "suggest_suite: the corpus is empty — profiling nothing would "
+            "synthesize a suite that forbids everything"
+        )
+
+    # ---- pass 1b: exact vocabularies for HLL-bounded candidates ---------
+    # 1.2 slack over the 1% HLL rsd so a true count of vocab_max cannot be
+    # excluded by estimator noise; the exact set size decides membership
+    cand = [
+        c
+        for c in sorted(stringy)
+        if int(prof[f"_ad_{c}"]) <= max(vocab_max * 1.2, vocab_max + 2)
+    ]
+    vocab_sets: dict[str, list[str]] = {}
+    if cand:
+        sets = df.agg(
+            *[F.collect_set(F.col(c)).alias(c) for c in cand]
+        ).first()
+        for c in cand:
+            vals = sorted(sets[c])
+            if len(vals) <= vocab_max:
+                vocab_sets[c] = vals
+
+    # ---- pass 2: contiguity probe (one group aggregation) ---------------
+    g = (
+        df.groupBy(cfg.group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_gn"),
+            F.count_distinct(cfg.order_col).alias("_gd"),
+            F.min(cfg.order_col).cast("long").alias("_gmn"),
+            F.max(cfg.order_col).cast("long").alias("_gmx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_groups"),
+            F.sum(
+                F.when(
+                    (F.col("_gmn") != 0)
+                    | (F.col("_gmx") != F.col("_gn") - 1)
+                    | (F.col("_gd") != F.col("_gn")),
+                    1,
+                ).otherwise(0)
+            ).alias("_bad"),
+        )
+        .first()
+    )
+    contiguous = int(g["_bad"] or 0) == 0
+
+    # ---- pass 3: monotone probe (one window pass, battery exchange) -----
+    mono_cols: list[str] = []
+    ts_cand = sorted(tsy)
+    if ts_cand:
+        w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+        inv = df.select(
+            *[
+                (F.lag(c).over(w) > F.col(c)).cast("int").alias(f"_i_{c}")
+                for c in ts_cand
+            ]
+        ).agg(*[F.sum(f"_i_{c}").alias(c) for c in ts_cand]).first()
+        mono_cols = [c for c in ts_cand if int(inv[c] or 0) == 0]
+
+    # ---- pass 4: health calibration (one partition-grain aggregation) ---
+    # A draft that ALARMS on its own blessed corpus is noise, so the
+    # self-calibrating members are calibrated here: k / tol are the
+    # smallest values (floored at the 3-MAD / 0.05 conventions) under
+    # which every observed partition passes. One partition_profile scan
+    # carries volume, group cardinality, and every nullable column's
+    # fraction; the bands are the usual whole-frame windows.
+    import math
+
+    from .checks.health import partition_profile, robust_band
+
+    nullable = [c for c in names if 0 < int(prof[f"_nn_{c}"]) < n_rows]
+    hp = partition_profile(
+        df,
+        cfg.partition_col,
+        valid={c: F.col(c) for c in nullable},
+        distinct={"g": cfg.group_col},
+    )
+    hp = robust_band(hp, "n", 1.0, prefix="_v_")
+    hp = robust_band(hp, "d_g", 1.0, prefix="_c_")
+    cal_aggs = [
+        F.max("_v_dev").alias("_v_maxdev"),
+        F.min("_v_mad").alias("_v_mad"),
+        F.max("_c_dev").alias("_c_maxdev"),
+        F.min("_c_mad").alias("_c_mad"),
+    ]
+    for c in nullable:
+        base = float(n_rows - int(prof[f"_nn_{c}"])) / float(n_rows)
+        frac = (F.col("n") - F.col(f"v_{c}")).cast("double") / F.col(
+            "n"
+        ).cast("double")
+        cal_aggs.append(F.max(F.abs(frac - F.lit(base))).alias(f"_d_{c}"))
+    cal = hp.agg(*cal_aggs).first()
+
+    def _band_k(maxdev, mad) -> float | None:
+        """Smallest 1-decimal k (floor 3.0) passing every partition;
+        None when MAD = 0 makes any deviation un-bandable."""
+        maxdev, mad = float(maxdev or 0.0), float(mad or 0.0)
+        if maxdev == 0.0:
+            return 3.0
+        if mad == 0.0:
+            return None
+        k = math.ceil(maxdev / mad * 10.0) / 10.0
+        return max(3.0, k)
+
+    vol_k = _band_k(cal["_v_maxdev"], cal["_v_mad"])
+    card_k = _band_k(cal["_c_maxdev"], cal["_c_mad"])
+    comp_tol: dict[str, float] = {}
+    for c in nullable:
+        maxd = float(cal[f"_d_{c}"] or 0.0)
+        comp_tol[c] = max(0.05, math.ceil(maxd * 1000.0) / 1000.0)
+
+    # ---- assemble --------------------------------------------------------
+    checks: list[dict] = []
+    if int(prof["_kd"]) == n_rows:
+        checks.append(
+            {
+                "type": "uniqueness",
+                "id": f"unique_{'_'.join(cfg.key_cols)}",
+                "keys": list(cfg.key_cols),
+            }
+        )
+    for c in names:
+        if int(prof[f"_nn_{c}"]) == n_rows:
+            checks.append(
+                {"type": "not_null", "id": f"{c}_not_null", "col": c}
+            )
+    for c, vals in vocab_sets.items():
+        checks.append(
+            {
+                "type": "vocab",
+                "id": f"{c}_vocab",
+                "col": c,
+                "allowed": vals,
+                "nullable": int(prof[f"_nn_{c}"]) < n_rows,
+            }
+        )
+    for c in sorted(numeric):
+        if prof[f"_min_{c}"] is None:
+            continue
+        checks.append(
+            {
+                "type": "range",
+                "id": f"{c}_range",
+                "col": c,
+                "min": float(prof[f"_min_{c}"]),
+                "max": float(prof[f"_max_{c}"]),
+                "null_ok": int(prof[f"_nn_{c}"]) < n_rows,
+            }
+        )
+    for c in mono_cols:
+        checks.append({"type": "monotone", "id": f"{c}_monotone", "col": c})
+    if contiguous:
+        checks.append(
+            {
+                "type": "contiguity",
+                "id": f"{cfg.order_col}_contiguous",
+                "col": cfg.order_col,
+            }
+        )
+    for c in nullable:
+        checks.append(
+            {
+                "type": "completeness",
+                "id": f"{c}_null_drift",
+                "col": c,
+                "tol": comp_tol[c],
+            }
+        )
+    if health:
+        # MAD=0 with real deviations means no k can band this corpus —
+        # skip the entry rather than ship a rule its own source fails
+        if vol_k is not None:
+            checks.append({"type": "volume", "id": "volume", "k": vol_k})
+        if card_k is not None:
+            checks.append(
+                {
+                    "type": "cardinality",
+                    "id": f"{cfg.group_col}_cardinality",
+                    "col": cfg.group_col,
+                    "k": card_k,
+                }
+            )
+
+    spec = {
+        "engine": {
+            "partition_col": cfg.partition_col,
+            "group_col": cfg.group_col,
+            "order_col": cfg.order_col,
+            "key_cols": list(cfg.key_cols),
+        },
+        "checks": checks,
+    }
+    parse_suite(spec)  # the draft must always load
+    return spec

@@ -292,3 +292,87 @@ def test_suite_engine_config_applies(spark):
 def test_suite_validation_gates(spark, spec, frag):
     with pytest.raises(SuiteError, match=frag):
         parse_suite(spec)
+
+
+def test_suggest_suite_draft_contract(spark, corpus):
+    """The profiler-synthesized draft (a) always parses, (b) runs GREEN
+    on the corpus it was profiled from — calibrated tol/k, no
+    self-alarming draft — (c) fires on the corrupted twin, (d) is
+    deterministic, (e) is plain-JSON serializable."""
+    from taco_toolbox_spark.suite import suggest_suite
+
+    spec = suggest_suite(corpus.clean)
+    json.dumps(spec)  # JSON-serializable draft
+    assert spec == suggest_suite(corpus.clean)
+
+    by_type = {}
+    for c in spec["checks"]:
+        by_type.setdefault(c["type"], []).append(c)
+    # the synthesized families a clean transcript corpus must yield
+    assert "uniqueness" in by_type
+    assert any(c["col"] == "role" for c in by_type["vocab"])
+    assert any(c["col"] == "turn_idx" for c in by_type["range"])
+    assert any(c["col"] == "ts" for c in by_type["monotone"])
+    assert "contiguity" in by_type
+    assert any(c["col"] == "tool" for c in by_type["completeness"])
+
+    suite = parse_suite(spec)
+    clean_res = suite.run(corpus.clean)
+    assert clean_res.verdicts.filter("NOT passed").count() == 0
+
+    bad = parse_suite(spec).run(corpus.corrupted)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    # corruption kinds the draft must catch without any human edit
+    assert {"text_not_null", "ts_monotone", "turn_idx_contiguous"} <= fired
+
+
+def test_suggest_suite_vocab_cap_and_tight_range(spark):
+    """Columns past vocab_max get NO vocab rule; ranges are the observed
+    min/max exactly (tight by contract — reviewers widen, generators
+    must not invent slack)."""
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import suggest_suite
+
+    rows = [
+        ("p", "g1", i, f"w{i}", "a" if i % 2 else "b", i * 10)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, wide string,"
+        " narrow string, x int"
+    )
+    spec = suggest_suite(
+        df,
+        EngineConfig(order_col="turn_idx", key_cols=("conv_id", "turn_idx")),
+        vocab_max=5,
+        health=False,
+    )
+    vocabs = {c["col"] for c in spec["checks"] if c["type"] == "vocab"}
+    assert "narrow" in vocabs and "wide" not in vocabs
+    rng = next(
+        c for c in spec["checks"]
+        if c["type"] == "range" and c["col"] == "x"
+    )
+    assert (rng["min"], rng["max"]) == (0.0, 290.0)
+    # no monotone entry: there is no timestamp column
+    assert not any(c["type"] == "monotone" for c in spec["checks"])
+
+
+def test_suggest_suite_guards(spark):
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import suggest_suite
+
+    df = spark.createDataFrame([("p", "c", 0)], "a string, b string, c int")
+    with pytest.raises(ValueError, match="engine column"):
+        suggest_suite(df)
+    empty = spark.createDataFrame(
+        [],
+        "part string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        suggest_suite(empty)

@@ -949,3 +949,64 @@ def test_validate_cli_max_loop(spark, corpus_dir, tmp_path):
              "--output", str(tmp_path / "l4"), "--max-loop", "role:0:2"],
             stop_session=False,
         )
+
+
+def test_suggest_cli_roundtrip_into_validate(spark, corpus_dir, tmp_path):
+    """jobs/suggest.py profiles the blessed corpus into a suite file that
+    loads, runs green on its source via jobs/validate.py --suite, and
+    fires on the corrupted twin — the full profiler-to-validation loop."""
+    from jobs.suggest import main as suggest_main
+
+    suite_path = str(tmp_path / "suite.json")
+    rc = suggest_main(
+        [
+            "--input", f"{corpus_dir}/transcripts_baseline",
+            "--output", suite_path,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = str(tmp_path / "val")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts_baseline",
+            "--output", out,
+            "--suite", suite_path,
+            "--batch-parts", "0",
+            "--run-id", "sgg1",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    import os as _os
+    verd = spark.read.parquet(_os.path.join(out, "verdicts"))
+    assert verd.filter("NOT passed").count() == 0
+
+    out2 = str(tmp_path / "val2")
+    rc = validate_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out2,
+            "--suite", suite_path,
+            "--batch-parts", "0",
+            "--run-id", "sgg2",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    verd2 = spark.read.parquet(_os.path.join(out2, "verdicts"))
+    assert verd2.filter("NOT passed").count() > 0
+
+
+def test_suggest_cli_bad_args(tmp_path):
+    from jobs.suggest import main as suggest_main
+
+    with pytest.raises(SystemExit, match="vocab-max"):
+        suggest_main(
+            [
+                "--input", str(tmp_path / "x"),
+                "--output", str(tmp_path / "s.json"),
+                "--vocab-max", "0",
+            ],
+            stop_session=False,
+        )
