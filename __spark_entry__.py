@@ -2538,6 +2538,36 @@ def q_d13_completeness_drift(spark, sf_dir):
     )
 
 
+def q_d15_seasonal_volume(spark, sf_dir):
+    """SEASONAL volume anomaly — the weekly-rhythm form of d12: the
+    robust band is computed WITHIN each ISO day-of-week class (band
+    windows partition by the class over the one-row-per-partition
+    profile — still one exchange of kilobytes), so a legitimate Sunday
+    trough stops paging and a broken Sunday that merely looks like a
+    weekday starts. Spark `weekday(to_date(part)) + 1` == DuckDB
+    `date_part('isodow', …)` (both 1..7 Monday-anchored), and the
+    class-partitioned exact percentile replays bit-for-bit — the flag
+    set genuinely differs from d12's on this corpus (checks/health.py:
+    volume_anomaly(season_expr=…))."""
+    from taco_toolbox_spark.checks.health import volume_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return volume_anomaly(
+        ev,
+        F.date_format("ts", "yyyy-MM-dd"),
+        k=3.0,
+        season_expr=(F.weekday(F.to_date("part")) + F.lit(1)).cast("int"),
+    ).select(
+        F.col("part").alias("day"),
+        "season",
+        "n",
+        "med",
+        "mad",
+        "dev",
+        "is_anomaly",
+    )
+
+
 def q_d14_cardinality_anomaly(spark, sf_dir):
     """Partition CARDINALITY anomaly — the third member of the
     partition-health trio: per-day EXACT distinct user count judged
@@ -2917,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_volume_anomaly": q_d12_volume_anomaly,
         "stream_health": q_stream_health,
         "d13_completeness_drift": q_d13_completeness_drift,
+        "d15_seasonal_volume": q_d15_seasonal_volume,
         "d14_cardinality_anomaly": q_d14_cardinality_anomaly,
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
@@ -4036,6 +4067,23 @@ def oracle_sql() -> dict[str, str]:
             b3 AS (SELECT *, quantile_cont(dev, 0.5) OVER () AS mad
                    FROM b2)
             SELECT part AS day, n, med, mad, dev,
+                   dev > 3.0 * mad AS is_anomaly
+            FROM b3
+        """,
+        "d15_seasonal_volume": """
+            WITH prof AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     date_part('isodow', cast(ts AS DATE))::INTEGER
+                       AS season,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            b1 AS (SELECT *, quantile_cont(n, 0.5)
+                     OVER (PARTITION BY season) AS med FROM prof),
+            b2 AS (SELECT *, abs(n::DOUBLE - med) AS dev FROM b1),
+            b3 AS (SELECT *, quantile_cont(dev, 0.5)
+                     OVER (PARTITION BY season) AS mad FROM b2)
+            SELECT part AS day, season, n, med, mad, dev,
                    dev > 3.0 * mad AS is_anomaly
             FROM b3
         """,

@@ -396,6 +396,14 @@ class VolumeAnomalyCheck(Check):
     flags ANY deviating partition — strict by construction."""
 
     k: float = 3.0
+    #: SQL expression over the partition value (available as the string
+    #: column ``part``) defining a season class, e.g.
+    #: ``"weekday(to_date(part)) + 1"`` for ISO day-of-week: the band is
+    #: then computed within each class — the weekly-rhythm fix (a plain
+    #: band pages on every legitimate Sunday trough and misses a broken
+    #: Sunday that looks like a weekday). None = one band over all
+    #: partitions.
+    season: str | None = None
 
     def __post_init__(self) -> None:
         if self.k <= 0:
@@ -457,6 +465,9 @@ class CardinalityAnomalyCheck(Check):
 
     value_col: str = ""
     k: float = 3.0
+    #: season-class expression over the ``part`` string — same contract
+    #: as :class:`VolumeAnomalyCheck.season`
+    season: str | None = None
 
     def __post_init__(self) -> None:
         if not self.value_col:

@@ -109,12 +109,21 @@ def robust_band(
     metric_col: str,
     k: float,
     prefix: str = "",
+    season_col: str | None = None,
 ) -> DataFrame:
     """Append ``<prefix>med / dev / mad / flag`` for one profile metric:
     exact interpolated median, absolute deviation, median absolute
     deviation, and ``dev > k·MAD``. Two whole-frame windows over the
     one-row-per-partition profile — no second scan of the data, no extra
-    exchange beyond the shared single-partition one."""
+    exchange beyond the shared single-partition one.
+
+    ``season_col`` makes the band SEASONAL: the median/MAD are computed
+    within each season class (e.g. day-of-week) instead of over all
+    partitions — the weekly-rhythm fix for volume monitoring, where a
+    plain band pages on every legitimate Sunday trough and misses a
+    broken Sunday that looks like a weekday. The windows partition by
+    the class; the profile is still one row per partition, so the
+    exchange stays kilobytes."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     _guard(
@@ -122,7 +131,11 @@ def robust_band(
         {f"{prefix}{s}" for s in ("med", "dev", "mad", "flag")},
         "robust_band",
     )
-    w = _whole_frame()
+    w = (
+        Window.partitionBy(season_col)
+        if season_col is not None
+        else _whole_frame()
+    )
     med = F.percentile(F.col(metric_col).cast("double"), F.lit(0.5)).over(w)
     out = profile.withColumn(f"{prefix}med", med)
     out = out.withColumn(
@@ -139,20 +152,25 @@ def robust_band(
 
 
 def volume_anomaly(
-    df: DataFrame, part_col: Column | str, k: float = 3.0
+    df: DataFrame,
+    part_col: Column | str,
+    k: float = 3.0,
+    season_expr: Column | None = None,
 ) -> DataFrame:
-    """Per-partition ``(part, n, med, mad, dev, is_anomaly)``: row count
-    judged against the run's own robust band."""
+    """Per-partition ``(part, [season,] n, med, mad, dev, is_anomaly)``:
+    row count judged against the run's own robust band. ``season_expr``
+    is an expression over the output ``part`` STRING column (e.g.
+    ``F.weekday(F.to_date("part")) + 1`` for ISO day-of-week) that makes
+    the band seasonal — judged against same-class partitions only."""
     prof = partition_profile(df, part_col)
-    band = robust_band(prof, "n", k)
-    return band.select(
-        "part",
-        "n",
-        "med",
-        "mad",
-        "dev",
-        F.col("flag").alias("is_anomaly"),
-    )
+    cols = ["part", "n", "med", "mad", "dev"]
+    season = None
+    if season_expr is not None:
+        prof = prof.withColumn("season", season_expr)
+        season = "season"
+        cols.insert(1, "season")
+    band = robust_band(prof, "n", k, season_col=season)
+    return band.select(*cols, F.col("flag").alias("is_anomaly"))
 
 
 def completeness_drift(
@@ -202,12 +220,19 @@ def cardinality_anomaly(
     part_col: Column | str,
     key: Column | str,
     k: float = 3.0,
+    season_expr: Column | None = None,
 ) -> DataFrame:
-    """Per-partition ``(part, n, n_distinct, med, mad, dev, is_anomaly)``:
-    exact distinct count of ``key`` judged against the robust band."""
+    """Per-partition ``(part, [season,] n, n_distinct, med, mad, dev,
+    is_anomaly)``: exact distinct count of ``key`` judged against the
+    robust band — seasonal when ``season_expr`` (over the output ``part``
+    string) is given, same contract as :func:`volume_anomaly`."""
     prof = partition_profile(df, part_col, distinct={"c": key})
-    band = robust_band(prof, "d_c", k)
-    return band.select(
+    season = None
+    if season_expr is not None:
+        prof = prof.withColumn("season", season_expr)
+        season = "season"
+    band = robust_band(prof, "d_c", k, season_col=season)
+    cols = [
         "part",
         "n",
         F.col("d_c").alias("n_distinct"),
@@ -215,7 +240,10 @@ def cardinality_anomaly(
         "mad",
         "dev",
         F.col("flag").alias("is_anomaly"),
-    )
+    ]
+    if season is not None:
+        cols.insert(1, F.col("season"))
+    return band.select(*cols)
 
 
 def _health_violation_rows(

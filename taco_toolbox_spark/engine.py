@@ -835,12 +835,22 @@ def _health_pass(
         df, cfg.partition_col, valid=valid, distinct=distinct
     )
     w = Window.partitionBy(F.lit(1))
-    for c in vol_checks:
-        frame = robust_band(frame, "n", c.k, prefix=f"_{c.check_id}_")
-    for c in card_checks:
-        frame = robust_band(
-            frame, f"d_{c.check_id}", c.k, prefix=f"_{c.check_id}_"
+
+    def _banded(frame, c, metric):
+        season = None
+        if c.season is not None:
+            frame = frame.withColumn(
+                f"_{c.check_id}_season", F.expr(c.season)
+            )
+            season = f"_{c.check_id}_season"
+        return robust_band(
+            frame, metric, c.k, prefix=f"_{c.check_id}_", season_col=season
         )
+
+    for c in vol_checks:
+        frame = _banded(frame, c, "n")
+    for c in card_checks:
+        frame = _banded(frame, c, f"d_{c.check_id}")
     for c in comp_checks:
         nf = (F.col("n") - F.col(f"v_{c.check_id}")).cast(
             "double"

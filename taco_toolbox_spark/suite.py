@@ -120,9 +120,9 @@ _TYPE_KEYS: dict[str, set[str]] = {
     },
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
-    "volume": {"k"},
+    "volume": {"k", "season"},
     "completeness": {"col", "tol", "baseline_frac"},
-    "cardinality": {"col", "k"},
+    "cardinality": {"col", "k", "season"},
 }
 
 _ENGINE_KEYS = {
@@ -513,9 +513,14 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
             baseline_counts=bc,
         )
     elif t == "volume":
+        season = entry.get("season")
+        if season is not None:
+            _sql_expr(season, where, "season")
         try:
             c = VolumeAnomalyCheck(
-                check_id=cid, k=_float(entry, where, "k", 3.0)
+                check_id=cid,
+                k=_float(entry, where, "k", 3.0),
+                season=season,
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None
@@ -541,11 +546,15 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
     elif t == "cardinality":
         _require(entry, where, "col")
         _sql_expr(entry["col"], where, "col")
+        season = entry.get("season")
+        if season is not None:
+            _sql_expr(season, where, "season")
         try:
             c = CardinalityAnomalyCheck(
                 check_id=cid,
                 value_col=entry["col"],
                 k=_float(entry, where, "k", 3.0),
+                season=season,
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None

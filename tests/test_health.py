@@ -170,6 +170,87 @@ def test_cardinality_as_duplicate_rate_monitor(spark):
     assert not any(v for k, v in got.items() if k != "dup")
 
 
+def test_seasonal_volume_band(spark):
+    """The season-classed band fixes the weekly rhythm: a legitimate
+    low-volume 'sunday' class stops flagging (plain band pages on it)
+    and a broken member WITHIN the class starts flagging (plain band
+    sees it as an ordinary weekday count)."""
+    rows = []
+    # 4 weeks: weekday partitions 100 rows, sundays 20 — except one
+    # BROKEN sunday carrying a weekday-like 100
+    for wk in range(4):
+        for dow in ("mon", "tue", "wed", "sun"):
+            part = f"w{wk}_{dow}"
+            n = 20 if dow == "sun" else 100
+            if part == "w2_sun":
+                n = 100
+            rows += [(part, dow, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "part string, dow string, x int")
+
+    plain = {
+        r["part"]: r["is_anomaly"]
+        for r in volume_anomaly(df, "part", k=3.0).collect()
+    }
+    # plain band: median is the weekday 100, healthy sundays deviate
+    assert plain["w0_sun"] is True
+    assert plain["w2_sun"] is False  # the broken sunday hides
+
+    seasonal = {
+        r["part"]: r
+        for r in volume_anomaly(
+            df,
+            "part",
+            k=3.0,
+            season_expr=F.substring_index("part", "_", -1),
+        ).collect()
+    }
+    assert seasonal["w0_sun"]["is_anomaly"] is False
+    assert seasonal["w2_sun"]["is_anomaly"] is True  # exposed in-class
+    assert seasonal["w2_sun"]["season"] == "sun"
+    assert seasonal["w0_mon"]["med"] == 100.0
+    assert seasonal["w0_sun"]["med"] == 20.0
+
+
+def test_seasonal_engine_and_suite(spark):
+    """The season expression rides the engine check and the suite type;
+    a malformed season expression is a load-time SuiteError."""
+    from taco_toolbox_spark.suite import SuiteError, parse_suite
+
+    rows = []
+    for wk in range(4):
+        for dow in ("mon", "tue", "sun"):
+            part = f"w{wk}_{dow}"
+            n = 20 if dow == "sun" else 100
+            if part == "w2_sun":
+                n = 100
+            rows += [(part, f"c{part}", i) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int"
+    )
+    spec = {
+        "engine": {"partition_col": "part"},
+        "checks": [
+            {
+                "type": "volume",
+                "id": "vol_seasonal",
+                "k": 3.0,
+                "season": "substring_index(part, '_', -1)",
+            }
+        ],
+    }
+    res = parse_suite(spec).run(df)
+    bad = [r["part"] for r in res.verdicts.filter("NOT passed").collect()]
+    assert bad == ["w2_sun"]
+    with pytest.raises(SuiteError, match="unparseable"):
+        parse_suite(
+            {
+                "checks": [
+                    {"type": "volume", "id": "x", "season": "SELEC bogus ("}
+                ]
+            }
+        )
+
+
 def test_robust_band_guards(spark, corpus):
     prof = partition_profile(corpus, "part")
     with pytest.raises(ValueError, match="k must be > 0"):
