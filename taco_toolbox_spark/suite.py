@@ -865,6 +865,11 @@ def suggest_suite(
     * ONE window pass on the battery's (group, order) exchange:
       ``monotone`` for each timestamp column with zero observed
       inversions.
+    * A handful of grouped aggregations over the low-cardinality
+      columns: ``fd`` entries for every pairwise functional dependency
+      that holds (det → dep with the FD check's own NULL-marked combo
+      semantics, so discovery and enforcement cannot disagree on NULLs;
+      constant dependents are vacuous and skipped).
     * ONE partition-grain aggregation (the health pass shape):
       ``completeness`` for columns with a nonzero null fraction and —
       with ``health`` — ``volume`` / ``cardinality`` (on
@@ -977,6 +982,45 @@ def suggest_suite(
         ).agg(*[F.sum(f"_i_{c}").alias(c) for c in ts_cand]).first()
         mono_cols = [c for c in ts_cand if int(inv[c] or 0) == 0]
 
+    # ---- pass 3b: functional-dependency discovery ------------------------
+    # Pairwise over the LOW-CARDINALITY string columns only (the vocab
+    # candidates — a handful by construction, so this is a handful of
+    # grouped aggregations, each map-side combinable): det -> dep holds
+    # when every non-NULL det value maps to exactly one dep value. The
+    # distinct count runs over the FD check's own NULL-marked combo form
+    # (checks/fd.py:dependent_combo) so a det value mapping to {NULL, x}
+    # counts as TWO — discovery and enforcement can never disagree on
+    # NULL semantics. Constant deps (global distinct <= 1) are vacuous
+    # and skipped; NULL determinants are exempt, matching the check's
+    # default.
+    from .checks.fd import dependent_combo
+
+    fd_pairs: list[tuple[str, str]] = []
+    fd_cols = sorted(vocab_sets)
+    for det in fd_cols:
+        deps = [
+            d
+            for d in fd_cols
+            if d != det and len(vocab_sets[d]) > 1
+        ]
+        if not deps:
+            continue
+        row = (
+            df.filter(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(
+                *[
+                    F.count_distinct(dependent_combo([d])).alias(f"_fd_{d}")
+                    for d in deps
+                ]
+            )
+            .agg(*[F.max(f"_fd_{d}").alias(d) for d in deps])
+            .first()
+        )
+        for d in deps:
+            if row is not None and int(row[d] or 0) <= 1:
+                fd_pairs.append((det, d))
+
     # ---- pass 4: health calibration (one partition-grain aggregation) ---
     # A draft that ALARMS on its own blessed corpus is noise, so the
     # self-calibrating members are calibrated here: k / tol are the
@@ -1069,6 +1113,16 @@ def suggest_suite(
         )
     for c in mono_cols:
         checks.append({"type": "monotone", "id": f"{c}_monotone", "col": c})
+    for det, dep in fd_pairs:
+        checks.append(
+            {
+                "type": "fd",
+                "id": f"fd_{det}__{dep}",
+                "determinant": [det],
+                "dependent": [dep],
+                "skip_null_determinant": True,
+            }
+        )
     if contiguous:
         checks.append(
             {

@@ -376,3 +376,59 @@ def test_suggest_suite_guards(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         suggest_suite(empty)
+
+
+def test_suggest_suite_fd_discovery(spark):
+    """Pairwise FD discovery over the low-cardinality columns: held
+    dependencies become fd entries with the check's NULL semantics — a
+    determinant mapping to {NULL, value} is NOT a dependency (the FD
+    check counts the NULL-marked combo as its own value)."""
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    rows = []
+    for i in range(40):
+        code = f"c{i % 4}"
+        region = {"c0": "eu", "c1": "eu", "c2": "us", "c3": "us"}[code]
+        # 'leaky' maps c0 -> {NULL, l0}: not a dependency under the
+        # check's NULL-as-value rule (c0 rows are i % 4 == 0; half of
+        # those — i % 8 == 0 — carry NULL)
+        leaky = None if (code == "c0" and i % 8 == 0) else f"l{i % 4}"
+        rows.append(("p", f"g{i}", 0, code, region, leaky))
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, code string,"
+        " region string, leaky string",
+    )
+    spec = suggest_suite(
+        df,
+        EngineConfig(order_col="turn_idx", key_cols=("conv_id", "turn_idx")),
+        health=False,
+    )
+    fds = {
+        (tuple(c["determinant"]), tuple(c["dependent"]))
+        for c in spec["checks"]
+        if c["type"] == "fd"
+    }
+    assert (("code",), ("region",)) in fds
+    assert (("code",), ("leaky",)) not in fds
+    # region (2 values) -> code (4 values) does not hold either
+    assert (("region",), ("code",)) not in fds
+    # the draft still runs green on its own source
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+
+def test_suggest_suite_fd_on_transcripts(spark, corpus):
+    """On the transcript corpus the discovered dependency is the schema's
+    real one: tool -> role (every named tool appears only on tool
+    turns)."""
+    from taco_toolbox_spark.suite import suggest_suite
+
+    spec = suggest_suite(corpus.clean)
+    fds = {
+        (tuple(c["determinant"]), tuple(c["dependent"]))
+        for c in spec["checks"]
+        if c["type"] == "fd"
+    }
+    assert (("tool",), ("role",)) in fds
