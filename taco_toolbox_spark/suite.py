@@ -869,7 +869,12 @@ def suggest_suite(
       columns: ``fd`` entries for every pairwise functional dependency
       that holds (det → dep with the FD check's own NULL-marked combo
       semantics, so discovery and enforcement cannot disagree on NULLs;
-      constant dependents are vacuous and skipped).
+      constant dependents are vacuous and skipped), and ``sequence``
+      grammars for NULL-free vocabulary columns — the observed adjacent
+      (prev, cur) pair set plus opening/closing value sets under the
+      battery's (group, order) window (bounded by vocab_max² pairs; a
+      nullable column would fail its own source, SequenceCheck fails
+      closed on NULL, so those are skipped).
     * ONE partition-grain aggregation (the health pass shape):
       ``completeness`` for columns with a nonzero null fraction and —
       with ``health`` — ``volume`` / ``cardinality`` (on
@@ -981,6 +986,75 @@ def suggest_suite(
             ]
         ).agg(*[F.sum(f"_i_{c}").alias(c) for c in ts_cand]).first()
         mono_cols = [c for c in ts_cand if int(inv[c] or 0) == 0]
+
+    # ---- pass 3c: sequence-grammar discovery ----------------------------
+    # For each NULL-FREE vocabulary column (a NULL mid-sequence would
+    # make the synthesized grammar fail its own source — SequenceCheck
+    # fails closed on NULL), collect the observed adjacent (prev, cur)
+    # pairs under the battery's (group, order) window plus the observed
+    # opening/closing value sets — the corpus's own transition grammar
+    # (e.g. the role protocol), bounded by vocab_max² pairs. One window
+    # pass + one bounded aggregation per qualifying column.
+    seq_grammar: dict[str, dict] = {}
+    seq_cand = [
+        c
+        for c in sorted(vocab_sets)
+        if int(prof[f"_nn_{c}"]) == n_rows and len(vocab_sets[c]) > 1
+    ]
+    if seq_cand:
+        w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
+        gw = df.select(
+            F.col(cfg.group_col).alias("_g"),
+            F.col(cfg.order_col).alias("_o"),
+            *[F.col(c) for c in seq_cand],
+            *[F.lag(c).over(w).alias(f"_prev_{c}") for c in seq_cand],
+        )
+        pair_aggs = []
+        for c in seq_cand:
+            pair_aggs.append(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(
+                            F.col(f"_prev_{c}").isNotNull(),
+                            F.concat_ws(
+                                "\x1f", F.col(f"_prev_{c}"), F.col(c)
+                            ),
+                        )
+                    )
+                ).alias(f"_pairs_{c}")
+            )
+            pair_aggs.append(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col(f"_prev_{c}").isNull(), F.col(c))
+                    )
+                ).alias(f"_first_{c}")
+            )
+        grams = gw.agg(*pair_aggs).first()
+        # closing values need the per-group last row: one bounded max_by
+        last_row = (
+            df.groupBy(cfg.group_col)
+            .agg(
+                *[
+                    F.max_by(F.col(c), F.col(cfg.order_col)).alias(c)
+                    for c in seq_cand
+                ]
+            )
+            .agg(
+                *[
+                    F.array_sort(F.collect_set(F.col(c))).alias(c)
+                    for c in seq_cand
+                ]
+            )
+            .first()
+        )
+        for c in seq_cand:
+            pairs = [p.split("\x1f") for p in grams[f"_pairs_{c}"]]
+            seq_grammar[c] = {
+                "allowed": [list(p) for p in pairs],
+                "first": list(grams[f"_first_{c}"]),
+                "last": list(last_row[c]),
+            }
 
     # ---- pass 3b: functional-dependency discovery ------------------------
     # Pairwise over the LOW-CARDINALITY string columns only (the vocab
@@ -1121,6 +1195,17 @@ def suggest_suite(
                 "determinant": [det],
                 "dependent": [dep],
                 "skip_null_determinant": True,
+            }
+        )
+    for c, g in seq_grammar.items():
+        checks.append(
+            {
+                "type": "sequence",
+                "id": f"{c}_grammar",
+                "col": c,
+                "allowed": g["allowed"],
+                "first": g["first"],
+                "last": g["last"],
             }
         )
     if contiguous:

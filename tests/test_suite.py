@@ -432,3 +432,29 @@ def test_suggest_suite_fd_on_transcripts(spark, corpus):
         if c["type"] == "fd"
     }
     assert (("tool",), ("role",)) in fds
+
+
+def test_suggest_suite_sequence_grammar(spark, corpus):
+    """Sequence-grammar discovery: the role protocol is mined from the
+    corpus itself (opens with system, system never reappears), nullable
+    vocab columns get NO grammar (SequenceCheck fails closed on NULL —
+    a synthesized grammar would fail its own source), and the grammar
+    fires on the corrupted twin."""
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    spec = suggest_suite(corpus.clean)
+    seqs = {c["col"]: c for c in spec["checks"] if c["type"] == "sequence"}
+    assert "role" in seqs
+    assert "tool" not in seqs  # nullable -> no grammar
+    g = seqs["role"]
+    assert g["first"] == ["system"]
+    # system opens and never reappears: no (x, system) pair for any x
+    assert not any(cur == "system" for _, cur in g["allowed"])
+
+    res = parse_suite(spec).run(corpus.corrupted)
+    fired = {
+        r["check_id"]
+        for r in res.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "role_grammar" in fired
