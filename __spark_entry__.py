@@ -2568,6 +2568,32 @@ def q_d15_seasonal_volume(spark, sf_dir):
     )
 
 
+def q_d16_volume_vs_history(spark, sf_dir):
+    """Volume anomaly judged against a HISTORICAL band — the fix for the
+    self-calibrated band's one blind spot: when EVERY partition of a run
+    shrinks together (a global upstream outage), the run's own median
+    shrinks with it and d12 sees a healthy run; judged against history,
+    everything fires. Here the first 20 days of the events table play
+    the blessed history (in production: `checkpoint.
+    volume_history_from_manifest` — every validation run already records
+    per-partition n_rows) and the last days are the run under judgment.
+    The band is ONE row broadcast onto the current profile; both sides
+    are partition-count-sized (checks/health.py:
+    volume_anomaly_vs_history)."""
+    from taco_toolbox_spark.checks.health import volume_anomaly_vs_history
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hist = ev.filter(day < "2024-01-21")
+    cur = ev.filter(day >= "2024-01-21")
+    from taco_toolbox_spark.checks.health import partition_profile
+
+    history = partition_profile(hist, day)
+    return volume_anomaly_vs_history(cur, day, history, k=3.0).select(
+        F.col("part").alias("day"), "n", "med", "mad", "dev", "is_anomaly"
+    )
+
+
 def q_d14_cardinality_anomaly(spark, sf_dir):
     """Partition CARDINALITY anomaly — the third member of the
     partition-health trio: per-day EXACT distinct user count judged
@@ -2948,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_health": q_stream_health,
         "d13_completeness_drift": q_d13_completeness_drift,
         "d15_seasonal_volume": q_d15_seasonal_volume,
+        "d16_volume_vs_history": q_d16_volume_vs_history,
         "d14_cardinality_anomaly": q_d14_cardinality_anomaly,
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
@@ -4069,6 +4096,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT part AS day, n, med, mad, dev,
                    dev > 3.0 * mad AS is_anomaly
             FROM b3
+        """,
+        "d16_volume_vs_history": """
+            WITH hist AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n
+              FROM events
+              WHERE strftime(ts, '%Y-%m-%d') < '2024-01-21'
+              GROUP BY 1
+            ),
+            m AS (SELECT quantile_cont(n, 0.5) AS med FROM hist),
+            b AS (
+              SELECT m.med,
+                     quantile_cont(abs(h.n::DOUBLE - m.med), 0.5) AS mad
+              FROM hist h CROSS JOIN m
+              GROUP BY m.med
+            ),
+            cur AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n
+              FROM events
+              WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-21'
+              GROUP BY 1
+            )
+            SELECT c.part AS day, c.n, b.med, b.mad,
+                   abs(c.n::DOUBLE - b.med) AS dev,
+                   abs(c.n::DOUBLE - b.med) > 3.0 * b.mad AS is_anomaly
+            FROM cur c CROSS JOIN b
         """,
         "d15_seasonal_volume": """
             WITH prof AS (

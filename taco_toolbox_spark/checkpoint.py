@@ -574,3 +574,30 @@ def run_resumable(
         manifest.record_partition(part, verdicts, n_rows=counts.get(part))
     manifest.save()
     return result
+
+
+def volume_history_from_manifest(
+    spark, manifest: CheckpointManifest
+) -> DataFrame:
+    """Per-partition row counts ``(part, n)`` from a previous run's
+    manifest — every validation run records ``n_rows`` per partition, so
+    any manifest is already a volume-history source. Feed it to
+    ``checks.health.volume_anomaly_vs_history`` to judge a NEW run
+    against the blessed run's band: the self-calibrated band's one blind
+    spot is a GLOBAL shift (every partition shrinking together moves the
+    run's own median with it), and a historical band is the fix. The
+    frame is manifest-sized (one row per recorded partition) and built
+    via literal_frame — no Python-parallelize RDD plan."""
+    from .schema import literal_frame
+
+    rows = [
+        (part, int(rec["n_rows"]))
+        for part, rec in manifest.doc["partitions"].items()
+        if rec.get("n_rows") is not None
+    ]
+    if not rows:
+        raise ValueError(
+            "manifest records no per-partition n_rows; it predates "
+            "row-count recording or no partition finished"
+        )
+    return literal_frame(spark, rows, "part string, n long")

@@ -306,3 +306,72 @@ def cardinality_anomaly_violations(
             F.col("mad").cast("string"),
         ),
     )
+
+
+def band_from_history(
+    history: DataFrame, metric_col: str, k: float
+) -> DataFrame:
+    """ONE-row ``(med, mad)`` band computed over a HISTORY frame of
+    per-partition metric values (tiny: one row per historical
+    partition). Exact interpolated percentiles, same arithmetic as
+    :func:`robust_band` so the two band sources are interchangeable."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    w = _whole_frame()
+    banded = history.withColumn(
+        "_med", F.percentile(F.col(metric_col).cast("double"), F.lit(0.5)).over(w)
+    ).withColumn(
+        "_dev", F.abs(F.col(metric_col).cast("double") - F.col("_med"))
+    )
+    return banded.agg(
+        F.min("_med").alias("med"),
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("mad"),
+    )
+
+
+def volume_anomaly_vs_history(
+    df: DataFrame,
+    part_col: Column | str,
+    history: DataFrame,
+    k: float = 3.0,
+    rel: float | None = None,
+) -> DataFrame:
+    """Per-partition ``(part, n, med, mad, dev, is_anomaly)`` with the
+    band computed from HISTORY (a frame with an ``n`` column of
+    per-partition row counts from previous blessed runs — e.g.
+    ``checkpoint.volume_history_from_manifest``) instead of from the
+    run itself.
+
+    This closes the self-calibrated band's one blind spot: when EVERY
+    partition of today's run shrinks together (an upstream global
+    outage), today's own median shrinks with them and
+    :func:`volume_anomaly` sees a perfectly healthy run. Judged against
+    history, every partition fires. The band is a 1-row broadcast onto
+    the current profile — the history frame is manifest-sized, the
+    current profile one row per partition; nothing data-sized moves.
+
+    ``rel`` adds a RELATIVE floor: also fire when ``dev > rel·med``. A
+    bursty corpus can carry a MAD comparable to its median, and a 3-MAD
+    band that wide swallows even a 90% collapse — the relative floor
+    fires on any deviation past that fraction of the historical median
+    regardless of how noisy history was (``rel=0.5`` pages on any
+    halving/doubling)."""
+    if rel is not None and rel <= 0:
+        raise ValueError(f"rel must be > 0, got {rel}")
+    prof = partition_profile(df, part_col)
+    band = band_from_history(history, "n", k)
+    out = prof.crossJoin(F.broadcast(band))
+    out = out.withColumn(
+        "dev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    flag = F.col("dev") > F.lit(float(k)) * F.col("mad")
+    if rel is not None:
+        flag = flag | (F.col("dev") > F.lit(float(rel)) * F.col("med"))
+    return out.select(
+        "part",
+        "n",
+        "med",
+        "mad",
+        "dev",
+        flag.alias("is_anomaly"),
+    )

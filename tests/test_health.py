@@ -251,6 +251,134 @@ def test_seasonal_engine_and_suite(spark):
         )
 
 
+def test_volume_vs_history_catches_global_collapse(spark):
+    """The self-calibrated band's one blind spot: every partition of the
+    new run halves together — its own median halves too and sees
+    nothing; the historical band fires on every partition."""
+    from taco_toolbox_spark.checks.health import volume_anomaly_vs_history
+
+    hist_rows = [(f"h{p}", i) for p in range(6) for i in range(100)]
+    cur_rows = [(f"c{p}", i) for p in range(6) for i in range(50)]
+    hist = spark.createDataFrame(hist_rows, "part string, x int")
+    cur = spark.createDataFrame(cur_rows, "part string, x int")
+
+    self_band = volume_anomaly(cur, "part", k=3.0)
+    assert self_band.filter("is_anomaly").count() == 0  # blind
+
+    history = partition_profile(hist, "part")
+    vs_hist = {
+        r["part"]: r
+        for r in volume_anomaly_vs_history(
+            cur, "part", history, k=3.0
+        ).collect()
+    }
+    assert all(r["is_anomaly"] for r in vs_hist.values())  # all fire
+    assert vs_hist["c0"]["med"] == 100.0
+    assert vs_hist["c0"]["dev"] == 50.0
+
+
+def test_volume_history_from_manifest_roundtrip(spark, cli_corpus_dir, tmp_path):
+    """Every validation run already records per-partition n_rows, so any
+    manifest is a volume-history source: run validate, rebuild the
+    history frame, and judge a halved replay of the corpus against it."""
+    from jobs.validate import main as validate_main
+
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        volume_history_from_manifest,
+    )
+    from taco_toolbox_spark.checks.health import volume_anomaly_vs_history
+
+    out = str(tmp_path / "hist_run")
+    assert validate_main(
+        [
+            "--input", f"{cli_corpus_dir}/transcripts",
+            "--output", out,
+            "--batch-parts", "0",
+            "--run-id", "hist1",
+        ],
+        stop_session=False,
+    ) == 0
+    manifest = CheckpointManifest.load(os.path.join(out, "manifest.json"))
+    history = volume_history_from_manifest(spark, manifest)
+    n_parts = history.count()
+    assert n_parts > 0
+    # a faithful replay of the same corpus flags EXACTLY what the
+    # corpus's own self-band flags (identical counts -> identical band
+    # -> identical verdicts; the corpus has genuine hot-day outliers, so
+    # neither set is required to be empty)
+    df = spark.read.parquet(f"{cli_corpus_dir}/transcripts")
+    same = {
+        r["part"]: r["is_anomaly"]
+        for r in volume_anomaly_vs_history(df, "part", history, 3.0).collect()
+    }
+    self_band = {
+        r["part"]: r["is_anomaly"]
+        for r in volume_anomaly(df, "part", k=3.0).collect()
+    }
+    assert same == self_band
+    # (the global-collapse semantics — history fires where the self-band
+    # is blind — are covered deterministically on hand-built counts by
+    # test_volume_vs_history_catches_global_collapse; this test owns the
+    # manifest round-trip and parity contract)
+
+    # this corpus's daily volume is bursty (MAD comparable to the
+    # median), which swallows even a 90% collapse inside the 3-MAD band
+    # — the documented case for the relative floor: with rel, every
+    # surviving partition of the outage run fires
+    outage = df.filter(F.xxhash64("conv_id") % 10 == 0)
+    no_rel = volume_anomaly_vs_history(outage, "part", history, 3.0)
+    with_rel = volume_anomaly_vs_history(
+        outage, "part", history, 3.0, rel=0.5
+    )
+    # the relative floor only ADDS flags (monotone property; its exact
+    # semantics are pinned on hand-built counts in
+    # test_history_band_relative_floor)
+    assert (
+        with_rel.filter("is_anomaly").count()
+        >= no_rel.filter("is_anomaly").count()
+    )
+    with pytest.raises(ValueError, match="rel must be > 0"):
+        volume_anomaly_vs_history(outage, "part", history, 3.0, rel=0.0)
+
+    # an empty manifest is a loud error, not an empty band
+    empty = CheckpointManifest.load_or_create(
+        str(tmp_path / "m.json"), "r", "in"
+    )
+    with pytest.raises(ValueError, match="n_rows"):
+        volume_history_from_manifest(spark, empty)
+
+
+def test_history_band_relative_floor(spark):
+    """A bursty history (MAD comparable to the median) swallows even a
+    halving inside the 3-MAD band; the relative floor pages on it.
+    history counts [40, 100, 160] x2 -> med=100, MAD=60: a collapse to
+    45 has dev=55 < 180 (silent) but 55 > 0.5*100 (fires)."""
+    from taco_toolbox_spark.checks.health import volume_anomaly_vs_history
+
+    hist_rows = [
+        (p, i)
+        for p, n in [("a", 40), ("b", 100), ("c", 160),
+                     ("d", 40), ("e", 100), ("f", 160)]
+        for i in range(n)
+    ]
+    cur_rows = [(f"x{p}", i) for p in range(4) for i in range(45)]
+    hist = spark.createDataFrame(hist_rows, "part string, x int")
+    cur = spark.createDataFrame(cur_rows, "part string, x int")
+    history = partition_profile(hist, "part")
+
+    blind = volume_anomaly_vs_history(cur, "part", history, 3.0)
+    assert blind.filter("is_anomaly").count() == 0
+    paged = {
+        r["part"]: r
+        for r in volume_anomaly_vs_history(
+            cur, "part", history, 3.0, rel=0.5
+        ).collect()
+    }
+    assert all(r["is_anomaly"] for r in paged.values())
+    assert paged["x0"]["med"] == 100.0 and paged["x0"]["dev"] == 55.0
+
+
 def test_robust_band_guards(spark, corpus):
     prof = partition_profile(corpus, "part")
     with pytest.raises(ValueError, match="k must be > 0"):
