@@ -200,6 +200,23 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "within each batch; use --batch-parts 0 for a whole-run band",
     )
     p.add_argument(
+        "--volume-vs-manifest",
+        metavar="PATH",
+        help="judge partition row counts against the median±K·MAD band of "
+        "a PREVIOUS run's manifest (every run records per-partition "
+        "n_rows) instead of this run's own — catches the global collapse "
+        "a self-calibrated band cannot; K from --volume-k (default 3)",
+    )
+    p.add_argument(
+        "--volume-rel",
+        type=float,
+        metavar="R",
+        help="relative floor for the volume band: also flag any partition "
+        "deviating more than R·median (bursty corpora carry a MAD "
+        "comparable to the median, which swallows even a 90%% collapse "
+        "inside K·MAD); applies to --volume-k and --volume-vs-manifest",
+    )
+    p.add_argument(
         "--null-drift",
         metavar="COL:TOL",
         action="append",
@@ -504,22 +521,53 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 baseline_counts=categorical_counts(ref, args.cat_drift),
             )
         )
-    if args.volume_k is not None:
+    if args.volume_k is not None or args.volume_vs_manifest:
         from taco_toolbox_spark.checks import VolumeAnomalyCheck
 
+        vol_k = 3.0 if args.volume_k is None else args.volume_k
+        hist_counts = None
+        if args.volume_vs_manifest:
+            try:
+                prev = CheckpointManifest.load(args.volume_vs_manifest)
+            except OSError as e:
+                raise SystemExit(
+                    f"--volume-vs-manifest {args.volume_vs_manifest!r}: {e}"
+                ) from None
+            hist_counts = [
+                int(rec["n_rows"])
+                for rec in prev.doc["partitions"].values()
+                if rec.get("n_rows") is not None
+            ]
+            if not hist_counts:
+                raise SystemExit(
+                    f"--volume-vs-manifest {args.volume_vs_manifest!r}: "
+                    "manifest records no per-partition n_rows"
+                )
+        src = (
+            f"manifest {args.volume_vs_manifest}"
+            if hist_counts
+            else "the pass's partitions"
+        )
         try:
             checks.append(
                 VolumeAnomalyCheck(
                     check_id="volume",
                     description=(
-                        f"partition row count within median±{args.volume_k}"
-                        "·MAD of the pass's partitions"
+                        f"partition row count within median±{vol_k}·MAD "
+                        f"of {src}"
+                        + (
+                            f" (relative floor {args.volume_rel})"
+                            if args.volume_rel is not None
+                            else ""
+                        )
                     ),
-                    k=args.volume_k,
+                    k=vol_k,
+                    history_counts=hist_counts,
+                    rel=args.volume_rel,
                 )
             )
         except ValueError as e:
-            raise SystemExit(f"--volume-k: {e}") from None
+            raise SystemExit(f"--volume-k/--volume-rel: {e}") from None
     for spec in args.null_drift or []:
         from taco_toolbox_spark.checks import CompletenessDriftCheck
 

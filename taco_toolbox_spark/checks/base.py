@@ -404,6 +404,19 @@ class VolumeAnomalyCheck(Check):
     #: Sunday that looks like a weekday). None = one band over all
     #: partitions.
     season: str | None = None
+    #: per-partition row counts from a previous BLESSED run (e.g. a
+    #: checkpoint manifest's n_rows values): the band is computed over
+    #: these instead of the run itself, closing the self-calibrated
+    #: band's blind spot (a global shrink moves the run's own median
+    #: with it). Mutually exclusive with ``season`` (a seasonal history
+    #: band needs per-class history — compose volume_anomaly_vs_history
+    #: directly for that).
+    history_counts: Sequence[int] | None = None
+    #: relative floor: also fire when dev > rel·med — bursty corpora
+    #: carry a MAD comparable to the median, which swallows even a 90%
+    #: collapse inside k·MAD; the floor pages on any deviation past this
+    #: fraction of the median regardless of band width.
+    rel: float | None = None
 
     def __post_init__(self) -> None:
         if self.k <= 0:
@@ -411,6 +424,36 @@ class VolumeAnomalyCheck(Check):
                 f"VolumeAnomalyCheck {self.check_id!r}: k must be > 0, "
                 f"got {self.k}"
             )
+        if self.rel is not None and self.rel <= 0:
+            raise ValueError(
+                f"VolumeAnomalyCheck {self.check_id!r}: rel must be > 0, "
+                f"got {self.rel}"
+            )
+        if self.history_counts is not None:
+            if len(self.history_counts) == 0:
+                raise ValueError(
+                    f"VolumeAnomalyCheck {self.check_id!r}: history_counts "
+                    "is empty — an empty history bands nothing"
+                )
+            if self.season is not None:
+                raise ValueError(
+                    f"VolumeAnomalyCheck {self.check_id!r}: season and "
+                    "history_counts are mutually exclusive (a seasonal "
+                    "history band needs per-class history; compose "
+                    "volume_anomaly_vs_history directly)"
+                )
+
+    def history_band(self) -> tuple[float, float]:
+        """Exact (median, MAD) of ``history_counts`` — interpolated
+        median, identical to quantile_cont/percentile at 0.5 (halves and
+        quarters of integers, exactly representable)."""
+        import statistics
+
+        med = float(statistics.median(self.history_counts))
+        mad = float(
+            statistics.median(abs(float(n) - med) for n in self.history_counts)
+        )
+        return med, mad
 
 
 @dataclass

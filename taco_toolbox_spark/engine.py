@@ -837,6 +837,22 @@ def _health_pass(
     w = Window.partitionBy(F.lit(1))
 
     def _banded(frame, c, metric):
+        p = f"_{c.check_id}_"
+        if getattr(c, "history_counts", None) is not None:
+            # band from a previous blessed run, injected as exact
+            # literals (history_band: interpolated median, identical to
+            # the window percentile's arithmetic)
+            med, mad = c.history_band()
+            frame = frame.withColumn(f"{p}med", F.lit(med))
+            frame = frame.withColumn(
+                f"{p}dev",
+                F.abs(F.col(metric).cast("double") - F.col(f"{p}med")),
+            )
+            frame = frame.withColumn(f"{p}mad", F.lit(mad))
+            return frame.withColumn(
+                f"{p}flag",
+                F.col(f"{p}dev") > F.lit(float(c.k)) * F.col(f"{p}mad"),
+            )
         season = None
         if c.season is not None:
             frame = frame.withColumn(
@@ -844,11 +860,21 @@ def _health_pass(
             )
             season = f"_{c.check_id}_season"
         return robust_band(
-            frame, metric, c.k, prefix=f"_{c.check_id}_", season_col=season
+            frame, metric, c.k, prefix=p, season_col=season
         )
 
     for c in vol_checks:
         frame = _banded(frame, c, "n")
+        if c.rel is not None:
+            p = f"_{c.check_id}_"
+            frame = frame.withColumn(
+                f"{p}flag",
+                F.col(f"{p}flag")
+                | (
+                    F.col(f"{p}dev")
+                    > F.lit(float(c.rel)) * F.col(f"{p}med")
+                ),
+            )
     for c in card_checks:
         frame = _banded(frame, c, f"d_{c.check_id}")
     for c in comp_checks:

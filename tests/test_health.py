@@ -379,6 +379,113 @@ def test_history_band_relative_floor(spark):
     assert paged["x0"]["med"] == 100.0 and paged["x0"]["dev"] == 55.0
 
 
+def test_engine_volume_history_and_rel(spark):
+    """VolumeAnomalyCheck with history_counts judges against the blessed
+    band (global collapse fires everywhere while the self mode is
+    blind); rel adds the relative floor; guards are loud."""
+    import statistics
+
+    rows = [(f"p{p}", i) for p in range(4) for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, x int")
+
+    self_res = run_validation(
+        df, [VolumeAnomalyCheck("volume")], EngineConfig()
+    )
+    assert self_res.violations.count() == 0  # blind to the collapse
+
+    hist = [100, 100, 100, 100, 102]
+    c = VolumeAnomalyCheck("volume_hist", history_counts=hist)
+    assert c.history_band() == (
+        float(statistics.median(hist)),
+        0.0,
+    )
+    hist_res = run_validation(df, [c], EngineConfig())
+    assert hist_res.violations.count() == 4  # every halved partition
+
+    # rel floor on a wide-MAD history: [40,100,160] med=100 MAD=60 —
+    # 3·MAD swallows 50 but rel=0.4 fires
+    wide = VolumeAnomalyCheck(
+        "volume_rel", history_counts=[40, 100, 160], rel=0.4
+    )
+    rel_res = run_validation(df, [wide], EngineConfig())
+    assert rel_res.violations.count() == 4
+    no_rel = VolumeAnomalyCheck("volume_worel", history_counts=[40, 100, 160])
+    assert run_validation(df, [no_rel], EngineConfig()).violations.count() == 0
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VolumeAnomalyCheck("x", history_counts=[1], season="part")
+    with pytest.raises(ValueError, match="history_counts is empty"):
+        VolumeAnomalyCheck("x", history_counts=[])
+    with pytest.raises(ValueError, match="rel must be > 0"):
+        VolumeAnomalyCheck("x", rel=-1.0)
+
+
+def test_suite_volume_history_and_rel(spark):
+    from taco_toolbox_spark.suite import SuiteError, parse_suite
+
+    rows = [(f"p{p}", f"c{p}", 0) for p in range(3) for _ in range(10)]
+    df = spark.createDataFrame(
+        rows * 5, "part string, conv_id string, turn_idx int"
+    )
+    spec = {
+        "engine": {"partition_col": "part"},
+        "checks": [
+            {"type": "volume", "id": "v", "k": 3,
+             "history": [100, 100, 100], "rel": 0.3}
+        ],
+    }
+    res = parse_suite(spec).run(df)
+    # every partition has 50 rows vs blessed 100: dev=50 > 0.3*100
+    assert res.verdicts.filter("NOT passed").count() == 3
+    with pytest.raises(SuiteError, match="history"):
+        parse_suite(
+            {"checks": [{"type": "volume", "id": "v",
+                         "history": ["lots"]}]}
+        )
+
+
+def test_validate_cli_volume_vs_manifest(spark, cli_corpus_dir, tmp_path):
+    """A recurring job judges today's volume against yesterday's blessed
+    manifest: the faithful replay matches the self-band verdicts, and a
+    missing manifest path exits loudly."""
+    from jobs.validate import main as validate_main
+
+    out1 = str(tmp_path / "blessed")
+    assert validate_main(
+        [
+            "--input", f"{cli_corpus_dir}/transcripts",
+            "--output", out1,
+            "--batch-parts", "0",
+            "--run-id", "b1",
+        ],
+        stop_session=False,
+    ) == 0
+    out2 = str(tmp_path / "today")
+    assert validate_main(
+        [
+            "--input", f"{cli_corpus_dir}/transcripts",
+            "--output", out2,
+            "--batch-parts", "0",
+            "--volume-vs-manifest", os.path.join(out1, "manifest.json"),
+            "--volume-rel", "0.5",
+            "--run-id", "t1",
+        ],
+        stop_session=False,
+    ) == 0
+    verd = spark.read.parquet(os.path.join(out2, "verdicts"))
+    assert verd.filter("check_id = 'volume'").count() > 0
+
+    with pytest.raises(SystemExit, match="volume-vs-manifest"):
+        validate_main(
+            [
+                "--input", f"{cli_corpus_dir}/transcripts",
+                "--output", str(tmp_path / "x"),
+                "--volume-vs-manifest", str(tmp_path / "nope.json"),
+            ],
+            stop_session=False,
+        )
+
+
 def test_robust_band_guards(spark, corpus):
     prof = partition_profile(corpus, "part")
     with pytest.raises(ValueError, match="k must be > 0"):
