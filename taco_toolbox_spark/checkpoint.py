@@ -601,3 +601,29 @@ def volume_history_from_manifest(
             "row-count recording or no partition finished"
         )
     return literal_frame(spark, rows, "part string, n long")
+
+
+def cardinality_history_from_manifest(
+    spark, manifest: CheckpointManifest, column: str
+) -> DataFrame:
+    """Per-partition distinct-count history ``(part, n)`` for ``column``
+    from a previous run's stored HLL state (``record_distinct_state``
+    persists both the sketch bytes and the per-partition estimate).
+    Feed it to ``checks.health.cardinality_anomaly_vs_history`` to judge
+    a new run's exact per-partition distincts against the blessed band —
+    estimates carry the HLL's ~1.6% relative error, far below MAD-scale
+    band half-widths. Manifest-sized literal frame, same contract as
+    :func:`volume_history_from_manifest`."""
+    from .schema import literal_frame
+
+    rows = [
+        (part, int(rec["distinct"][column]["estimate"]))
+        for part, rec in manifest.doc["partitions"].items()
+        if column in rec.get("distinct", {})
+    ]
+    if not rows:
+        raise ValueError(
+            f"manifest holds no distinct state for {column!r}; run "
+            "record_distinct_state (validate.py --record-sketches)"
+        )
+    return literal_frame(spark, rows, "part string, n long")

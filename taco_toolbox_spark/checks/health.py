@@ -375,3 +375,44 @@ def volume_anomaly_vs_history(
         "dev",
         flag.alias("is_anomaly"),
     )
+
+
+def cardinality_anomaly_vs_history(
+    df: DataFrame,
+    part_col: Column | str,
+    key: Column | str,
+    history: DataFrame,
+    k: float = 3.0,
+    rel: float | None = None,
+) -> DataFrame:
+    """Per-partition ``(part, n, n_distinct, med, mad, dev, is_anomaly)``
+    with the band over HISTORY — the cardinality twin of
+    :func:`volume_anomaly_vs_history`, closing the same global blind
+    spot (every partition's distinct-user count collapsing together
+    moves the run's own median with it). ``history`` carries an ``n``
+    column of per-partition distinct counts from previous blessed runs —
+    e.g. ``checkpoint.cardinality_history_from_manifest``, whose values
+    are the stored per-partition HLL estimates (±~1.6% at the default
+    lg_k; band half-widths are MAD-scale, far above that). The current
+    side stays the exact distinct. ``rel`` is the same relative floor as
+    the volume form."""
+    if rel is not None and rel <= 0:
+        raise ValueError(f"rel must be > 0, got {rel}")
+    prof = partition_profile(df, part_col, distinct={"c": key})
+    band = band_from_history(history, "n", k)
+    out = prof.crossJoin(F.broadcast(band))
+    out = out.withColumn(
+        "dev", F.abs(F.col("d_c").cast("double") - F.col("med"))
+    )
+    flag = F.col("dev") > F.lit(float(k)) * F.col("mad")
+    if rel is not None:
+        flag = flag | (F.col("dev") > F.lit(float(rel)) * F.col("med"))
+    return out.select(
+        "part",
+        "n",
+        F.col("d_c").alias("n_distinct"),
+        "med",
+        "mad",
+        "dev",
+        flag.alias("is_anomaly"),
+    )

@@ -349,6 +349,53 @@ def test_volume_history_from_manifest_roundtrip(spark, cli_corpus_dir, tmp_path)
         volume_history_from_manifest(spark, empty)
 
 
+def test_cardinality_history_from_manifest(spark, tmp_path):
+    """The cardinality twin of the manifest history band: run A records
+    per-partition HLL distinct state, run B's id-mapping collapse is
+    judged against A's band while B's own band is blind."""
+    from taco_toolbox_spark.checkpoint import (
+        CheckpointManifest,
+        cardinality_history_from_manifest,
+        record_distinct_state,
+    )
+    from taco_toolbox_spark.checks.health import (
+        cardinality_anomaly_vs_history,
+    )
+
+    blessed = spark.createDataFrame(
+        [(f"p{p}", f"u{i}") for p in range(5) for i in range(60)],
+        "part string, user string",
+    )
+    m = CheckpointManifest.load_or_create(
+        str(tmp_path / "m.json"), "r1", "in"
+    )
+    record_distinct_state(m, blessed, ["user"])
+    m.save()
+    m2 = CheckpointManifest.load(str(tmp_path / "m.json"))
+    history = cardinality_history_from_manifest(spark, m2, "user")
+    ests = [r["n"] for r in history.collect()]
+    assert len(ests) == 5 and all(55 <= e <= 65 for e in ests)
+
+    # the global id-mapping collapse: every partition maps to 3 users
+    collapsed = spark.createDataFrame(
+        [(f"p{p}", f"u{i % 3}") for p in range(5) for i in range(60)],
+        "part string, user string",
+    )
+    self_blind = cardinality_anomaly(collapsed, "part", "user")
+    assert self_blind.filter("is_anomaly").count() == 0
+    fired = cardinality_anomaly_vs_history(
+        collapsed, "part", "user", history
+    )
+    assert fired.filter("is_anomaly").count() == 5
+
+    with pytest.raises(ValueError, match="distinct state"):
+        cardinality_history_from_manifest(spark, m2, "missing_col")
+    with pytest.raises(ValueError, match="rel must be > 0"):
+        cardinality_anomaly_vs_history(
+            collapsed, "part", "user", history, rel=0.0
+        )
+
+
 def test_history_band_relative_floor(spark):
     """A bursty history (MAD comparable to the median) swallows even a
     halving inside the 3-MAD band; the relative floor pages on it.
