@@ -2594,6 +2594,37 @@ def q_d16_volume_vs_history(spark, sf_dir):
     )
 
 
+def q_d17_cardinality_vs_history(spark, sf_dir):
+    """Cardinality judged against a HISTORICAL band — the cardinality
+    twin of d16 (checks/health.py:cardinality_anomaly_vs_history): the
+    first 20 days' per-day distinct-user counts play the blessed
+    history, the last days' EXACT distincts are judged against that
+    band. Closes the global id-mapping blind spot (every partition's key
+    space collapsing together moves the run's own median with it). Band
+    broadcast as one row; both sides partition-count-sized."""
+    from taco_toolbox_spark.checks.health import (
+        cardinality_anomaly_vs_history,
+        partition_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    history = partition_profile(
+        ev.filter(day < "2024-01-21"), day, distinct={"u": "user_id"}
+    ).select("part", F.col("d_u").alias("n"))
+    return cardinality_anomaly_vs_history(
+        ev.filter(day >= "2024-01-21"), day, "user_id", history, k=3.0
+    ).select(
+        F.col("part").alias("day"),
+        "n",
+        "n_distinct",
+        "med",
+        "mad",
+        "dev",
+        "is_anomaly",
+    )
+
+
 def q_d14_cardinality_anomaly(spark, sf_dir):
     """Partition CARDINALITY anomaly — the third member of the
     partition-health trio: per-day EXACT distinct user count judged
@@ -2975,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_completeness_drift": q_d13_completeness_drift,
         "d15_seasonal_volume": q_d15_seasonal_volume,
         "d16_volume_vs_history": q_d16_volume_vs_history,
+        "d17_cardinality_vs_history": q_d17_cardinality_vs_history,
         "d14_cardinality_anomaly": q_d14_cardinality_anomaly,
         "d10_gap_drift": q_d10_gap_drift,
         "d11_runlength_drift": q_d11_runlength_drift,
@@ -4096,6 +4128,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT part AS day, n, med, mad, dev,
                    dev > 3.0 * mad AS is_anomaly
             FROM b3
+        """,
+        "d17_cardinality_vs_history": """
+            WITH hist AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(DISTINCT user_id)::BIGINT AS n
+              FROM events
+              WHERE strftime(ts, '%Y-%m-%d') < '2024-01-21'
+              GROUP BY 1
+            ),
+            m AS (SELECT quantile_cont(n, 0.5) AS med FROM hist),
+            b AS (
+              SELECT m.med,
+                     quantile_cont(abs(h.n::DOUBLE - m.med), 0.5) AS mad
+              FROM hist h CROSS JOIN m
+              GROUP BY m.med
+            ),
+            cur AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS part,
+                     count(*)::BIGINT AS n,
+                     count(DISTINCT user_id)::BIGINT AS nd
+              FROM events
+              WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-21'
+              GROUP BY 1
+            )
+            SELECT c.part AS day, c.n, c.nd AS n_distinct, b.med, b.mad,
+                   abs(c.nd::DOUBLE - b.med) AS dev,
+                   abs(c.nd::DOUBLE - b.med) > 3.0 * b.mad AS is_anomaly
+            FROM cur c CROSS JOIN b
         """,
         "d16_volume_vs_history": """
             WITH hist AS (

@@ -511,6 +511,12 @@ class CardinalityAnomalyCheck(Check):
     #: season-class expression over the ``part`` string — same contract
     #: as :class:`VolumeAnomalyCheck.season`
     season: str | None = None
+    #: per-partition distinct counts from a previous blessed run (e.g.
+    #: checkpoint.cardinality_history_from_manifest values) — same
+    #: contract as :class:`VolumeAnomalyCheck.history_counts`
+    history_counts: Sequence[int] | None = None
+    #: relative floor, same contract as :class:`VolumeAnomalyCheck.rel`
+    rel: float | None = None
 
     def __post_init__(self) -> None:
         if not self.value_col:
@@ -522,6 +528,25 @@ class CardinalityAnomalyCheck(Check):
                 f"CardinalityAnomalyCheck {self.check_id!r}: k must be > 0, "
                 f"got {self.k}"
             )
+        if self.rel is not None and self.rel <= 0:
+            raise ValueError(
+                f"CardinalityAnomalyCheck {self.check_id!r}: rel must be "
+                f"> 0, got {self.rel}"
+            )
+        if self.history_counts is not None:
+            if len(self.history_counts) == 0:
+                raise ValueError(
+                    f"CardinalityAnomalyCheck {self.check_id!r}: "
+                    "history_counts is empty"
+                )
+            if self.season is not None:
+                raise ValueError(
+                    f"CardinalityAnomalyCheck {self.check_id!r}: season "
+                    "and history_counts are mutually exclusive"
+                )
+
+    # the exact interpolated band, shared with the volume check
+    history_band = VolumeAnomalyCheck.history_band
 
 
 @dataclass

@@ -877,6 +877,16 @@ def _health_pass(
             )
     for c in card_checks:
         frame = _banded(frame, c, f"d_{c.check_id}")
+        if c.rel is not None:
+            p = f"_{c.check_id}_"
+            frame = frame.withColumn(
+                f"{p}flag",
+                F.col(f"{p}flag")
+                | (
+                    F.col(f"{p}dev")
+                    > F.lit(float(c.rel)) * F.col(f"{p}med")
+                ),
+            )
     for c in comp_checks:
         nf = (F.col("n") - F.col(f"v_{c.check_id}")).cast(
             "double"

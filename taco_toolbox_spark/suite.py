@@ -122,7 +122,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     "text_equality": {"text_col", "colocated"},
     "volume": {"k", "season", "history", "rel"},
     "completeness": {"col", "tol", "baseline_frac"},
-    "cardinality": {"col", "k", "season"},
+    "cardinality": {"col", "k", "season", "history", "rel"},
 }
 
 _ENGINE_KEYS = {
@@ -555,12 +555,18 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
         season = entry.get("season")
         if season is not None:
             _sql_expr(season, where, "season")
+        hist = entry.get("history")
+        if hist is not None:
+            hist = [int(x) for x in _float_list(entry, where, "history")]
+        rel = entry.get("rel")
         try:
             c = CardinalityAnomalyCheck(
                 check_id=cid,
                 value_col=entry["col"],
                 k=_float(entry, where, "k", 3.0),
                 season=season,
+                history_counts=hist,
+                rel=None if rel is None else _float(entry, where, "rel", 0.5),
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None

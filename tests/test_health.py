@@ -795,3 +795,47 @@ def test_validate_cli_health_bad_specs(
     ]
     with pytest.raises(SystemExit, match=frag):
         validate_main(base + args, stop_session=False)
+
+
+def test_engine_cardinality_history_and_rel(spark):
+    """CardinalityAnomalyCheck with history_counts + rel: the global key
+    collapse fires against the blessed band while the self mode is
+    blind; suite keys round-trip; guards loud."""
+    from taco_toolbox_spark.suite import parse_suite
+
+    rows = [(f"p{p}", f"c{p}", 0, f"u{i % 3}") for p in range(4)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int, user string"
+    )
+    self_res = run_validation(
+        df, [CardinalityAnomalyCheck("card", value_col="user")],
+        EngineConfig(),
+    )
+    assert self_res.violations.count() == 0  # all equal -> blind
+    hist_res = run_validation(
+        df,
+        [CardinalityAnomalyCheck(
+            "card_hist", value_col="user",
+            history_counts=[50, 50, 50, 48], rel=0.5,
+        )],
+        EngineConfig(),
+    )
+    assert hist_res.violations.count() == 4  # every collapsed partition
+
+    spec = {
+        "engine": {"partition_col": "part"},
+        "checks": [
+            {"type": "cardinality", "id": "c", "col": "user",
+             "history": [50, 50, 50, 48], "rel": 0.5}
+        ],
+    }
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 4
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CardinalityAnomalyCheck(
+            "x", value_col="u", history_counts=[1], season="part"
+        )
+    with pytest.raises(ValueError, match="rel must be > 0"):
+        CardinalityAnomalyCheck("x", value_col="u", rel=0.0)
