@@ -756,6 +756,21 @@ def cli_corpus_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_history_band_plan_is_broadcast(spark, corpus):
+    """The vs-history band joins as a BROADCAST of the 1-row band — no
+    shuffle of the profile, no sort-merge; the current side still scans
+    the input exactly once."""
+    from taco_toolbox_spark.checks.health import (
+        volume_anomaly_vs_history,
+    )
+
+    history = partition_profile(corpus, "part")
+    out = volume_anomaly_vs_history(corpus, "part", history, 3.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_validate_cli_health_flags(spark, cli_corpus_dir, tmp_path):
     from jobs.validate import main as validate_main
 
