@@ -829,6 +829,16 @@ def _health_pass(
     re-executing the data-sized subtree."""
     from .checks.health import partition_profile, robust_band
 
+    # ids key the shared profile's metric columns and the band-column
+    # prefixes: a duplicate would silently overwrite a sibling's metric
+    # (dict collapse) — loud, like the suite's duplicate-id rule
+    ids = [c.check_id for c in (*vol_checks, *comp_checks, *card_checks)]
+    dupes = {i for i in ids if ids.count(i) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate health check_id(s) {sorted(dupes)} — each "
+            "volume/completeness/cardinality check needs a unique id"
+        )
     valid = {c.check_id: F.expr(c.value_col) for c in comp_checks}
     distinct = {c.check_id: F.expr(c.value_col) for c in card_checks}
     frame = partition_profile(

@@ -854,3 +854,17 @@ def test_engine_cardinality_history_and_rel(spark):
         )
     with pytest.raises(ValueError, match="rel must be > 0"):
         CardinalityAnomalyCheck("x", value_col="u", rel=0.0)
+
+
+def test_health_duplicate_check_id_is_loud(spark, corpus):
+    """Two health checks sharing a check_id would silently collapse the
+    shared profile's metric columns — the engine refuses instead."""
+    with pytest.raises(ValueError, match="duplicate health check_id"):
+        run_validation(
+            corpus,
+            [
+                CompletenessDriftCheck("same", value_col="tool", tol=0.1),
+                CompletenessDriftCheck("same", value_col="conv_id", tol=0.1),
+            ],
+            EngineConfig(),
+        )
