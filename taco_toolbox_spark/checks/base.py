@@ -417,12 +417,28 @@ class VolumeAnomalyCheck(Check):
     #: collapse inside k·MAD; the floor pages on any deviation past this
     #: fraction of the median regardless of band width.
     rel: float | None = None
+    #: ABSOLUTE per-partition bounds, applied on top of (ORed with) the
+    #: band: a partition with fewer than ``min_rows`` or more than
+    #: ``max_rows`` rows fires regardless of where the band sits — the
+    #: declarative "every day must carry at least N events" rule that no
+    #: relative band can express. None = unbounded on that side.
+    min_rows: int | None = None
+    max_rows: int | None = None
 
     def __post_init__(self) -> None:
         if self.k <= 0:
             raise ValueError(
                 f"VolumeAnomalyCheck {self.check_id!r}: k must be > 0, "
                 f"got {self.k}"
+            )
+        if (
+            self.min_rows is not None
+            and self.max_rows is not None
+            and self.min_rows > self.max_rows
+        ):
+            raise ValueError(
+                f"VolumeAnomalyCheck {self.check_id!r}: min_rows "
+                f"{self.min_rows} > max_rows {self.max_rows}"
             )
         if self.rel is not None and self.rel <= 0:
             raise ValueError(

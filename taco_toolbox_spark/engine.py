@@ -875,15 +875,19 @@ def _health_pass(
 
     for c in vol_checks:
         frame = _banded(frame, c, "n")
+        p = f"_{c.check_id}_"
+        extra = F.lit(False)
         if c.rel is not None:
-            p = f"_{c.check_id}_"
+            extra = extra | (
+                F.col(f"{p}dev") > F.lit(float(c.rel)) * F.col(f"{p}med")
+            )
+        if c.min_rows is not None:
+            extra = extra | (F.col("n") < F.lit(int(c.min_rows)))
+        if c.max_rows is not None:
+            extra = extra | (F.col("n") > F.lit(int(c.max_rows)))
+        if c.rel is not None or c.min_rows is not None or c.max_rows is not None:
             frame = frame.withColumn(
-                f"{p}flag",
-                F.col(f"{p}flag")
-                | (
-                    F.col(f"{p}dev")
-                    > F.lit(float(c.rel)) * F.col(f"{p}med")
-                ),
+                f"{p}flag", F.col(f"{p}flag") | extra
             )
     for c in card_checks:
         frame = _banded(frame, c, f"d_{c.check_id}")
@@ -916,13 +920,22 @@ def _health_pass(
     structs: list[Column] = []
     for c in vol_checks:
         p = f"_{c.check_id}_"
+        # name every configured rule part: a floor-fired row must not
+        # read as a band violation
+        rule = f"median±{c.k}·MAD"
+        if c.rel is not None:
+            rule += f", rel={c.rel}"
+        if c.min_rows is not None:
+            rule += f", min_rows={c.min_rows}"
+        if c.max_rows is not None:
+            rule += f", max_rows={c.max_rows}"
         structs.append(
             F.when(
                 F.coalesce(F.col(f"{p}flag"), F.lit(False)),
                 F.struct(
                     F.lit(c.check_id).alias("check_id"),
                     F.format_string(
-                        f"partition_rows=%s outside median±{c.k}·MAD "
+                        f"partition_rows=%s violates volume rule [{rule}] "
                         "(med=%s mad=%s)",
                         F.col("n").cast("string"),
                         F.col(f"{p}med").cast("string"),

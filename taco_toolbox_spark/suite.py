@@ -120,7 +120,7 @@ _TYPE_KEYS: dict[str, set[str]] = {
     },
     "group_agg": {"aggs", "predicate", "detail"},
     "text_equality": {"text_col", "colocated"},
-    "volume": {"k", "season", "history", "rel"},
+    "volume": {"k", "season", "history", "rel", "min_rows", "max_rows"},
     "completeness": {"col", "tol", "baseline_frac"},
     "cardinality": {"col", "k", "season", "history", "rel"},
 }
@@ -520,6 +520,15 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
         if hist is not None:
             hist = [int(x) for x in _float_list(entry, where, "history")]
         rel = entry.get("rel")
+        bounds = {}
+        for bk in ("min_rows", "max_rows"):
+            bv = entry.get(bk)
+            if bv is not None:
+                if isinstance(bv, bool) or not isinstance(bv, int):
+                    raise SuiteError(
+                        f"{where}: {bk!r} must be an integer, got {bv!r}"
+                    )
+                bounds[bk] = bv
         try:
             c = VolumeAnomalyCheck(
                 check_id=cid,
@@ -527,6 +536,7 @@ def _build_check(entry: dict, where: str, reference: DataFrame | None, cfg):
                 season=season,
                 history_counts=hist,
                 rel=None if rel is None else _float(entry, where, "rel", 0.5),
+                **bounds,
             )
         except ValueError as e:
             raise SuiteError(f"{where}: {e}") from None

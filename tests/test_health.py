@@ -868,3 +868,50 @@ def test_health_duplicate_check_id_is_loud(spark, corpus):
             ],
             EngineConfig(),
         )
+
+
+def test_volume_absolute_bounds(spark):
+    """min_rows/max_rows are absolute per-partition bounds ORed with the
+    band — the 'every day carries at least N events' rule no relative
+    band can express: with identical partition counts the band is
+    silent, the floor still fires."""
+    from taco_toolbox_spark.suite import SuiteError, parse_suite
+
+    rows = [(f"p{p}", f"c{p}", 0) for p in range(4) for _ in range(50)]
+    df = spark.createDataFrame(
+        rows, "part string, conv_id string, turn_idx int"
+    )
+    res = run_validation(
+        df,
+        [VolumeAnomalyCheck("vol_floor", min_rows=60)],
+        EngineConfig(),
+    )
+    assert res.violations.count() == 4  # all 50-row partitions < 60
+    res2 = run_validation(
+        df,
+        [VolumeAnomalyCheck("vol_cap", max_rows=49)],
+        EngineConfig(),
+    )
+    assert res2.violations.count() == 4
+    res3 = run_validation(
+        df,
+        [VolumeAnomalyCheck("vol_ok", min_rows=50, max_rows=50)],
+        EngineConfig(),
+    )
+    assert res3.violations.count() == 0
+
+    spec = {
+        "engine": {"partition_col": "part"},
+        "checks": [
+            {"type": "volume", "id": "v", "min_rows": 60}
+        ],
+    }
+    assert parse_suite(spec).run(df).verdicts.filter(
+        "NOT passed"
+    ).count() == 4
+    with pytest.raises(ValueError, match="min_rows 9 > max_rows"):
+        VolumeAnomalyCheck("x", min_rows=9, max_rows=5)
+    with pytest.raises(SuiteError, match="must be an integer"):
+        parse_suite(
+            {"checks": [{"type": "volume", "id": "v", "min_rows": "x"}]}
+        )
