@@ -862,6 +862,7 @@ def suggest_suite(
     cfg: EngineConfig | None = None,
     vocab_max: int = 20,
     health: bool = True,
+    rate_seconds: int | None = None,
 ) -> dict:
     """Draft a constraint-suite document FROM the corpus itself — the
     profiler-to-expectations surface: point it at a blessed corpus and it
@@ -905,6 +906,15 @@ def suggest_suite(
       3-MAD conventions) every observed partition satisfies — a draft
       that alarms on its own source is noise, not safety. A MAD of 0
       with real deviations is un-bandable; that entry is skipped.
+    * Window-family bounds at the OBSERVED extremes (max-calibrated, so
+      the source passes and any regression past its historical worst
+      fires): ``runlength`` entries with ``max_run`` = the longest
+      observed equal-value run per grammar-eligible column (one
+      run-grain pass each), and — only when the caller names the window
+      via ``rate_seconds`` (a mined window width would be speculative) —
+      a ``rate`` entry with ``max_events`` = the highest observed
+      trailing count for the first timestamp column (one RANGE-frame
+      window pass).
 
     The returned document is guaranteed to parse (it is round-tripped
     through :func:`parse_suite` before returning) and is deterministic
@@ -1018,10 +1028,18 @@ def suggest_suite(
     # (e.g. the role protocol), bounded by vocab_max² pairs. One window
     # pass + one bounded aggregation per qualifying column.
     seq_grammar: dict[str, dict] = {}
+    # structural columns are excluded from sequential/FD mining: the
+    # group key is constant within each group (its "grammar" and "runs"
+    # are degenerate) and on small corpora it would also hold spurious
+    # FDs — and aliasing max_by output to the grouping column's own name
+    # is ambiguous
+    structural = {cfg.partition_col, cfg.group_col, cfg.order_col}
     seq_cand = [
         c
         for c in sorted(vocab_sets)
-        if int(prof[f"_nn_{c}"]) == n_rows and len(vocab_sets[c]) > 1
+        if c not in structural
+        and int(prof[f"_nn_{c}"]) == n_rows
+        and len(vocab_sets[c]) > 1
     ]
     if seq_cand:
         w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
@@ -1078,6 +1096,45 @@ def suggest_suite(
                 "last": list(last_row[c]),
             }
 
+    # ---- pass 3d: window-family bound mining -----------------------------
+    # max-calibrated: the bound is the observed extreme, so the source
+    # passes exactly and any regression past its historical worst fires.
+    run_bounds: dict[str, int] = {}
+    if seq_cand:
+        from .operators.runs import run_lengths
+
+        for c in seq_cand:
+            row = (
+                run_lengths(
+                    df, [cfg.group_col], [cfg.order_col], c
+                )
+                .agg(F.max("run_len").alias("m"))
+                .first()
+            )
+            if row is not None and row["m"] is not None:
+                run_bounds[c] = int(row["m"])
+    rate_bound: tuple[str, int, int] | None = None
+    if rate_seconds is not None:
+        if rate_seconds < 1:
+            raise ValueError(
+                f"rate_seconds must be >= 1, got {rate_seconds}"
+            )
+        if not ts_cand:
+            raise ValueError(
+                "rate_seconds given but the input has no timestamp "
+                "column to mine a rate bound from"
+            )
+        from .operators.rolling import trailing_counts
+
+        ts_col = ts_cand[0]
+        row = (
+            trailing_counts(df, [cfg.group_col], ts_col, rate_seconds)
+            .agg(F.max("n_trailing").alias("m"))
+            .first()
+        )
+        if row is not None and row["m"] is not None:
+            rate_bound = (ts_col, rate_seconds, int(row["m"]))
+
     # ---- pass 3b: functional-dependency discovery ------------------------
     # Pairwise over the LOW-CARDINALITY string columns only (the vocab
     # candidates — a handful by construction, so this is a handful of
@@ -1092,7 +1149,7 @@ def suggest_suite(
     from .checks.fd import dependent_combo
 
     fd_pairs: list[tuple[str, str]] = []
-    fd_cols = sorted(vocab_sets)
+    fd_cols = [c for c in sorted(vocab_sets) if c not in structural]
     for det in fd_cols:
         deps = [
             d
@@ -1228,6 +1285,26 @@ def suggest_suite(
                 "allowed": g["allowed"],
                 "first": g["first"],
                 "last": g["last"],
+            }
+        )
+    for c, m in run_bounds.items():
+        checks.append(
+            {
+                "type": "runlength",
+                "id": f"{c}_max_run",
+                "col": c,
+                "max_run": m,
+            }
+        )
+    if rate_bound is not None:
+        ts_col, secs, m = rate_bound
+        checks.append(
+            {
+                "type": "rate",
+                "id": f"{ts_col}_rate_{secs}s",
+                "col": ts_col,
+                "seconds": secs,
+                "max_events": m,
             }
         )
     if contiguous:

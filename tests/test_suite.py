@@ -458,3 +458,51 @@ def test_suggest_suite_sequence_grammar(spark, corpus):
         .distinct().collect()
     }
     assert "role_grammar" in fired
+
+
+def test_suggest_suite_window_bounds(spark):
+    """Max-calibrated window-family bounds: max_run is the longest
+    observed run (exact), the rate bound is mined only when the caller
+    names the window, and both leave the source green."""
+    import datetime
+
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for g in range(4):
+        # role pattern a a a b -> max run 3; 4 turns in 30s windows
+        for i, role in enumerate(["a", "a", "a", "b"]):
+            rows.append(
+                (
+                    "p",
+                    f"g{g}",
+                    i,
+                    role,
+                    base + datetime.timedelta(minutes=g * 10, seconds=i * 10),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, role string,"
+        " ts timestamp",
+    )
+    cfg = EngineConfig(key_cols=("conv_id", "turn_idx"))
+    spec = suggest_suite(df, cfg, health=False, rate_seconds=60)
+    by_id = {c["id"]: c for c in spec["checks"]}
+    assert by_id["role_max_run"]["max_run"] == 3
+    rate = by_id["ts_rate_60s"]
+    assert rate["seconds"] == 60 and rate["max_events"] == 4
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    # no rate entry without the named window
+    spec2 = suggest_suite(df, cfg, health=False)
+    assert "ts_rate_60s" not in {c["id"] for c in spec2["checks"]}
+
+    with pytest.raises(ValueError, match="rate_seconds must be >= 1"):
+        suggest_suite(df, cfg, rate_seconds=0)
+    no_ts = df.drop("ts")
+    with pytest.raises(ValueError, match="no timestamp column"):
+        suggest_suite(no_ts, cfg, rate_seconds=60)
