@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         action="store_true",
         help="skip the calibrated volume/cardinality entries",
     )
+    p.add_argument(
+        "--rate-seconds",
+        type=int,
+        metavar="W",
+        help="also mine a trailing-rate bound over this window width "
+        "(max_events = the highest observed trailing count; a mined "
+        "window width would be speculative, so the caller names it)",
+    )
     args = p.parse_args(argv)
     if args.vocab_max < 1:
         raise SystemExit(f"--vocab-max must be >= 1, got {args.vocab_max}")
@@ -55,7 +63,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     )
     try:
         spec = suggest_suite(
-            df, cfg, vocab_max=args.vocab_max, health=not args.no_health
+            df,
+            cfg,
+            vocab_max=args.vocab_max,
+            health=not args.no_health,
+            rate_seconds=args.rate_seconds,
         )
     except ValueError as e:
         raise SystemExit(str(e))
