@@ -2361,6 +2361,24 @@ def q_w11_burst_rate(spark, sf_dir):
     )
 
 
+def q_w11_burst_rate_chunked(spark, sf_dir):
+    """The skew-proof path of the trailing rate rule: same rule as
+    w11_burst_rate, but evaluated with ``chunk_seconds`` — every key
+    pre-split by coarse time bucket, boundary reconciled by ghost-row
+    bin replication (operators/rolling.py module docstring), so one hot
+    key's window sort shrinks from its full history to one bucket. The
+    oracle is deliberately the PLAIN window SQL: the chunked rewrite
+    must be bit-identical to the un-split frame, and DuckDB never sees
+    the buckets."""
+    from taco_toolbox_spark.operators.rolling import burst_violations
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_violations(
+        ev, ["user_id"], max_events=8, ts_col="ts", seconds=86400,
+        chunk_seconds=7 * 86400,
+    )
+
+
 def q_w12_stuck_runs(spark, sf_dir):
     """Run-length (gaps-and-islands) rule — the EQUALITY-run member of
     the window family (w4 orders, w11 rates, w12 runs): flag every event
@@ -2997,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_digest_windowed": q_stream_digest_windowed,
         "stream_cat_drift": q_stream_cat_drift,
         "w11_burst_rate": q_w11_burst_rate,
+        "w11_burst_rate_chunked": q_w11_burst_rate_chunked,
         "w12_stuck_runs": q_w12_stuck_runs,
         "stream_burst": q_stream_burst,
         "diag_key_skew": q_diag_key_skew,
@@ -4001,6 +4020,21 @@ def oracle_sql() -> dict[str, str]:
             FROM h GROUP BY source
         """,
         "w11_burst_rate": """
+            WITH t AS (
+              SELECT user_id, ts,
+                     count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+                     ) AS n_trailing
+              FROM events
+            )
+            SELECT 'burst_rate' AS check_id, user_id, ts, n_trailing
+            FROM t WHERE n_trailing > 8
+        """,
+        # the chunked path must be bit-identical to the PLAIN window —
+        # the oracle never sees the buckets (see q_w11_burst_rate_chunked)
+        "w11_burst_rate_chunked": """
             WITH t AS (
               SELECT user_id, ts,
                      count(*) OVER (

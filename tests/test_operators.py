@@ -630,6 +630,98 @@ def test_trailing_counts_partition_invariant(spark):
     ]
 
 
+def test_trailing_chunked_parity(spark):
+    """chunk_seconds pre-splits every key by coarse time bucket with
+    ghost-row boundary reconciliation (bin replication): output must be
+    bit-identical to the plain window — including frames straddling a
+    bucket boundary, NULL timestamps, and the degenerate chunk == window
+    case where every row is replicated — and ghosts are never emitted
+    (row count preserved)."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.operators.rolling import (
+        burst_violations,
+        trailing_agg,
+        trailing_counts,
+    )
+
+    # one hot key (7/8 of rows) + a cold key + periodic NULL timestamps;
+    # prime stride spreads events so frames straddle bucket boundaries
+    df = spark.range(0, 500).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 8 = 7 THEN 'cold' ELSE 'hot' END AS k",
+        "CASE WHEN id % 97 = 96 THEN NULL ELSE timestamp '2025-01-01' "
+        "+ make_interval(0,0,0,0,0,0, (id * 37) % 3600) END AS ts",
+    )
+    plain = {
+        r["event_id"]: r["n_trailing"]
+        for r in trailing_counts(df, ["k"], "ts", seconds=120).collect()
+    }
+    for chunk in (120, 300, 1000):
+        got = trailing_counts(
+            df, ["k"], "ts", seconds=120, chunk_seconds=chunk
+        )
+        assert got.count() == 500  # ghost context copies filtered out
+        assert {
+            r["event_id"]: r["n_trailing"] for r in got.collect()
+        } == plain, f"chunk_seconds={chunk}"
+
+    # hand-computed boundary case: window 10, chunk 100 — the row at 105
+    # (bucket 1) must see the rows at 95 and 100 via their ghost copies
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, "A", t0 + dt.timedelta(seconds=95)),
+        (2, "A", t0 + dt.timedelta(seconds=100)),
+        (3, "A", t0 + dt.timedelta(seconds=105)),
+        (4, "A", t0 + dt.timedelta(seconds=89)),  # outside [95,105]
+    ]
+    mini = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["n_trailing"]
+        for r in trailing_counts(
+            mini, ["k"], "ts", seconds=10, chunk_seconds=100
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+    # general form and the burst rule ride the same scaffolding
+    pa = trailing_agg(
+        df, ["k"], {"lo": F.min("event_id")}, "ts", seconds=120
+    )
+    pb = trailing_agg(
+        df, ["k"], {"lo": F.min("event_id")}, "ts", seconds=120,
+        chunk_seconds=600,
+    )
+    assert {r["event_id"]: r["lo"] for r in pa.collect()} == {
+        r["event_id"]: r["lo"] for r in pb.collect()
+    }
+    va = burst_violations(df, ["k"], 3, "ts", seconds=120)
+    vb = burst_violations(
+        df, ["k"], 3, "ts", seconds=120, chunk_seconds=600
+    )
+    assert sorted(map(tuple, va.collect())) == sorted(
+        map(tuple, vb.collect())
+    )
+
+    # guards: chunk below the window (a frame could span two boundaries)
+    # and internal-name collisions refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_seconds"):
+        trailing_counts(df, ["k"], "ts", seconds=120, chunk_seconds=60)
+    with _pytest.raises(ValueError, match="chunk_seconds"):
+        trailing_counts(df, ["k"], "ts", seconds=120, chunk_seconds=0)
+    with _pytest.raises(ValueError, match="collide"):
+        trailing_counts(
+            df.withColumn("_bucket", F.lit(1)), ["k"], "ts", 120,
+            chunk_seconds=600,
+        )
+
+
 def test_run_positions_semantics(spark):
     """Gaps-and-islands positions: null-safe equality (NULL continues a
     NULL run), resets on change, independent per key."""

@@ -554,6 +554,25 @@ def test_trailing_counts_single_window_single_exchange(spark):
         assert bad not in plan, bad
 
 
+def test_trailing_chunked_plan_splits_hot_key(spark):
+    """The chunked trailing window must hash-partition on (key, bucket)
+    — the skew split — with ONE Window, no join for the boundary
+    reconciliation (ghosts arrive by union), and no Python eval."""
+    from taco_toolbox_spark.operators.rolling import trailing_counts
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS event_id",
+        "cast(id % 11 AS string) AS k",
+        "timestamp '2025-01-01' + make_interval(0,0,0,0,0,0, id) AS ts",
+    )
+    plan = _plan(trailing_counts(df, ["k"], "ts", 60, chunk_seconds=600))
+    assert plan.count("Window") == 1, plan
+    assert "_bucket" in plan[plan.index("hashpartitioning"):][:200], plan
+    assert "Union" in plan, plan
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
 def test_stuck_runs_one_exchange_one_sort(spark):
     """The run-length (gaps-and-islands) pass must stack its two Window
     operators on ONE exchange with ONE sort — no second shuffle for the
