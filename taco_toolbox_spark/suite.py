@@ -887,7 +887,12 @@ def suggest_suite(
       ``cfg.order_col`` when every group is exactly 0..n-1.
     * ONE window pass on the battery's (group, order) exchange:
       ``monotone`` for each timestamp column with zero observed
-      inversions.
+      inversions, plus a ``gap`` entry per monotone column with
+      ``max_step`` = the largest observed adjacent step (computed with
+      GapCheck's own cast-to-double expression, so enforcement replays
+      the mined bound exactly; gap bounds are NOT mined for
+      non-monotone columns, where the observed extreme is an artifact
+      of the inversions rather than a rule).
     * A handful of grouped aggregations over the low-cardinality
       columns: ``fd`` entries for every pairwise functional dependency
       that holds (det → dep with the FD check's own NULL-marked combo
@@ -1006,8 +1011,15 @@ def suggest_suite(
     )
     contiguous = int(g["_bad"] or 0) == 0
 
-    # ---- pass 3: monotone probe (one window pass, battery exchange) -----
+    # ---- pass 3: monotone + gap probe (one window pass, battery
+    # exchange). The adjacent step is computed with GapCheck's OWN
+    # expression (cur.cast(double) − prev.cast(double), base.py:step_bad)
+    # so the mined max_step is exactly the bound the enforcement pass
+    # replays — the source passes bit-for-bit. Gap bounds are mined only
+    # for columns that also proved monotone: on an unordered column the
+    # observed "max step" is an artifact of the inversions, not a rule.
     mono_cols: list[str] = []
+    gap_bounds: dict[str, float] = {}
     ts_cand = sorted(tsy)
     if ts_cand:
         w = Window.partitionBy(cfg.group_col).orderBy(cfg.order_col)
@@ -1015,9 +1027,23 @@ def suggest_suite(
             *[
                 (F.lag(c).over(w) > F.col(c)).cast("int").alias(f"_i_{c}")
                 for c in ts_cand
-            ]
-        ).agg(*[F.sum(f"_i_{c}").alias(c) for c in ts_cand]).first()
+            ],
+            *[
+                (
+                    F.col(c).cast("double")
+                    - F.lag(c).over(w).cast("double")
+                ).alias(f"_s_{c}")
+                for c in ts_cand
+            ],
+        ).agg(
+            *[F.sum(f"_i_{c}").alias(c) for c in ts_cand],
+            *[F.max(f"_s_{c}").alias(f"_g_{c}") for c in ts_cand],
+        ).first()
         mono_cols = [c for c in ts_cand if int(inv[c] or 0) == 0]
+        for c in mono_cols:
+            g = inv[f"_g_{c}"]
+            if g is not None:
+                gap_bounds[c] = float(g)
 
     # ---- pass 3c: sequence-grammar discovery ----------------------------
     # For each NULL-FREE vocabulary column (a NULL mid-sequence would
@@ -1266,6 +1292,15 @@ def suggest_suite(
         )
     for c in mono_cols:
         checks.append({"type": "monotone", "id": f"{c}_monotone", "col": c})
+    for c in sorted(gap_bounds):
+        checks.append(
+            {
+                "type": "gap",
+                "id": f"{c}_max_gap",
+                "col": c,
+                "max_step": gap_bounds[c],
+            }
+        )
     for det, dep in fd_pairs:
         checks.append(
             {

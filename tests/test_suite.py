@@ -494,8 +494,42 @@ def test_suggest_suite_window_bounds(spark):
     assert by_id["role_max_run"]["max_run"] == 3
     rate = by_id["ts_rate_60s"]
     assert rate["seconds"] == 60 and rate["max_events"] == 4
+    # gap bound mined with GapCheck's own cast-to-double step: every
+    # adjacent in-group step is exactly 10s
+    assert by_id["ts_max_gap"]["max_step"] == 10.0
     res = parse_suite(spec).run(df)
     assert res.verdicts.filter("NOT passed").count() == 0
+
+    # the mined gap bound FIRES on a regression past the observed worst
+    import pyspark.sql.functions as F
+
+    stretched = df.withColumn(
+        "ts",
+        F.when(
+            (F.col("conv_id") == "g0") & (F.col("turn_idx") == 3),
+            F.col("ts") + F.expr("INTERVAL 300 SECONDS"),
+        ).otherwise(F.col("ts")),
+    )
+    bad = parse_suite(spec).run(stretched)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "ts_max_gap" in fired
+
+    # a NON-monotone timestamp column gets neither a monotone nor a gap
+    # entry: its observed extreme is an artifact of the inversions
+    shuffled = df.withColumn(
+        "ts",
+        F.when(
+            (F.col("conv_id") == "g1") & (F.col("turn_idx") == 2),
+            F.col("ts") - F.expr("INTERVAL 25 SECONDS"),
+        ).otherwise(F.col("ts")),
+    )
+    spec_inv = suggest_suite(shuffled, cfg, health=False)
+    ids_inv = {c["id"] for c in spec_inv["checks"]}
+    assert "ts_monotone" not in ids_inv and "ts_max_gap" not in ids_inv
 
     # no rate entry without the named window
     spec2 = suggest_suite(df, cfg, health=False)
