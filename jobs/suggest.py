@@ -6,10 +6,13 @@
 The profiler-to-expectations workflow (taco_toolbox_spark.suite.
 suggest_suite): the draft encodes the rules the corpus ALREADY satisfies
 — observed vocabularies, tight observed ranges, null-free columns,
-key uniqueness, order contiguity, timestamp monotonicity, and the
-partition-health members with tol/k calibrated so the source corpus
-itself passes. A human reviews and widens before committing the file
-next to the data; `jobs/validate.py --suite suite.json` then runs it.
+key uniqueness, order contiguity, timestamp monotonicity with the
+observed max adjacent gap, functional dependencies, sequence grammars,
+max-calibrated run-length bounds (plus a trailing-rate bound when
+--rate-seconds names the window), and the partition-health members with
+tol/k calibrated so the source corpus itself passes. A human reviews
+and widens before committing the file next to the data;
+`jobs/validate.py --suite suite.json` then runs it.
 """
 
 from __future__ import annotations

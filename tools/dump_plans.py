@@ -67,6 +67,7 @@ def main():
         "d6_cond_drift (one grouped count, broadcast-grid conditional TV)": qs["d6_cond_drift"],
         "d7_transition_drift (one seq-keyed lag/lead window, one grouped count)": qs["d7_transition_drift"],
         "w11_burst_rate (one RANGE-frame window on the key exchange)": qs["w11_burst_rate"],
+        "w11_burst_rate_chunked (hot key split by (key, bucket); ghosts by Union, not Join)": qs["w11_burst_rate_chunked"],
         "w12_stuck_runs (two stacked Windows, one exchange, one sort)": qs["w12_stuck_runs"],
         "w13_loop_detect (stacked Windows + exchange-reusing island agg, one shuffle)": qs["w13_loop_detect"],
         "d8_sem_decontaminate (broadcast bench vectors, per-row norm once)": qs["d8_sem_decontaminate"],
