@@ -911,6 +911,13 @@ def suggest_suite(
       3-MAD conventions) every observed partition satisfies — a draft
       that alarms on its own source is noise, not safety. A MAD of 0
       with real deviations is un-bandable; that entry is skipped.
+    * ``cat_drift`` entries for every multi-category vocabulary column:
+      the baseline histogram is the corpus's own exact category counts
+      and the threshold is calibrated on the same discipline — the
+      smallest 3-decimal value (floored at 0.05) every observed
+      partition's total-variation distance passes, computed with the
+      enforcement pass's own integer-exact ``categorical_tv`` so
+      discovery and enforcement cannot disagree.
     * Window-family bounds at the OBSERVED extremes (max-calibrated, so
       the source passes and any regression past its historical worst
       fires): ``runlength`` entries with ``max_run`` = the longest
@@ -1252,6 +1259,34 @@ def suggest_suite(
         maxd = float(cal[f"_d_{c}"] or 0.0)
         comp_tol[c] = max(0.05, math.ceil(maxd * 1000.0) / 1000.0)
 
+    # ---- pass 4b: categorical-drift calibration --------------------------
+    # The drift family joins the draft on the same discipline as the
+    # health bands: the baseline histogram is the corpus's OWN exact
+    # category counts, and the threshold is the smallest 3-decimal value
+    # (floored at the 0.05 convention) under which every observed
+    # partition's total-variation distance passes — computed with the
+    # enforcement pass's own integer-exact categorical_tv, so discovery
+    # and enforcement cannot disagree. Per qualifying column: one
+    # bounded grouped count for the histogram + categorical_tv's single
+    # grouped count (both map-side combinable, outputs bounded by
+    # |partitions|·|categories|). Single-category columns are vacuous
+    # (TV ≡ 0) and skipped, like constant FD dependents.
+    from .checks.drift import categorical_counts, categorical_tv
+
+    cat_drift: list[tuple[str, dict[str, int], float]] = []
+    for c in sorted(vocab_sets):
+        if c in structural or len(vocab_sets[c]) <= 1:
+            continue
+        bc = categorical_counts(df, c)
+        row = (
+            categorical_tv(df, c, cfg.partition_col, bc)
+            .agg(F.max("tv").alias("m"))
+            .first()
+        )
+        m = float(row["m"] or 0.0)
+        thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+        cat_drift.append((c, bc, thr))
+
     # ---- assemble --------------------------------------------------------
     checks: list[dict] = []
     if int(prof["_kd"]) == n_rows:
@@ -1357,6 +1392,16 @@ def suggest_suite(
                 "id": f"{c}_null_drift",
                 "col": c,
                 "tol": comp_tol[c],
+            }
+        )
+    for c, bc, thr in cat_drift:
+        checks.append(
+            {
+                "type": "cat_drift",
+                "id": f"{c}_cat_drift",
+                "col": c,
+                "threshold": thr,
+                "baseline_counts": bc,
             }
         )
     if health:

@@ -362,6 +362,58 @@ def test_suggest_suite_vocab_cap_and_tight_range(spark):
     assert not any(c["type"] == "monotone" for c in spec["checks"])
 
 
+def test_suggest_suite_cat_drift_calibration(spark):
+    """The synthesized cat_drift entry carries the corpus's own exact
+    histogram and a threshold calibrated just above the worst observed
+    per-partition TV: the source stays green, a shifted distribution
+    fires, and a single-category column gets no entry (vacuous)."""
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    # part p0: 3 a / 1 b; part p1: 1 a / 3 b -> global 4 a / 4 b;
+    # per-part TV = 1/2·(|3/4-1/2| + |1/4-1/2|) = 0.25 on both sides
+    rows = []
+    for p, pat in (("p0", "aaab"), ("p1", "abbb")):
+        for i, v in enumerate(pat):
+            rows.append((p, f"g_{p}", i, v, "const"))
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, role string,"
+        " fixed string",
+    )
+    cfg = EngineConfig(key_cols=("conv_id", "turn_idx"))
+    spec = suggest_suite(df, cfg, health=False)
+    entry = next(
+        c for c in spec["checks"] if c["type"] == "cat_drift"
+        and c["col"] == "role"
+    )
+    assert entry["baseline_counts"] == {"a": 4, "b": 4}
+    assert entry["threshold"] == 0.25
+    assert not any(
+        c["type"] == "cat_drift" and c["col"] == "fixed"
+        for c in spec["checks"]
+    )
+
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    # a partition whose histogram collapses to one category fires:
+    # TV(p1'|all-a) vs 4/4 baseline = 1/2·(|1-1/2| + |0-1/2|) = 0.5
+    import pyspark.sql.functions as F
+
+    shifted = df.withColumn(
+        "role",
+        F.when(F.col("part") == "p1", F.lit("a")).otherwise(F.col("role")),
+    )
+    bad = parse_suite(spec).run(shifted)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "role_cat_drift" in fired
+
+
 def test_suggest_suite_guards(spark):
     from taco_toolbox_spark.engine import EngineConfig
     from taco_toolbox_spark.suite import suggest_suite
