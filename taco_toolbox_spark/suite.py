@@ -918,6 +918,15 @@ def suggest_suite(
       partition's total-variation distance passes, computed with the
       enforcement pass's own integer-exact ``categorical_tv`` so
       discovery and enforcement cannot disagree.
+    * ``drift`` (quantile) entries for every non-structural,
+      non-constant numeric column: baseline = the corpus's own exact
+      global quantiles (method "exact" — layout-independent sort-based
+      percentiles; a reviewer flips to "approx"/"tdigest" for the
+      10^12-row path), threshold calibrated the same way over the
+      observed per-partition max relative quantile deviation (the
+      enforcement pass's own ``rel_dev``). A column with a valueless
+      partition is skipped: enforcement rightly fires on a NULL
+      quantile vector, so no threshold can make its own source green.
     * Window-family bounds at the OBSERVED extremes (max-calibrated, so
       the source passes and any regression past its historical worst
       fires): ``runlength`` entries with ``max_run`` = the longest
@@ -1287,6 +1296,55 @@ def suggest_suite(
         thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
         cat_drift.append((c, bc, thr))
 
+    # ---- pass 4c: quantile-drift calibration -----------------------------
+    # The numeric sibling of 4b: each non-structural, non-constant
+    # numeric column gains a `drift` entry whose baseline is the corpus's
+    # own EXACT global quantiles (method "exact": sort-based type-7
+    # percentiles, layout-independent and DuckDB-replicable — the same
+    # calibration-equals-enforcement discipline; a reviewer flips the
+    # method to "approx"/"tdigest" for the 10^12-row path after widening)
+    # and whose threshold is the smallest 3-decimal value (0.05 floor)
+    # every observed partition's max relative quantile deviation passes,
+    # computed with the enforcement pass's own rel_dev expression. A
+    # partition with no values at all yields a NULL quantile vector —
+    # enforcement rightly fires on that (a silent partition IS drift), so
+    # such a column is un-calibratable on its own source and is skipped,
+    # like MAD=0 bands. Cost: two sort-based percentile aggregations per
+    # column — the exact mode's documented verification-corpus cost class.
+    from .checks.drift import (
+        exact_global_quantiles,
+        exact_quantiles_by_partition,
+        rel_dev,
+    )
+
+    drift_probes = (0.1, 0.25, 0.5, 0.75, 0.9)
+    num_drift: list[tuple[str, list[float], float]] = []
+    for c in sorted(numeric):
+        if c in structural:
+            continue
+        mn, mx = prof[f"_min_{c}"], prof[f"_max_{c}"]
+        if mn is None or float(mn) == float(mx):
+            continue  # all-NULL or constant: vacuous
+        bq = exact_global_quantiles(df, c, drift_probes)
+        base_arr = F.array(*[F.lit(float(b)) for b in bq])
+        dist = F.array_max(F.zip_with(F.col("q"), base_arr, rel_dev))
+        row = (
+            exact_quantiles_by_partition(df, c, drift_probes, cfg.partition_col)
+            .agg(
+                F.max(dist).alias("m"),
+                F.sum(
+                    (dist.isNull() | F.isnan(F.coalesce(dist, F.lit(0.0))))
+                    .cast("int")
+                ).alias("bad"),
+            )
+            .first()
+        )
+        if int(row["bad"] or 0) > 0:
+            continue  # a valueless partition cannot be calibrated green
+        m = float(row["m"] or 0.0)
+        thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+        num_drift.append((c, bq, thr))
+
     # ---- assemble --------------------------------------------------------
     checks: list[dict] = []
     if int(prof["_kd"]) == n_rows:
@@ -1402,6 +1460,18 @@ def suggest_suite(
                 "col": c,
                 "threshold": thr,
                 "baseline_counts": bc,
+            }
+        )
+    for c, bq, thr in num_drift:
+        checks.append(
+            {
+                "type": "drift",
+                "id": f"{c}_drift",
+                "expr": c,
+                "probes": list(drift_probes),
+                "threshold": thr,
+                "method": "exact",
+                "baseline_quantiles": [float(b) for b in bq],
             }
         )
     if health:

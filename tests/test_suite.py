@@ -414,6 +414,60 @@ def test_suggest_suite_cat_drift_calibration(spark):
     assert "role_cat_drift" in fired
 
 
+def test_suggest_suite_quantile_drift_calibration(spark):
+    """The synthesized drift entry carries the corpus's exact global
+    quantiles (method 'exact', layout-independent) and a threshold just
+    above the worst observed per-partition relative deviation: source
+    green, shifted distribution fires, constant columns and columns
+    with a valueless partition are skipped."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    rows = []
+    for p, base in (("p0", 0), ("p1", 4)):
+        for i in range(8):
+            rows.append(
+                (p, f"g_{p}", i, float(base + i), 1.0,
+                 None if p == "p1" else float(i))
+            )
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, score double,"
+        " konst double, holey double",
+    )
+    cfg = EngineConfig(key_cols=("conv_id", "turn_idx"))
+    spec = suggest_suite(df, cfg, health=False)
+    by_id = {c["id"]: c for c in spec["checks"]}
+    entry = by_id["score_drift"]
+    assert entry["method"] == "exact"
+    assert entry["probes"] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    # exact type-7 global quantiles of 0..11 with dup middle mass
+    assert entry["baseline_quantiles"][2] == 5.5  # median of 0..7 + 4..11
+    assert entry["threshold"] >= 0.05
+    # constant column and the column with an all-NULL partition: no rule
+    assert "konst_drift" not in by_id and "holey_drift" not in by_id
+
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    # scaling one partition's scores far past the calibrated band fires
+    shifted = df.withColumn(
+        "score",
+        F.when(
+            F.col("part") == "p1", F.col("score") * 10.0
+        ).otherwise(F.col("score")),
+    )
+    bad = parse_suite(spec).run(shifted)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "score_drift" in fired
+
+
 def test_suggest_suite_guards(spark):
     from taco_toolbox_spark.engine import EngineConfig
     from taco_toolbox_spark.suite import suggest_suite
