@@ -927,6 +927,12 @@ def suggest_suite(
       enforcement pass's own ``rel_dev``). A column with a valueless
       partition is skipped: enforcement rightly fires on a NULL
       quantile vector, so no threshold can make its own source green.
+    * ``cond_drift`` entries for every ordered pair of multi-category
+      vocabulary columns and ``transition_drift`` entries for each such
+      column (bigram matrix with boundary sentinels under the battery's
+      (group, order) window) — baselines observed, thresholds calibrated
+      the same way, completing the synthesized drift family across all
+      four members: marginal, numeric, relationship, sequential.
     * Window-family bounds at the OBSERVED extremes (max-calibrated, so
       the source passes and any regression past its historical worst
       fires): ``runlength`` entries with ``max_run`` = the longest
@@ -1345,6 +1351,64 @@ def suggest_suite(
         thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
         num_drift.append((c, bq, thr))
 
+    # ---- pass 4d: conditional + transition drift calibration -------------
+    # The remaining two drift members join on the identical discipline,
+    # completing the synthesized family (marginal 4b, numeric 4c,
+    # relationship and sequential here): `cond_drift` for every ordered
+    # pair of multi-category vocabulary columns (baseline = the observed
+    # contingency table, threshold = the calibrated ceiling of the
+    # per-(partition, conditioning value) TVs — both from the enforcement
+    # pass's own integer-exact conditional_tv), and `transition_drift`
+    # for every multi-category vocabulary column (baseline = the observed
+    # bigram matrix WITH boundary sentinels under the battery's
+    # (group, order) window; NULL states fold to the shared sentinel, so
+    # nullable columns qualify — unlike sequence grammars, which fail
+    # closed on NULL). Costs per entry: two bounded grouped counts
+    # (cond) / one lag window + grouped count (transition).
+    from .checks.drift import (
+        conditional_counts,
+        conditional_tv,
+        transition_counts,
+        transition_drift,
+    )
+
+    def _nest(bc: dict[tuple[str, str], int]) -> dict[str, dict[str, int]]:
+        out: dict[str, dict[str, int]] = {}
+        for (k, c2), n in sorted(bc.items()):
+            out.setdefault(k, {})[c2] = int(n)
+        return out
+
+    cat_cols = [c for c, _, _ in cat_drift]
+    cond_entries: list[tuple[str, str, dict, float]] = []
+    for det in cat_cols:
+        for dep in cat_cols:
+            if det == dep:
+                continue
+            bc2 = conditional_counts(df, det, dep)
+            row = (
+                conditional_tv(df, det, dep, cfg.partition_col, bc2)
+                .agg(F.max("tv").alias("m"))
+                .first()
+            )
+            m = float(row["m"] or 0.0)
+            thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+            cond_entries.append((det, dep, _nest(bc2), thr))
+
+    trans_entries: list[tuple[str, dict, float]] = []
+    for c in cat_cols:
+        bc2 = transition_counts(df, cfg.group_col, [cfg.order_col], c)
+        row = (
+            transition_drift(
+                df, cfg.group_col, [cfg.order_col], c,
+                cfg.partition_col, bc2,
+            )
+            .agg(F.max("tv").alias("m"))
+            .first()
+        )
+        m = float(row["m"] or 0.0)
+        thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+        trans_entries.append((c, _nest(bc2), thr))
+
     # ---- assemble --------------------------------------------------------
     checks: list[dict] = []
     if int(prof["_kd"]) == n_rows:
@@ -1472,6 +1536,27 @@ def suggest_suite(
                 "threshold": thr,
                 "method": "exact",
                 "baseline_quantiles": [float(b) for b in bq],
+            }
+        )
+    for det, dep, bc2, thr in cond_entries:
+        checks.append(
+            {
+                "type": "cond_drift",
+                "id": f"{dep}_given_{det}_drift",
+                "cond": det,
+                "cat": dep,
+                "threshold": thr,
+                "baseline_counts": bc2,
+            }
+        )
+    for c, bc2, thr in trans_entries:
+        checks.append(
+            {
+                "type": "transition_drift",
+                "id": f"{c}_transition_drift",
+                "state": c,
+                "threshold": thr,
+                "baseline_counts": bc2,
             }
         )
     if health:

@@ -468,6 +468,80 @@ def test_suggest_suite_quantile_drift_calibration(spark):
     assert "score_drift" in fired
 
 
+def test_suggest_suite_cond_and_transition_drift(spark):
+    """The relationship and sequential drift members join the draft:
+    observed contingency / bigram baselines, calibrated thresholds,
+    green on source; a corpus whose marginals are INTACT but whose
+    relationship (tool|role coupling) and order (retry loops) break
+    fires exactly those members."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    # two partitions, each conv: role pattern u a u a with tool coupled
+    # to role (u -> search, a -> code)
+    rows = []
+    for p in ("p0", "p1"):
+        for g in range(3):
+            for i, role in enumerate(["u", "a", "u", "a"]):
+                tool = "search" if role == "u" else "code"
+                rows.append((p, f"g_{p}_{g}", i, role, tool))
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, role string,"
+        " tool string",
+    )
+    cfg = EngineConfig(key_cols=("conv_id", "turn_idx"))
+    spec = suggest_suite(df, cfg, health=False)
+    by_id = {c["id"]: c for c in spec["checks"]}
+    cond = by_id["tool_given_role_drift"]
+    assert cond["baseline_counts"] == {
+        "u": {"search": 12}, "a": {"code": 12}
+    }
+    trans = by_id["role_transition_drift"]
+    # boundary sentinels present: every conv opens with u and closes a
+    assert trans["baseline_counts"]["<start>"] == {"u": 6}
+    assert spec == suggest_suite(df, cfg, health=False)  # deterministic
+
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    # swap p1's tools (u<->code coupling breaks; tool marginal intact)
+    # and re-order p1's roles to u u a a (role marginal intact, order
+    # broken): only the relationship/sequential members should add fires
+    broken = df.withColumn(
+        "tool",
+        F.when(
+            (F.col("part") == "p1") & (F.col("tool") == "search"),
+            F.lit("code"),
+        ).when(
+            (F.col("part") == "p1") & (F.col("tool") == "code"),
+            F.lit("search"),
+        ).otherwise(F.col("tool")),
+    ).withColumn(
+        "role",
+        F.when(
+            F.col("part") == "p1",
+            F.element_at(
+                F.array(F.lit("u"), F.lit("u"), F.lit("a"), F.lit("a")),
+                F.col("turn_idx") + 1,
+            ),
+        ).otherwise(F.col("role")),
+    )
+    bad = parse_suite(spec).run(broken)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "tool_given_role_drift" in fired
+    assert "role_transition_drift" in fired
+    # both marginals really are intact: the cat_drift members stay green
+    assert "role_cat_drift" not in fired
+    assert "tool_cat_drift" not in fired
+
+
 def test_suggest_suite_guards(spark):
     from taco_toolbox_spark.engine import EngineConfig
     from taco_toolbox_spark.suite import suggest_suite
