@@ -931,8 +931,12 @@ def suggest_suite(
       vocabulary columns and ``transition_drift`` entries for each such
       column (bigram matrix with boundary sentinels under the battery's
       (group, order) window) — baselines observed, thresholds calibrated
-      the same way, completing the synthesized drift family across all
-      four members: marginal, numeric, relationship, sequential.
+      the same way; plus ``corr_drift`` entries for every unordered pair
+      of integer-typed columns with a non-degenerate global correlation
+      (degenerate partitions are un-calibratable and skip the pair —
+      enforcement rightly fires on lost variance). The synthesized
+      drift family now spans every member: marginal, numeric,
+      categorical relationship, numeric relationship, sequential.
     * Window-family bounds at the OBSERVED extremes (max-calibrated, so
       the source passes and any regression past its historical worst
       fires): ``runlength`` entries with ``max_run`` = the longest
@@ -1409,6 +1413,46 @@ def suggest_suite(
         thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
         trans_entries.append((c, _nest(bc2), thr))
 
+    # ---- pass 4e: correlation-drift calibration --------------------------
+    # The numeric-RELATIONSHIP member (cond_drift's Pearson sibling):
+    # for every unordered pair of INTEGER-typed non-structural columns
+    # (the check's exact-DECIMAL moment arithmetic demands integer
+    # values — float columns need an explicit quantizing expression, a
+    # reviewer decision, not a profiler guess), mine the corpus's global
+    # correlation as the inline baseline and calibrate the threshold
+    # over the observed per-partition |corr − base| deltas. A pair with
+    # a degenerate partition (corr NULL: < 2 points or zero variance)
+    # is un-calibratable — enforcement rightly fires on lost variance —
+    # and is skipped, as is a pair whose GLOBAL relationship is
+    # degenerate (nothing to drift from). One exact-moment aggregation
+    # pair per candidate; candidates are bounded by the schema, not the
+    # data.
+    from .checks.drift import correlation_drift
+
+    int_types = {"byte", "short", "integer", "long"}
+    inty = sorted(
+        f.name
+        for f in fields
+        if f.dataType.typeName() in int_types
+        and f.name not in structural
+        and prof[f"_min_{f.name}"] is not None
+        and float(prof[f"_min_{f.name}"]) != float(prof[f"_max_{f.name}"])
+    )
+    corr_entries: list[tuple[str, str, float, float]] = []
+    for i, x in enumerate(inty):
+        for y in inty[i + 1:]:
+            cd = correlation_drift(df, x, y, cfg.partition_col, baseline=df)
+            row = cd.agg(
+                F.max("delta").alias("m"),
+                F.sum(F.col("corr").isNull().cast("int")).alias("deg"),
+                F.max("corr_base").alias("b"),
+            ).first()
+            if row["b"] is None or int(row["deg"] or 0) > 0:
+                continue
+            m = float(row["m"] or 0.0)
+            thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+            corr_entries.append((x, y, float(row["b"]), thr))
+
     # ---- assemble --------------------------------------------------------
     checks: list[dict] = []
     if int(prof["_kd"]) == n_rows:
@@ -1557,6 +1601,17 @@ def suggest_suite(
                 "state": c,
                 "threshold": thr,
                 "baseline_counts": bc2,
+            }
+        )
+    for x, y, b, thr in corr_entries:
+        checks.append(
+            {
+                "type": "corr_drift",
+                "id": f"{x}__{y}_corr_drift",
+                "x": x,
+                "y": y,
+                "threshold": thr,
+                "baseline_corr": b,
             }
         )
     if health:

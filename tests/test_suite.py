@@ -542,6 +542,59 @@ def test_suggest_suite_cond_and_transition_drift(spark):
     assert "tool_cat_drift" not in fired
 
 
+def test_suggest_suite_corr_drift_calibration(spark):
+    """The Pearson member: integer column pairs get an inline observed
+    baseline correlation and a calibrated threshold; source green; a
+    partition whose relationship flips sign fires; a pair with a
+    degenerate partition (zero variance) is skipped."""
+    import pyspark.sql.functions as F
+
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    rows = []
+    for p in ("p0", "p1"):
+        for g in range(2):
+            for i in range(6):
+                # y tracks x exactly; z is constant within p1 (degenerate)
+                rows.append(
+                    (p, f"g_{p}_{g}", i, i, 2 * i,
+                     i if p == "p0" else 7)
+                )
+    df = spark.createDataFrame(
+        rows,
+        "part string, conv_id string, turn_idx int, x int, y int, z int",
+    )
+    cfg = EngineConfig(key_cols=("conv_id", "turn_idx"))
+    spec = suggest_suite(df, cfg, health=False)
+    by_id = {c["id"]: c for c in spec["checks"]}
+    entry = by_id["x__y_corr_drift"]
+    assert entry["baseline_corr"] == pytest.approx(1.0)
+    assert entry["threshold"] == 0.05  # perfect fit everywhere: floor
+    # both z pairs skipped: p1 has zero z-variance (degenerate corr)
+    assert "x__z_corr_drift" not in by_id
+    assert "y__z_corr_drift" not in by_id
+
+    res = parse_suite(spec).run(df)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    # flip the relationship in p1 (y = -2x + 10): marginal-ish stats
+    # move little, the correlation flips to -1 and fires
+    broken = df.withColumn(
+        "y",
+        F.when(
+            F.col("part") == "p1", F.lit(10) - F.col("y")
+        ).otherwise(F.col("y")),
+    )
+    bad = parse_suite(spec).run(broken)
+    fired = {
+        r["check_id"]
+        for r in bad.verdicts.filter("NOT passed").select("check_id")
+        .distinct().collect()
+    }
+    assert "x__y_corr_drift" in fired
+
+
 def test_suggest_suite_guards(spark):
     from taco_toolbox_spark.engine import EngineConfig
     from taco_toolbox_spark.suite import suggest_suite
