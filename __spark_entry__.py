@@ -2841,6 +2841,70 @@ def q_stream_cat_drift(spark, sf_dir):
     ).select("window_start", "n_win", "tv_num", "tv")
 
 
+def q_stream_cond_drift(spark, sf_dir):
+    """STREAMING conditional-distribution drift under the full value
+    oracle: the events table streams through watermarked per-day windows
+    and each (window, event_type) cell's P(value_bucket | event_type) is
+    scored against the corpus-wide contingency table with the batch
+    check's EXACT integer arithmetic (d6_cond_drift) — per-category
+    cross-multiplied terms + closed-form novel-category mass, BIGINT sum,
+    ONE float division — so DuckDB reproduces every (window, cond, n_win,
+    n_base, tv_num, tv) row bit-for-bit. Completes the batch<->stream
+    matrix for the categorical-RELATIONSHIP drift member
+    (streaming/validate_stream.py:stream_conditional_tv)."""
+    from taco_toolbox_spark.checks.drift import conditional_counts
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cond_drift_smoke,
+    )
+
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events_conddrift")
+    bucket = "CAST(LEAST(CAST(FLOOR(value / 100) AS INT), 4) AS STRING)"
+    base = conditional_counts(
+        spark.read.parquet(staged), "event_type", bucket
+    )
+    return run_stream_cond_drift_smoke(
+        spark,
+        staged,
+        "event_type",
+        bucket,
+        base,
+        query_name=f"q_sconddrift_{tag}",
+        window="1 day",
+        watermark="2 days",
+    ).select("window_start", "cond", "n_win", "n_base", "tv_num", "tv")
+
+
+def q_stream_corr_drift(spark, sf_dir):
+    """STREAMING correlation drift under the full value oracle: per
+    watermarked event-time DAY window, the Pearson correlation of
+    (second-of-day, value·1000) — d5's integer-quantized pair — against
+    an inline stored baseline (0.0, the suite-document mode; a stream
+    cannot self-baseline an unbounded window population). The five moment
+    sums are DECIMAL-exact and order-independent, with ONE float64
+    transition — so DuckDB (HUGEINT sums, identical final expression)
+    reproduces every (window, n, corr, corr_base, delta) row bit-for-bit
+    INCLUDING the NULL corr of a degenerate window. Completes the
+    batch<->stream matrix for the numeric-RELATIONSHIP drift member
+    (streaming/validate_stream.py:stream_correlation_drift)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_corr_drift_smoke,
+    )
+
+    staged, tag = _stage_stream(spark, sf_dir, "events", "events_corrdrift")
+    x = "CAST(FLOOR(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT) % 86400"
+    y = "CAST(ROUND(value * 1000) AS BIGINT)"
+    return run_stream_corr_drift_smoke(
+        spark,
+        staged,
+        x,
+        y,
+        0.0,
+        query_name=f"q_scorrdrift_{tag}",
+        window="1 day",
+        watermark="2 days",
+    ).select("window_start", "n", "corr", "corr_base", "delta")
+
+
 def q_stream_health(spark, sf_dir):
     """STREAMING partition health under the full value oracle: the events
     table streams through watermarked per-event-time-DAY windows; each
@@ -3014,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_digest": q_stream_digest,
         "stream_digest_windowed": q_stream_digest_windowed,
         "stream_cat_drift": q_stream_cat_drift,
+        "stream_cond_drift": q_stream_cond_drift,
+        "stream_corr_drift": q_stream_corr_drift,
         "w11_burst_rate": q_w11_burst_rate,
         "w11_burst_rate_chunked": q_w11_burst_rate_chunked,
         "w12_stuck_runs": q_w12_stuck_runs,
@@ -4408,6 +4474,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts, n_trailing
             FROM t WHERE n_trailing > 8
+        """,
+        # streaming conditional TV == the batch d6 arithmetic keyed by the
+        # window-start timestamp instead of the day string
+        "stream_cond_drift": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS part,
+                     coalesce(event_type, '<null>') AS k,
+                     coalesce(least(floor(value / 100)::INT, 4)::VARCHAR,
+                              '<null>') AS cat,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT part, k, sum(n)::BIGINT AS n_win FROM c GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT k, cat, sum(n)::BIGINT AS nb FROM c GROUP BY 1, 2
+            ),
+            bt AS (SELECT k, sum(nb)::BIGINT AS n_base FROM b GROUP BY 1),
+            cats AS (
+              SELECT DISTINCT k, cat FROM c
+              UNION SELECT k, cat FROM b
+            )
+            SELECT t.part AS window_start, t.k AS cond, t.n_win, bt.n_base,
+                   sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                           - coalesce(b.nb, 0)::BIGINT * t.n_win))::BIGINT
+                     AS tv_num,
+                   (sum(abs(coalesce(x.n, 0)::BIGINT * bt.n_base
+                            - coalesce(b.nb, 0)::BIGINT * t.n_win))::BIGINT
+                    / (2.0 * t.n_win * bt.n_base)) AS tv
+            FROM tot t
+            JOIN bt ON bt.k = t.k
+            JOIN cats g ON g.k = t.k
+            LEFT JOIN c x ON x.part = t.part AND x.k = g.k AND x.cat = g.cat
+            LEFT JOIN b ON b.k = g.k AND b.cat = g.cat
+            GROUP BY t.part, t.k, t.n_win, bt.n_base
+        """,
+        # streaming correlation == the batch d5 moment arithmetic per day
+        # window against the inline stored baseline 0.0
+        "stream_corr_drift": """
+            WITH src AS (
+              SELECT date_trunc('day', ts) AS w,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 AS x,
+                     CAST(ROUND(value * 1000) AS BIGINT) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+              SELECT w, count(*)::BIGINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                     sum(y::HUGEINT * y::HUGEINT) AS syy,
+                     sum(x::HUGEINT * y::HUGEINT) AS sxy
+              FROM src GROUP BY 1
+            ),
+            calc AS (
+              SELECT w, n,
+                     n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
+                       AS num,
+                     n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                       AS vx,
+                     n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                       AS vy
+              FROM m
+            )
+            SELECT w AS window_start, n,
+                   corr, 0.0 AS corr_base, abs(corr) AS delta
+            FROM (
+              SELECT w, n,
+                     CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                          THEN num / (sqrt(vx) * sqrt(vy)) END AS corr
+              FROM calc
+            )
         """,
         "stream_cat_drift": """
             WITH c AS (

@@ -1664,6 +1664,278 @@ def run_stream_cat_drift_smoke(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_conditional_tv(
+    stream_df: DataFrame,
+    cond_expr: str,
+    cat_expr: str,
+    baseline_counts: dict,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    threshold: float | None = None,
+    check_id: str = "cond_drift",
+) -> DataFrame:
+    """Conditional-distribution drift on a STREAM: per (event-time
+    window, conditioning value), the EXACT total-variation distance of
+    the window's P(cat | cond) from a stored baseline contingency table
+    — the streaming twin of ``checks.drift.conditional_tv``, completing
+    the batch<->stream matrix for the categorical-RELATIONSHIP drift
+    member (marginal TV, quantiles, transitions, health, FD, digests
+    already stream).
+
+    Arithmetic parity is structural, not re-derived: per conditioning
+    value the numerator is the batch check's identical integer form —
+    per-category cross-multiplied terms |n·N_b(cond) − n_b·n_win| over
+    the baseline's categories for that cond (a baseline category absent
+    from the window contributes its n_b·n_win through the n=0 term) plus
+    the closed-form novel-category mass (n_win − Σ_{cats(cond)} n)·
+    N_b(cond), summed BIGINT, ONE float division — bit-for-bit what the
+    batch pass and the DuckDB oracle compute. A conditioning value the
+    baseline has never seen surfaces tv = NULL (and fails the verdict) —
+    the batch check's own novel-cond violation class.
+
+    The same honest streaming contract as stream_health /
+    stream_categorical_tv: the baseline is a REQUIRED batch-computed
+    table riding the closure as literals (a stream cannot self-baseline
+    an unbounded window population); state per open window is
+    |conds|·(|union categories|+1) longs inside ONE watermarked grouped
+    aggregation. ``baseline_counts`` accepts the batch helper's
+    {(cond, cat): n} or the suite document's nested {cond: {cat: n}}.
+    """
+    from ..checks.drift import NULL_CATEGORY
+
+    flat: dict[tuple[str, str], int] = {}
+    for k, v in baseline_counts.items():
+        if isinstance(v, dict):  # nested suite-document form
+            for c2, n in v.items():
+                key = (str(k), str(c2))
+                flat[key] = flat.get(key, 0) + int(n)
+        else:
+            k2 = (str(k[0]), str(k[1]))
+            flat[k2] = flat.get(k2, 0) + int(v)
+    if not flat:
+        raise ValueError("baseline_counts must hold at least one observation")
+    conds = sorted({k for k, _ in flat})
+    cats = sorted({c for _, c in flat})
+    if len(conds) * len(cats) > 1000:
+        raise ValueError(
+            f"baseline spans {len(conds)}x{len(cats)} cells; "
+            "stream_conditional_tv is contracted to small contingency "
+            "tables (<= 1000 cells) — use the batch conditional_tv over "
+            "foreachBatch for wide ones"
+        )
+    n_base = {
+        k: sum(n for (k2, _), n in flat.items() if k2 == k) for k in conds
+    }
+
+    cond = F.coalesce(F.expr(cond_expr).cast("string"), F.lit(NULL_CATEGORY))
+    cat = F.coalesce(F.expr(cat_expr).cast("string"), F.lit(NULL_CATEGORY))
+    per_cat = [
+        F.sum(F.when(cat == F.lit(c), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_n{i}")
+        for i, c in enumerate(cats)
+    ]
+    agg = (
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), cond.alias("cond"))
+        .agg(F.count(F.lit(1)).alias("n_win"), *per_cat)
+    )
+
+    tv_num = F.lit(None).cast("long")
+    nb_col = F.lit(None).cast("long")
+    for k in conds:
+        kcats = [(i, c) for i, c in enumerate(cats) if (k, c) in flat]
+        present = sum(
+            (F.col(f"_n{i}") for i, _ in kcats), F.lit(0).cast("long")
+        )
+        expr_k = sum(
+            (
+                F.abs(
+                    F.col(f"_n{i}") * F.lit(n_base[k])
+                    - F.lit(flat[(k, c)]) * F.col("n_win")
+                )
+                for i, c in kcats
+            ),
+            (F.col("n_win") - present) * F.lit(n_base[k]),
+        )
+        tv_num = F.when(F.col("cond") == F.lit(k), expr_k).otherwise(tv_num)
+        nb_col = F.when(
+            F.col("cond") == F.lit(k), F.lit(n_base[k])
+        ).otherwise(nb_col)
+
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "cond",
+        "n_win",
+        nb_col.alias("n_base"),
+        tv_num.cast("long").alias("tv_num"),
+    ).withColumn(
+        "tv",
+        F.col("tv_num")
+        / (F.lit(2.0) * F.col("n_win") * F.col("n_base").cast("double")),
+    )
+    if threshold is not None:
+        out = out.select(
+            "*",
+            F.lit(check_id).alias("check_id"),
+            (
+                F.col("tv").isNotNull()
+                & (F.col("tv") <= F.lit(float(threshold)))
+            ).alias("passed"),
+        )
+    return out
+
+
+def run_stream_cond_drift_smoke(
+    spark,
+    parquet_dir: str,
+    cond_expr: str,
+    cat_expr: str,
+    baseline_counts: dict,
+    query_name: str = "stream_cond_drift",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the streaming conditional TV over a bounded parquet dir in
+    complete mode (one row per open (window, cond) — tiny)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_conditional_tv(
+        stream, cond_expr, cat_expr, baseline_counts, **kwargs
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_correlation_drift(
+    stream_df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    baseline_corr: float,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    threshold: float | None = None,
+    check_id: str = "corr_drift",
+) -> DataFrame:
+    """Correlation drift on a STREAM: per event-time window, the Pearson
+    correlation of two INTEGER-VALUED expressions vs a stored baseline —
+    the streaming twin of ``checks.drift.correlation_drift``, completing
+    the batch<->stream matrix for the numeric-RELATIONSHIP member.
+
+    Exactness discipline verbatim from the batch check
+    (``correlation_by_partition``): the five moment sums (Σx, Σy, Σx²,
+    Σy², Σxy) accumulate as DECIMAL(38,0) from DECIMAL(19,0) per-row
+    products — order-independent, overflow-free to 10^12 rows — then ONE
+    float64 transition evaluates corr and delta = |corr − baseline|, so
+    the emitted row is bit-identical to the batch pass on the same
+    window population regardless of micro-batch arrival order (a running
+    float corr() could not promise that). Rows where either side is NULL
+    are dropped (pairwise-complete, the batch rule); a window left with
+    < 2 points or zero variance emits corr = NULL and FAILS the verdict
+    — lost variance is drift, the batch violations rule. State per open
+    window: six numbers inside ONE watermarked grouped aggregation;
+    ``baseline_corr`` is a required literal (the stream cannot
+    self-baseline — stream_health's contract).
+    """
+    ev = _event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    d = ev.select(
+        F.col(ts_col),
+        F.expr(x_expr).cast("long").alias("_x"),
+        F.expr(y_expr).cast("long").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    dec = "decimal(19,0)"
+    x, y = F.col("_x").cast(dec), F.col("_y").cast(dec)
+    m = d.groupBy(F.window(F.col(ts_col), window)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    out = m.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        corr.alias("corr"),
+        F.lit(float(baseline_corr)).alias("corr_base"),
+        F.abs(corr - F.lit(float(baseline_corr))).alias("delta"),
+    )
+    if threshold is not None:
+        out = out.select(
+            "*",
+            F.lit(check_id).alias("check_id"),
+            (
+                F.col("corr").isNotNull()
+                & (F.col("delta") <= F.lit(float(threshold)))
+            ).alias("passed"),
+        )
+    return out
+
+
+def run_stream_corr_drift_smoke(
+    spark,
+    parquet_dir: str,
+    x_expr: str,
+    y_expr: str,
+    baseline_corr: float,
+    query_name: str = "stream_corr_drift",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the streaming correlation drift over a bounded parquet dir
+    in complete mode (one row per open window — tiny)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_correlation_drift(
+        stream, x_expr, y_expr, baseline_corr, **kwargs
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_health(
     stream_df: DataFrame,
     ts_col: str = "ts",

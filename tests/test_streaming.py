@@ -1072,6 +1072,156 @@ def test_stream_categorical_tv_unknown_category_mass(tmp_path, spark):
     assert float(got.tv.iloc[0]) == 8 / (2.0 * 4 * 4.0)
 
 
+def test_stream_conditional_tv_matches_batch(tmp_path, corpus):
+    """The streaming conditional TV must reproduce the batch
+    conditional_tv rows EXACTLY — integer tv_num, per-cond n_base, and
+    the one float division — on the same per-day windows, including the
+    NULL-category fold on the nullable tool axis."""
+    from taco_toolbox_spark.checks.drift import (
+        conditional_counts,
+        conditional_tv,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cond_drift_smoke,
+    )
+
+    spark = corpus.clean.sparkSession
+    path = str(tmp_path / "conddrift_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    base = conditional_counts(corpus.clean, "role", "tool")
+
+    got = run_stream_cond_drift_smoke(
+        spark,
+        path,
+        "role",
+        "tool",
+        base,
+        query_name="t_cond_drift_stream",
+        window="1 day",
+        watermark="1 day",
+    ).toPandas()
+
+    static = spark.read.parquet(path)
+    day = static.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    want = (
+        conditional_tv(day, "role", "tool", "day", base)
+        .toPandas()
+        .set_index(["part", "cond"])
+        .sort_index()
+    )
+    got["day"] = got.window_start.map(lambda t: str(t.date()))
+    got = got.set_index(["day", "cond"]).sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got.n_win.to_numpy() == want.n_part.to_numpy()).all()
+    assert (got.n_base.to_numpy() == want.n_base.to_numpy()).all()
+    assert (got.tv_num.to_numpy() == want.tv_num.to_numpy()).all()
+    assert (got.tv.to_numpy() == want.tv.to_numpy()).all()  # bit-exact
+
+
+def test_stream_conditional_tv_novel_cond_and_nested_baseline(
+    tmp_path, spark
+):
+    """A streamed conditioning value the baseline never saw emits
+    tv = NULL and FAILS the verdict (the batch novel-cond class); the
+    nested suite-document baseline form parses identically to the
+    tuple-keyed batch form."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_cond_drift_smoke,
+    )
+
+    t0 = dt.datetime(2025, 2, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "k": ["u", "u", "a", "zz"],
+            "c": ["s", "s", "q", "s"],
+            "ts": [t0] * 4,
+        }
+    )
+    path = str(tmp_path / "novel_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    nested = {"u": {"s": 2}, "a": {"q": 1, "s": 1}}
+
+    got = (
+        run_stream_cond_drift_smoke(
+            spark, path, "k", "c", nested, query_name="t_cond_novel",
+            window="1 day", threshold=0.05,
+        )
+        .toPandas()
+        .set_index("cond")
+        .sort_index()
+    )
+    assert list(got.index) == ["a", "u", "zz"]
+    # u: perfect match -> tv 0, passes; a: {q:1} vs {q:1,s:1}:
+    # |1*2-1*1| + |0*2-1*1| = 2 -> tv = 2/(2*1*2) = 0.5 -> fails
+    assert float(got.loc["u"].tv) == 0.0 and bool(got.loc["u"].passed)
+    assert float(got.loc["a"].tv) == 0.5 and not bool(got.loc["a"].passed)
+    assert pd.isna(got.loc["zz"].tv) and not bool(got.loc["zz"].passed)
+
+
+def test_stream_correlation_drift_matches_batch(tmp_path, spark):
+    """The streaming correlation must reproduce the batch
+    correlation_drift rows bit-for-bit (exact decimal moments, one
+    float64 transition) per day window; a degenerate window (zero
+    variance) emits corr NULL and fails."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from taco_toolbox_spark.checks.drift import correlation_drift
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_corr_drift_smoke,
+    )
+
+    t0 = dt.datetime(2025, 4, 1)
+    rows = []
+    for i in range(7):  # day 1: y loosely tracks x
+        rows.append((t0 + dt.timedelta(hours=i), i, 3 * i + (i % 2)))
+    for i in range(7):  # day 2: y anti-tracks x
+        rows.append(
+            (t0 + dt.timedelta(days=1, hours=i), i, 20 - 2 * i + (i % 3))
+        )
+    for i in range(3):  # day 3: zero x-variance -> degenerate
+        rows.append((t0 + dt.timedelta(days=2, hours=i), 5, i))
+    df = spark.createDataFrame(rows, "ts timestamp, x int, y int")
+    path = str(tmp_path / "corr_in")
+    df.write.mode("overwrite").parquet(path)
+
+    got = (
+        run_stream_corr_drift_smoke(
+            spark, path, "x", "y", 0.9, query_name="t_corr_stream",
+            window="1 day", threshold=0.3,
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    day = spark.read.parquet(path).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    want = (
+        correlation_drift(day, "x", "y", "day", baseline_corr=0.9)
+        .toPandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    assert (got.n.to_numpy() == want.n.to_numpy()).all()
+    # bit-exact where defined, NaN where degenerate — on both sides
+    assert (
+        got.corr_base.to_numpy() == want.corr_base.to_numpy()
+    ).all()
+    for g, w in zip(got["corr"].to_numpy(), want["corr"].to_numpy()):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+    for g, w in zip(got.delta.to_numpy(), want.delta.to_numpy()):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
+    # day1 passes (corr approx 0.99, delta < 0.3), day2 fires (approx
+    # -1), day3 degenerate fires
+    assert list(got.passed) == [True, False, False]
+
+
 def test_stream_categorical_tv_nonstring_keys_and_wide_vocab(tmp_path, spark):
     """Non-string baseline keys must behave exactly like the batch path's
     str(k) literal frame (no numeric coercion of the string-cast category
