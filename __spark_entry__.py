@@ -2905,6 +2905,67 @@ def q_stream_corr_drift(spark, sf_dir):
     ).select("window_start", "n", "corr", "corr_base", "delta")
 
 
+def q_stream_emb_drift(spark, sf_dir):
+    """STREAMING embedding-centroid drift under the full value oracle:
+    the embeddings table streams through per-event-time-DAY windows (the
+    table has no timestamp, so event time derives deterministically from
+    vec_id — ten windows of ~50 vectors; the oracle replays the identical
+    derivation) and each window's centroid is scored against the
+    corpus-wide quantized component sums with the batch check's EXACT
+    arithmetic (d3_embedding_drift): BIGINT per-dim sums as window state,
+    DECIMAL cross/self products, ONE double division + sqrt — so DuckDB
+    reproduces every (window, n_vecs, cosine, drift) row bit-for-bit.
+    Completes the batch<->stream matrix for the embedding drift member
+    (streaming/validate_stream.py:stream_embedding_drift)."""
+    from taco_toolbox_spark.checks.drift import embedding_centroid_sums
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_embedding_drift_smoke,
+    )
+
+    staged, tag = _stage_stream(
+        spark, sf_dir, "embeddings", "embeddings_embdrift"
+    )
+    ts_expr = (
+        "timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+        "CAST(vec_id % 10 AS INT), 0, 0, 0)"
+    )
+    src = spark.read.parquet(staged).withColumn("ts", F.expr(ts_expr))
+    base = {
+        int(r["dim"]): int(r["g"])
+        for r in embedding_centroid_sums(src, "embedding", "ts")
+        .groupBy("dim")
+        .agg(F.sum("s").alias("g"))
+        .collect()
+    }
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staged)
+        .withColumn("ts", F.expr(ts_expr))
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_embedding_drift,
+    )
+
+    out = stream_embedding_drift(
+        stream, "embedding", base, window="1 day", watermark="2 days"
+    )
+    qname = f"q_sembdrift_{tag}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        "window_start", "n_vecs", "cosine", "drift"
+    )
+
+
 def q_stream_health(spark, sf_dir):
     """STREAMING partition health under the full value oracle: the events
     table streams through watermarked per-event-time-DAY windows; each
@@ -3080,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cat_drift": q_stream_cat_drift,
         "stream_cond_drift": q_stream_cond_drift,
         "stream_corr_drift": q_stream_corr_drift,
+        "stream_emb_drift": q_stream_emb_drift,
         "w11_burst_rate": q_w11_burst_rate,
         "w11_burst_rate_chunked": q_w11_burst_rate_chunked,
         "w12_stuck_runs": q_w12_stuck_runs,
@@ -4510,6 +4572,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c x ON x.part = t.part AND x.k = g.k AND x.cat = g.cat
             LEFT JOIN b ON b.k = g.k AND b.cat = g.cat
             GROUP BY t.part, t.k, t.n_win, bt.n_base
+        """,
+        # streaming embedding drift == the batch d3 arithmetic keyed by the
+        # vec_id-derived day window (same deterministic ts derivation)
+        "stream_emb_drift": """
+            WITH e AS (
+              SELECT TIMESTAMP '2024-01-01'
+                       + INTERVAL ((vec_id % 10)::INT) DAY AS w,
+                     unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ), q AS (
+              SELECT w, dim,
+                     round(val::DOUBLE * 10000000)::BIGINT AS qv
+              FROM e
+            ), s AS (
+              SELECT w, dim, sum(qv)::BIGINT AS s, count(*)::BIGINT AS n
+              FROM q GROUP BY w, dim
+            ), g AS (
+              SELECT dim, sum(s)::BIGINT AS g FROM s GROUP BY dim
+            ), p AS (
+              SELECT s.w,
+                     max(s.n)::BIGINT AS n_vecs,
+                     sum(coalesce(s.s, 0)::HUGEINT * g.g::HUGEINT) AS num,
+                     sum(coalesce(s.s, 0)::HUGEINT
+                         * coalesce(s.s, 0)::HUGEINT) AS a,
+                     sum(g.g::HUGEINT * g.g::HUGEINT) AS b
+              FROM s JOIN g USING (dim) GROUP BY s.w
+            )
+            SELECT w AS window_start, n_vecs,
+                   num::DOUBLE / (sqrt(a::DOUBLE) * sqrt(b::DOUBLE))
+                     AS cosine,
+                   1.0 - num::DOUBLE / (sqrt(a::DOUBLE) * sqrt(b::DOUBLE))
+                     AS drift
+            FROM p
         """,
         # streaming correlation == the batch d5 moment arithmetic per day
         # window against the inline stored baseline 0.0

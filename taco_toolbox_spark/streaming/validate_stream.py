@@ -1902,6 +1902,149 @@ def stream_correlation_drift(
     return out
 
 
+def stream_embedding_drift(
+    stream_df: DataFrame,
+    vec_col: str,
+    baseline_sums: dict[int, int],
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    quant: int = 10**7,
+    threshold: float | None = None,
+    check_id: str = "embedding_drift",
+) -> DataFrame:
+    """Embedding-centroid drift on a STREAM: per event-time window, the
+    cosine between the window's mean embedding and a stored baseline
+    centroid — the streaming twin of
+    ``checks.drift.embedding_centroid_drift``, completing the
+    batch<->stream matrix for the embedding drift member (the multimodal
+    sibling of the quantile / categorical / relationship twins).
+
+    Arithmetic parity is structural: components quantize to BIGINT
+    (``round(v·quant)`` — IEEE-identical multiply + half-away rounding),
+    per-dim sums accumulate as the window's state, cross/self products
+    sum in DECIMAL (the 1/n centroid factors cancel inside cosine), ONE
+    double division + sqrt at the end — bit-for-bit what the batch pass
+    and the DuckDB oracle produce, regardless of micro-batch arrival
+    order. Per-dim element counts use ``size(vec) > d`` so a NULL
+    component counts as present (the batch posexplode convention) while
+    a short vector stops contributing past its length — the two paths
+    cannot disagree on ragged input.
+
+    State per open window: 2·dims longs inside ONE watermarked grouped
+    aggregation (sum + element count per dimension — the plan-width
+    contract of stream_categorical_tv; dims are capped at 500 to stay
+    inside whole-stage codegen). ``baseline_sums`` is the REQUIRED
+    batch-computed {dim: quantized_sum} state —
+    ``checkpoint.record_embedding_state``'s format — because a stream
+    cannot self-baseline (stream_health's contract). Emits
+    (window_start, window_end, n_vecs, cosine, drift [, check_id,
+    passed])."""
+    import math
+
+    if not baseline_sums:
+        raise ValueError("baseline_sums must hold at least one dimension")
+    dims = sorted(int(d) for d in baseline_sums)
+    if dims != list(range(len(dims))):
+        raise ValueError(
+            f"baseline_sums must key contiguous dims 0..{len(dims) - 1}; "
+            f"got {dims[:5]}..."
+        )
+    if len(dims) > 500:
+        raise ValueError(
+            f"baseline has {len(dims)} dims; stream_embedding_drift is "
+            "contracted to <= 500 (plan-width/codegen) — use the batch "
+            "check over foreachBatch for wider vectors"
+        )
+    g = [int(baseline_sums[d]) for d in dims]
+    b_sqrt = math.sqrt(float(sum(v * v for v in g)))
+
+    vec = F.col(vec_col)
+    q_cols = [
+        F.sum(
+            F.round(vec[d].cast("double") * F.lit(float(quant))).cast("long")
+        ).alias(f"_s{d}")
+        for d in dims
+    ]
+    n_cols = [
+        F.sum((F.size(vec) > F.lit(d)).cast("long")).alias(f"_c{d}")
+        for d in dims
+    ]
+    agg = (
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(*q_cols, *n_cols)
+    )
+    dec = "decimal(19,0)"
+
+    def _sd(d: int):
+        # a dim with zero coverage in the window has a NULL sum; the
+        # batch path simply has no (part, dim) row there — adding 0
+        # reproduces that exactly instead of poisoning the fold
+        return F.coalesce(F.col(f"_s{d}"), F.lit(0)).cast(dec)
+
+    num = sum(
+        (_sd(d) * F.lit(g[d]).cast(dec) for d in dims[1:]),
+        _sd(dims[0]) * F.lit(g[dims[0]]).cast(dec),
+    )
+    a = sum(
+        (_sd(d) * _sd(d) for d in dims[1:]),
+        _sd(dims[0]) * _sd(dims[0]),
+    )
+    cos = num.cast("double") / (
+        F.sqrt(a.cast("double")) * F.lit(b_sqrt)
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.greatest(*[F.col(f"_c{d}") for d in dims]).alias("n_vecs"),
+        cos.alias("cosine"),
+        (F.lit(1.0) - cos).alias("drift"),
+    )
+    if threshold is not None:
+        out = out.select(
+            "*",
+            F.lit(check_id).alias("check_id"),
+            (
+                F.col("cosine").isNotNull()
+                & (F.col("drift") <= F.lit(float(threshold)))
+            ).alias("passed"),
+        )
+    return out
+
+
+def run_stream_embedding_drift_smoke(
+    spark,
+    parquet_dir: str,
+    vec_col: str,
+    baseline_sums: dict[int, int],
+    query_name: str = "stream_embedding_drift",
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """Drive the streaming embedding drift over a bounded parquet dir in
+    complete mode (one row per open window — tiny)."""
+    static = spark.read.parquet(parquet_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+    out = stream_embedding_drift(stream, vec_col, baseline_sums, **kwargs)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_corr_drift_smoke(
     spark,
     parquet_dir: str,

@@ -1222,6 +1222,108 @@ def test_stream_correlation_drift_matches_batch(tmp_path, spark):
     assert list(got.passed) == [True, False, False]
 
 
+def test_stream_embedding_drift_matches_batch(tmp_path, spark):
+    """The streaming embedding-centroid drift must reproduce the batch
+    embedding_centroid_drift rows bit-for-bit per day window — including
+    the ragged conventions: a NULL component counts as present, a short
+    vector stops past its length, a NULL vector contributes nothing."""
+    import datetime as dt
+
+    from taco_toolbox_spark.checks.drift import (
+        embedding_centroid_drift,
+        embedding_centroid_sums,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_stream_embedding_drift_smoke,
+    )
+
+    t0 = dt.datetime(2025, 5, 1)
+    rows = []
+    for day in range(3):
+        for i in range(9):
+            v = [float(day + 1), float(i % 3), -0.25 * i, 1.0]
+            rows.append((t0 + dt.timedelta(days=day, hours=i), v))
+    # ragged cases on day 0: null component, short vector, null vector
+    rows.append((t0 + dt.timedelta(hours=10), [1.0, None, 0.5, 2.0]))
+    rows.append((t0 + dt.timedelta(hours=11), [3.0, 1.0]))
+    rows.append((t0 + dt.timedelta(hours=12), None))
+    df = spark.createDataFrame(rows, "ts timestamp, vec array<double>")
+    path = str(tmp_path / "embdrift_in")
+    df.write.mode("overwrite").parquet(path)
+
+    base = {
+        int(r["dim"]): int(r["g"])
+        for r in embedding_centroid_sums(df, "vec", "ts")
+        .groupBy("dim")
+        .agg(F.sum("s").alias("g"))
+        .collect()
+    }
+
+    got = (
+        run_stream_embedding_drift_smoke(
+            spark, path, "vec", base, query_name="t_emb_stream",
+            window="1 day", watermark="1 day",
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    day = spark.read.parquet(path).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    want = (
+        embedding_centroid_drift(
+            day, "vec", "day",
+            baseline_sums={str(k): v for k, v in base.items()},
+        )
+        .toPandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    assert (got.n_vecs.to_numpy() == want.n_vecs.to_numpy()).all()
+    assert (got.cosine.to_numpy() == want.cosine.to_numpy()).all()
+    assert (got.drift.to_numpy() == want.drift.to_numpy()).all()
+
+    # verdict split: the most-shifted day fails under a tight threshold
+    judged = (
+        run_stream_embedding_drift_smoke(
+            spark, path, "vec", base, query_name="t_emb_judged",
+            window="1 day", watermark="1 day",
+            threshold=float(want.drift.iloc[1]),
+        )
+        .toPandas()
+        .sort_values("window_start")
+    )
+    assert list(judged.passed) == [
+        bool(d <= want.drift.iloc[1]) for d in want.drift
+    ]
+
+
+def test_stream_embedding_drift_guards(tmp_path, spark):
+    """Loud rejections: empty baseline, non-contiguous dims, width cap."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_embedding_drift,
+    )
+
+    path = str(tmp_path / "emb_guard_in")
+    spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1), [1.0])], "ts timestamp, vec array<double>"
+    ).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema("ts timestamp, vec array<double>").parquet(
+        path
+    )
+    with _pytest.raises(ValueError, match="at least one dimension"):
+        stream_embedding_drift(src, "vec", {})
+    with _pytest.raises(ValueError, match="contiguous"):
+        stream_embedding_drift(src, "vec", {0: 1, 2: 1})
+    with _pytest.raises(ValueError, match="500"):
+        stream_embedding_drift(src, "vec", {d: 1 for d in range(501)})
+
+
 def test_stream_categorical_tv_nonstring_keys_and_wide_vocab(tmp_path, spark):
     """Non-string baseline keys must behave exactly like the batch path's
     str(k) literal frame (no numeric coercion of the string-cast category
