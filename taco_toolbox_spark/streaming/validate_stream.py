@@ -2730,3 +2730,104 @@ def run_stream_runs_smoke(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_checks_from_suite(
+    stream_df: DataFrame,
+    spec: dict,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> tuple[dict[str, DataFrame], list[str]]:
+    """Build streaming enforcement directly from a constraint-suite
+    document — the suite→stream bridge closing the profiler loop: a
+    blessed corpus profiles into a draft (``suite.suggest_suite``, which
+    now inlines every drift baseline it mined), a human reviews it, and
+    the SAME reviewed JSON then drives batch validation
+    (``jobs/validate.py --suite``) and, through this helper, the live
+    streaming twins — one source of truth, no baseline re-derivation, no
+    drift between the two surfaces' rule parameters.
+
+    Returns ``(built, skipped)``: ``built`` maps check id → an unstarted
+    streaming DataFrame (the caller picks sinks/output modes — windowed
+    drift frames suit complete/append; the stateful emitters document
+    update mode); ``skipped`` lists entries with no streaming
+    realization here, loudly, so a caller can assert full coverage
+    instead of silently half-enforcing a suite. Skipped classes: row /
+    vocabulary / range / format checks (the streaming row battery
+    handles those — ``stream_violations``), the per-conversation
+    battery members (monotone / gap / sequence / uniqueness /
+    contiguity — ``transcript_violations_stateful``), FD
+    (``fd_violations_stateful``), and the health bands (``stream_health``
+    needs batch-calibrated band literals, not the suite's k
+    multipliers). Drift entries whose baseline is NOT inlined are also
+    skipped — a stream cannot self-baseline (the module-wide contract);
+    note the quantile member streams through Spark's mergeable GK
+    sketch (the batch "approx" method) whatever the entry's batch
+    ``method`` says, the documented approximation of ``stream_drift``.
+    """
+    from ..suite import parse_suite
+
+    parse_suite(spec)  # loud validation before any query is built
+    eng = spec.get("engine", {}) or {}
+    group_col = eng.get("group_col", "conv_id")
+    order_col = eng.get("order_col", "turn_idx")
+
+    built: dict[str, DataFrame] = {}
+    skipped: list[str] = []
+    for entry in spec.get("checks", []):
+        t, cid = entry.get("type"), entry.get("id")
+        thr = entry.get("threshold", 0.25)
+        if t == "cat_drift" and entry.get("baseline_counts"):
+            built[cid] = stream_categorical_tv(
+                stream_df, entry["col"], entry["baseline_counts"],
+                ts_col=ts_col, window=window, watermark=watermark,
+                threshold=float(thr), check_id=cid,
+            )
+        elif t == "cond_drift" and entry.get("baseline_counts"):
+            built[cid] = stream_conditional_tv(
+                stream_df, entry["cond"], entry["cat"],
+                entry["baseline_counts"],
+                ts_col=ts_col, window=window, watermark=watermark,
+                threshold=float(thr), check_id=cid,
+            )
+        elif t == "corr_drift" and entry.get("baseline_corr") is not None:
+            built[cid] = stream_correlation_drift(
+                stream_df, entry["x"], entry["y"],
+                float(entry["baseline_corr"]),
+                ts_col=ts_col, window=window, watermark=watermark,
+                threshold=float(thr), check_id=cid,
+            )
+        elif t == "drift" and entry.get("baseline_quantiles"):
+            built[cid] = stream_drift(
+                stream_df,
+                [float(b) for b in entry["baseline_quantiles"]],
+                value_expr=entry["expr"],
+                probes=tuple(
+                    float(p)
+                    for p in entry.get("probes", (0.1, 0.25, 0.5, 0.75, 0.9))
+                ),
+                threshold=float(thr),
+                ts_col=ts_col, window=window, watermark=watermark,
+                check_id=cid,
+            )
+        elif t == "rate":
+            built[cid] = stream_rate_violations(
+                stream_df, key_col=group_col, ts_col=entry["col"],
+                seconds=int(entry["seconds"]),
+                max_events=int(entry["max_events"]),
+            )
+        elif t == "runlength":
+            built[cid] = stream_run_violations(
+                stream_df, key_col=group_col, order_cols=(order_col,),
+                value_col=entry["col"], max_run=int(entry["max_run"]),
+            )
+        elif t == "periodic":
+            built[cid] = stream_periodic_violations(
+                stream_df, key_col=group_col, order_cols=(order_col,),
+                value_col=entry["col"], period=int(entry["period"]),
+                max_reps=int(entry["max_reps"]),
+            )
+        else:
+            skipped.append(f"{cid} ({t})")
+    return built, skipped

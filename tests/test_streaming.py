@@ -1324,6 +1324,73 @@ def test_stream_embedding_drift_guards(tmp_path, spark):
         stream_embedding_drift(src, "vec", {d: 1 for d in range(501)})
 
 
+def test_stream_checks_from_suite_bridge(tmp_path, corpus):
+    """The suite→stream bridge: a suggest_suite draft (inline baselines)
+    builds the streaming twins directly — the built set and the loudly-
+    skipped set partition the suite, every built frame carries the
+    entry's id and threshold, and a driven member reproduces the batch
+    check on the same windows (one document, two surfaces)."""
+    from taco_toolbox_spark.checks.drift import categorical_tv
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_checks_from_suite,
+    )
+    from taco_toolbox_spark.suite import suggest_suite
+
+    spark = corpus.clean.sparkSession
+    spec = suggest_suite(corpus.clean)
+    path = str(tmp_path / "bridge_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(corpus.clean.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    built, skipped = stream_checks_from_suite(stream, spec)
+
+    ids = {c["id"] for c in spec["checks"]}
+    assert set(built) | {s.split(" ")[0] for s in skipped} == ids
+    assert not (set(built) & {s.split(" ")[0] for s in skipped})
+    assert "role_cat_drift" in built
+    assert "tool_given_role_drift" in built
+    # transition drift has pair-emitter streaming, not a TV twin: skipped
+    assert any(s.startswith("role_transition_drift") for s in skipped)
+    # vocab / health members route through their own streaming surfaces
+    assert any("(vocab)" in s for s in skipped)
+
+    q = (
+        built["role_cat_drift"]
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_bridge_cat")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_bridge_cat").toPandas()
+    assert "passed" in got.columns and got.check_id.eq(
+        "role_cat_drift"
+    ).all()
+    got["day"] = got.window_start.map(lambda t: str(t.date()))
+    got = got.set_index("day").sort_index()
+    entry = next(
+        c for c in spec["checks"] if c["id"] == "role_cat_drift"
+    )
+    day = corpus.clean.withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    want = (
+        categorical_tv(day, "role", "day", entry["baseline_counts"])
+        .toPandas()
+        .set_index("part")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert (got.tv_num.to_numpy() == want.tv_num.to_numpy()).all()
+    assert (got.tv.to_numpy() == want.tv.to_numpy()).all()
+
+
 def test_stream_categorical_tv_nonstring_keys_and_wide_vocab(tmp_path, spark):
     """Non-string baseline keys must behave exactly like the batch path's
     str(k) literal frame (no numeric coercion of the string-cast category
