@@ -1,0 +1,186 @@
+"""spark-submit entry point for STREAMING validation — the live twin of
+jobs/validate.py:
+
+    spark-submit --py-files taco_toolbox_spark.zip jobs/stream_validate.py \
+        --input  /data/transcripts \
+        --output /runs/stream-2026-08-20 \
+        [--suite suite.json] [--no-battery] \
+        [--window "1 day"] [--watermark "2 days"] \
+        [--max-files-per-trigger 8]
+
+Drains everything currently in --input through availableNow micro-batches
+and stops; a LATER invocation with the same --output resumes every sink
+from its streaming checkpoint — new files only, exactly-once, with the
+stateful battery's per-conversation state surviving the restart (the
+batch CLI's manifest-resume analog, run_durable_battery's contract). A
+long-running deployment simply drops the availableNow semantics by
+tailing the same invocation (the sinks and checkpoints are identical).
+
+What runs:
+  * the stateful per-conversation battery (monotone / uniqueness /
+    contiguity) -> <output>/battery/          [unless --no-battery]
+  * with --suite: every entry the suite->stream bridge can realize
+    (cat/cond/corr/quantile drift vs the document's inline baselines;
+    rate / runlength / periodic stateful emitters) -> <output>/<check_id>/
+    Entries without a streaming realization are listed on stdout and in
+    <output>/stream_manifest.json — LOUDLY, so an operator sees exactly
+    which rules still need the batch run; this CLI complements
+    jobs/validate.py, it does not replace it.
+
+Windowed drift sinks are parquet+append: a window's row lands once the
+watermark closes it, so on a drained historical corpus the final
+still-open window(s) stay pending until more data arrives — the honest
+streaming semantics, stated here rather than papered over.
+
+<output>/stream_manifest.json records per-sink row counts for THIS
+invocation plus the skipped list (written through the JVM Hadoop
+FileSystem, so it lands next to the sinks on any scheme).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sink(df, out_dir: str, ck_dir: str, mode: str):
+    """Start one exactly-once parquet sink with availableNow drain."""
+    return (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    p = argparse.ArgumentParser(description="streaming validation driver")
+    p.add_argument("--input", required=True, help="transcript parquet dir")
+    p.add_argument("--output", required=True, help="sinks + checkpoints root")
+    p.add_argument("--suite", help="constraint-suite JSON (bridge members)")
+    p.add_argument(
+        "--no-battery",
+        action="store_true",
+        help="skip the stateful per-conversation battery sink",
+    )
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--window", default="1 day")
+    p.add_argument("--watermark", default="2 days")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    args = p.parse_args(argv)
+    if args.max_files_per_trigger < 1:
+        raise SystemExit(
+            f"--max-files-per-trigger must be >= 1, "
+            f"got {args.max_files_per_trigger}"
+        )
+    if args.no_battery and not args.suite:
+        raise SystemExit(
+            "--no-battery without --suite leaves nothing to run"
+        )
+    spec = None
+    if args.suite:
+        try:
+            with open(args.suite) as f:
+                spec = json.load(f)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--suite {args.suite!r}: {e}") from None
+
+    from taco_toolbox_spark.session import get_spark
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_checks_from_suite,
+        transcript_violations_stateful,
+    )
+
+    spark = get_spark("stream_validate")
+    try:
+        static = spark.read.parquet(args.input)
+        skipped: list[str] = []
+        queries = []
+
+        def stream():
+            return (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                .parquet(args.input)
+            )
+
+        ck_root = os.path.join(args.output, "_checkpoints")
+        if not args.no_battery:
+            out = transcript_violations_stateful(
+                stream(), output_mode="append"
+            )
+            queries.append(
+                ("battery", _sink(
+                    out,
+                    os.path.join(args.output, "battery"),
+                    os.path.join(ck_root, "battery"),
+                    "append",
+                ))
+            )
+        if spec is not None:
+            from taco_toolbox_spark.suite import SuiteError
+
+            try:
+                built, skipped = stream_checks_from_suite(
+                    stream(),
+                    spec,
+                    ts_col=args.ts_col,
+                    window=args.window,
+                    watermark=args.watermark,
+                    emitter_output_mode="append",
+                )
+            except (SuiteError, ValueError) as e:
+                raise SystemExit(f"--suite {args.suite!r}: {e}") from None
+            for cid, df in sorted(built.items()):
+                queries.append(
+                    (cid, _sink(
+                        df,
+                        os.path.join(args.output, cid),
+                        os.path.join(ck_root, cid),
+                        "append",
+                    ))
+                )
+        for _, q in queries:
+            q.awaitTermination()
+
+        counts = {}
+        for cid, _ in queries:
+            path = os.path.join(args.output, cid)
+            try:
+                counts[cid] = spark.read.parquet(path).count()
+            except Exception:
+                counts[cid] = 0  # sink exists but no window closed yet
+        for s in skipped:
+            print(f"skipped (no streaming realization here): {s}")
+        manifest = {
+            "input": args.input,
+            "sinks": counts,
+            "skipped": skipped,
+            "window": args.window,
+            "watermark": args.watermark,
+        }
+        from jobs.curate import _write_text_hadoop
+
+        _write_text_hadoop(
+            spark,
+            os.path.join(args.output, "stream_manifest.json"),
+            json.dumps(manifest, indent=2, sort_keys=True) + "\n",
+        )
+        print(
+            "stream validation drained: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        )
+        return 0
+    finally:
+        if stop_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2738,6 +2738,7 @@ def stream_checks_from_suite(
     ts_col: str = "ts",
     window: str = "1 day",
     watermark: str = "2 days",
+    emitter_output_mode: str = "update",
 ) -> tuple[dict[str, DataFrame], list[str]]:
     """Build streaming enforcement directly from a constraint-suite
     document — the suite→stream bridge closing the profiler loop: a
@@ -2765,6 +2766,10 @@ def stream_checks_from_suite(
     note the quantile member streams through Spark's mergeable GK
     sketch (the batch "approx" method) whatever the entry's batch
     ``method`` says, the documented approximation of ``stream_drift``.
+    ``emitter_output_mode`` sets the stateful emitters' output mode
+    ("update" for live sinks, "append" for file sinks — the parquet
+    sink accepts only append); the windowed drift frames are mode-free
+    until a sink is chosen.
     """
     from ..suite import parse_suite
 
@@ -2816,17 +2821,20 @@ def stream_checks_from_suite(
                 stream_df, key_col=group_col, ts_col=entry["col"],
                 seconds=int(entry["seconds"]),
                 max_events=int(entry["max_events"]),
+                output_mode=emitter_output_mode,
             )
         elif t == "runlength":
             built[cid] = stream_run_violations(
                 stream_df, key_col=group_col, order_cols=(order_col,),
                 value_col=entry["col"], max_run=int(entry["max_run"]),
+                output_mode=emitter_output_mode,
             )
         elif t == "periodic":
             built[cid] = stream_periodic_violations(
                 stream_df, key_col=group_col, order_cols=(order_col,),
                 value_col=entry["col"], period=int(entry["period"]),
                 max_reps=int(entry["max_reps"]),
+                output_mode=emitter_output_mode,
             )
         else:
             skipped.append(f"{cid} ({t})")

@@ -1010,3 +1010,77 @@ def test_suggest_cli_bad_args(tmp_path):
             ],
             stop_session=False,
         )
+
+
+def test_stream_validate_cli_drain_resume_and_suite(
+    spark, corpus_dir, tmp_path
+):
+    """jobs/stream_validate.py: one invocation drains the corpus into
+    exactly-once sinks (battery violations + suite bridge members), a
+    SECOND invocation with the same output resumes from the streaming
+    checkpoints and adds NOTHING (no re-emitted rows), and the manifest
+    names the loudly-skipped entries."""
+    from jobs.stream_validate import main as stream_main
+    from jobs.suggest import main as suggest_main
+
+    suite_path = str(tmp_path / "s.json")
+    rc = suggest_main(
+        [
+            "--input", f"{corpus_dir}/transcripts_baseline",
+            "--output", suite_path,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+
+    out = str(tmp_path / "sv")
+    rc = stream_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--suite", suite_path,
+            "--watermark", "0 seconds",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    man = json.loads(
+        open(os.path.join(out, "stream_manifest.json")).read()
+    )
+    assert man["sinks"]["battery"] > 0  # corrupted corpus: battery fires
+    assert any("(vocab)" in s for s in man["skipped"])
+    assert "role_cat_drift" in man["sinks"]
+    first = {
+        k: spark.read.parquet(os.path.join(out, k)).count()
+        for k, v in man["sinks"].items()
+        if v > 0
+    }
+
+    # drain again: checkpoints make every sink exactly-once — no new rows
+    rc = stream_main(
+        [
+            "--input", f"{corpus_dir}/transcripts",
+            "--output", out,
+            "--suite", suite_path,
+            "--watermark", "0 seconds",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    for k, n in first.items():
+        assert (
+            spark.read.parquet(os.path.join(out, k)).count() == n
+        ), k
+
+    # arg validation fires before any JVM work
+    with pytest.raises(SystemExit, match="max-files-per-trigger"):
+        stream_main(
+            ["--input", "x", "--output", "y",
+             "--max-files-per-trigger", "0"],
+            stop_session=False,
+        )
+    with pytest.raises(SystemExit, match="nothing to run"):
+        stream_main(
+            ["--input", "x", "--output", "y", "--no-battery"],
+            stop_session=False,
+        )
