@@ -47,6 +47,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _write_text_hadoop(spark, path: str, text: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem, so it
+    lands wherever the job's data sinks land (local, hdfs://, s3a://) —
+    the same helper jobs/curate.py uses, inlined so this entry point
+    stays importable as a bare script under spark-submit."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _sink(df, out_dir: str, ck_dir: str, mode: str):
     """Start one exactly-once parquet sink with availableNow drain."""
     return (
@@ -165,8 +180,6 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "window": args.window,
             "watermark": args.watermark,
         }
-        from jobs.curate import _write_text_hadoop
-
         _write_text_hadoop(
             spark,
             os.path.join(args.output, "stream_manifest.json"),
