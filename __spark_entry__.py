@@ -2918,9 +2918,6 @@ def q_stream_emb_drift(spark, sf_dir):
     Completes the batch<->stream matrix for the embedding drift member
     (streaming/validate_stream.py:stream_embedding_drift)."""
     from taco_toolbox_spark.checks.drift import embedding_centroid_sums
-    from taco_toolbox_spark.streaming.validate_stream import (
-        run_stream_embedding_drift_smoke,
-    )
 
     staged, tag = _stage_stream(
         spark, sf_dir, "embeddings", "embeddings_embdrift"

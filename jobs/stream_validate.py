@@ -32,8 +32,9 @@ watermark closes it, so on a drained historical corpus the final
 still-open window(s) stay pending until more data arrives — the honest
 streaming semantics, stated here rather than papered over.
 
-<output>/stream_manifest.json records per-sink row counts for THIS
-invocation plus the skipped list (written through the JVM Hadoop
+<output>/stream_manifest.json records per-sink CUMULATIVE row counts
+(the sink's full content as of this invocation — on a resumed run that
+includes prior drains) plus the skipped list (written through the JVM Hadoop
 FileSystem, so it lands next to the sinks on any scheme).
 """
 
@@ -126,9 +127,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
 
         ck_root = os.path.join(args.output, "_checkpoints")
+        eng = (spec or {}).get("engine", {}) or {}
         if not args.no_battery:
             out = transcript_violations_stateful(
-                stream(), output_mode="append"
+                stream(),
+                group_col=eng.get("group_col", "conv_id"),
+                order_col=eng.get("order_col", "turn_idx"),
+                ts_col=args.ts_col,
+                output_mode="append",
             )
             queries.append(
                 ("battery", _sink(
@@ -152,6 +158,17 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 )
             except (SuiteError, ValueError) as e:
                 raise SystemExit(f"--suite {args.suite!r}: {e}") from None
+            for cid in built:
+                # validate every id BEFORE any suite sink starts, so a
+                # bad one cannot strand half-started queries
+                if cid == "battery" or not all(
+                    c.isalnum() or c in "._-" for c in cid
+                ):
+                    raise SystemExit(
+                        f"--suite {args.suite!r}: check id {cid!r} cannot "
+                        "name a sink directory (reserved word or non-"
+                        "[alnum._-] characters)"
+                    )
             for cid, df in sorted(built.items()):
                 queries.append(
                     (cid, _sink(
@@ -164,12 +181,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         for _, q in queries:
             q.awaitTermination()
 
+        from pyspark.errors import AnalysisException
+
         counts = {}
         for cid, _ in queries:
             path = os.path.join(args.output, cid)
             try:
                 counts[cid] = spark.read.parquet(path).count()
-            except Exception:
+            except AnalysisException:
                 counts[cid] = 0  # sink exists but no window closed yet
         for s in skipped:
             print(f"skipped (no streaming realization here): {s}")

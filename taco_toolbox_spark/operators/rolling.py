@@ -169,6 +169,12 @@ def trailing_agg(
     clash = (set(aggs) | set(_RESERVED)) & set(df.columns)
     if clash:
         raise ValueError(f"output names collide with input: {sorted(clash)}")
+    reserved = set(aggs) & set(_RESERVED)
+    if reserved:
+        raise ValueError(
+            f"agg output names collide with internal names: "
+            f"{sorted(reserved)}"
+        )
     out, w, chunked = _trailing_frame(
         df, keys, ts_col, seconds, chunk_seconds
     )

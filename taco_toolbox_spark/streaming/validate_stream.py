@@ -1711,6 +1711,12 @@ def stream_conditional_tv(
                 key = (str(k), str(c2))
                 flat[key] = flat.get(key, 0) + int(n)
         else:
+            if not (isinstance(k, (tuple, list)) and len(k) == 2):
+                raise ValueError(
+                    "baseline_counts must be {(cond, cat): n} or nested "
+                    f"{{cond: {{cat: n}}}}; got key {k!r} — a flat "
+                    "{cond: n} histogram is cat_drift's shape, not cond's"
+                )
             k2 = (str(k[0]), str(k[1]))
             flat[k2] = flat.get(k2, 0) + int(v)
     if not flat:
@@ -2817,9 +2823,11 @@ def stream_checks_from_suite(
                 check_id=cid,
             )
         elif t == "rate":
+            # optional fields carry the check classes' defaults — the raw
+            # document may omit what parse_suite would default
             built[cid] = stream_rate_violations(
                 stream_df, key_col=group_col, ts_col=entry["col"],
-                seconds=int(entry["seconds"]),
+                seconds=int(entry.get("seconds", 3600)),
                 max_events=int(entry["max_events"]),
                 output_mode=emitter_output_mode,
             )
@@ -2832,8 +2840,8 @@ def stream_checks_from_suite(
         elif t == "periodic":
             built[cid] = stream_periodic_violations(
                 stream_df, key_col=group_col, order_cols=(order_col,),
-                value_col=entry["col"], period=int(entry["period"]),
-                max_reps=int(entry["max_reps"]),
+                value_col=entry["col"], period=int(entry.get("period", 2)),
+                max_reps=int(entry.get("max_reps", 2)),
                 output_mode=emitter_output_mode,
             )
         else:

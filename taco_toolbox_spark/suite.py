@@ -937,6 +937,10 @@ def suggest_suite(
       enforcement rightly fires on lost variance). The synthesized
       drift family now spans every member: marginal, numeric,
       categorical relationship, numeric relationship, sequential.
+      Scan discipline: the whole categorical+conditional family melts
+      into ONE data scan, all quantile columns share two percentile
+      scans, all correlation pairs one moment aggregation — drift
+      calibration costs O(1) scans in the schema width, not O(pairs).
     * Window-family bounds at the OBSERVED extremes (max-calibrated, so
       the source passes and any regression past its historical worst
       fires): ``runlength`` entries with ``max_run`` = the longest
@@ -1278,33 +1282,124 @@ def suggest_suite(
         maxd = float(cal[f"_d_{c}"] or 0.0)
         comp_tol[c] = max(0.05, math.ceil(maxd * 1000.0) / 1000.0)
 
-    # ---- pass 4b: categorical-drift calibration --------------------------
+    # ---- pass 4b: categorical + conditional drift calibration ------------
     # The drift family joins the draft on the same discipline as the
-    # health bands: the baseline histogram is the corpus's OWN exact
-    # category counts, and the threshold is the smallest 3-decimal value
-    # (floored at the 0.05 convention) under which every observed
-    # partition's total-variation distance passes — computed with the
-    # enforcement pass's own integer-exact categorical_tv, so discovery
-    # and enforcement cannot disagree. Per qualifying column: one
-    # bounded grouped count for the histogram + categorical_tv's single
-    # grouped count (both map-side combinable, outputs bounded by
-    # |partitions|·|categories|). Single-category columns are vacuous
-    # (TV ≡ 0) and skipped, like constant FD dependents.
-    from .checks.drift import categorical_counts, categorical_tv
+    # health bands: baselines are the corpus's OWN exact counts, and each
+    # threshold is the smallest 3-decimal value (floored at the 0.05
+    # convention) under which every observed partition passes — computed
+    # with the enforcement passes' identical integer TV arithmetic, so
+    # discovery and enforcement cannot disagree. Scale shape: a marginal
+    # histogram is a conditional table with ONE conditioning value, so
+    # every `cat_drift` column AND every ordered `cond_drift` pair melts
+    # into a single exploded member axis and the WHOLE family calibrates
+    # from ONE data scan (one grouped count over (part, member, cond,
+    # cat)); the TV per (part, member, cond) then replays conditional_tv
+    # verbatim — present-category cross-multiplied integer terms plus the
+    # closed-form mass of baseline categories the partition lacks — as
+    # window/group sums over the grid-sized counts frame (persisted:
+    # grid-sized, reused for thresholds and document baselines without a
+    # second scan). Single-category columns are vacuous (TV ≡ 0) and
+    # skipped, like constant FD dependents.
+    from .checks.drift import NULL_CATEGORY
 
+    cat_cand = [
+        c for c in sorted(vocab_sets)
+        if c not in structural and len(vocab_sets[c]) > 1
+    ]
+    pair_list = [
+        (det, dep) for det in cat_cand for dep in cat_cand if det != dep
+    ]
     cat_drift: list[tuple[str, dict[str, int], float]] = []
-    for c in sorted(vocab_sets):
-        if c in structural or len(vocab_sets[c]) <= 1:
-            continue
-        bc = categorical_counts(df, c)
-        row = (
-            categorical_tv(df, c, cfg.partition_col, bc)
-            .agg(F.max("tv").alias("m"))
-            .first()
+    cond_entries: list[tuple[str, str, dict, float]] = []
+    if cat_cand:
+
+        def _snorm(c: str) -> Column:
+            return F.coalesce(F.col(c).cast("string"), F.lit(NULL_CATEGORY))
+
+        structs = [
+            F.struct(
+                F.lit(c).alias("m"), F.lit("").alias("k"),
+                _snorm(c).alias("c"),
+            )
+            for c in cat_cand
+        ] + [
+            F.struct(
+                F.lit(f"{det}\x1f{dep}").alias("m"),
+                _snorm(det).alias("k"), _snorm(dep).alias("c"),
+            )
+            for det, dep in pair_list
+        ]
+        counts = (
+            df.select(
+                F.col(cfg.partition_col).cast("string").alias("p"),
+                F.explode(F.array(*structs)).alias("e"),
+            )
+            .groupBy("p", "e.m", "e.k", "e.c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
         )
-        m = float(row["m"] or 0.0)
-        thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
-        cat_drift.append((c, bc, thr))
+        nb = F.sum("n").over(Window.partitionBy("m", "k", "c"))
+        n_base = F.sum("n").over(Window.partitionBy("m", "k"))
+        n_part = F.sum("n").over(Window.partitionBy("p", "m", "k"))
+        stats = counts.select(
+            "p", "m", "k", "n",
+            nb.alias("nb"), n_base.alias("n_base"), n_part.alias("n_part"),
+        )
+        per = (
+            stats.groupBy("p", "m", "k", "n_base", "n_part")
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.col("n") * F.col("n_base")
+                        - F.col("nb") * F.col("n_part")
+                    )
+                ).alias("present_num"),
+                F.sum("nb").alias("nb_present"),
+            )
+            .select(
+                "m",
+                (
+                    (
+                        F.col("present_num")
+                        + (F.col("n_base") - F.col("nb_present"))
+                        * F.col("n_part")
+                    )
+                    / (F.lit(2.0) * F.col("n_part") * F.col("n_base"))
+                ).alias("tv"),
+            )
+        )
+        maxes = {
+            r["m"]: float(r["mx"] or 0.0)
+            for r in per.groupBy("m").agg(F.max("tv").alias("mx")).collect()
+        }
+        bases = (
+            counts.groupBy("m", "k", "c")
+            .agg(F.sum("n").alias("nb"))
+            .collect()
+        )
+        counts.unpersist()
+        for c in cat_cand:
+            hist = dict(
+                sorted(
+                    (r["c"], int(r["nb"])) for r in bases if r["m"] == c
+                )
+            )
+            thr = max(
+                0.05, math.ceil(maxes.get(c, 0.0) * 1000.0) / 1000.0
+            )
+            cat_drift.append((c, hist, thr))
+        for det, dep in pair_list:
+            mkey = f"{det}\x1f{dep}"
+            nested: dict[str, dict[str, int]] = {}
+            for r in sorted(
+                (r for r in bases if r["m"] == mkey),
+                key=lambda r: (r["k"], r["c"]),
+            ):
+                nested.setdefault(r["k"], {})[r["c"]] = int(r["nb"])
+            thr = max(
+                0.05, math.ceil(maxes.get(mkey, 0.0) * 1000.0) / 1000.0
+            )
+            cond_entries.append((det, dep, nested, thr))
 
     # ---- pass 4c: quantile-drift calibration -----------------------------
     # The numeric sibling of 4b: each non-structural, non-constant
@@ -1319,62 +1414,73 @@ def suggest_suite(
     # partition with no values at all yields a NULL quantile vector —
     # enforcement rightly fires on that (a silent partition IS drift), so
     # such a column is un-calibratable on its own source and is skipped,
-    # like MAD=0 bands. Cost: two sort-based percentile aggregations per
-    # column — the exact mode's documented verification-corpus cost class.
-    from .checks.drift import (
-        exact_global_quantiles,
-        exact_quantiles_by_partition,
-        rel_dev,
-    )
+    # like MAD=0 bands. Scale shape: ALL columns' global quantiles ride
+    # ONE aggregation and ALL columns' per-partition quantiles ONE
+    # grouped aggregation — two sort-based percentile scans total for
+    # the whole family (the exact mode's documented verification-corpus
+    # cost class), not two per column; the percentile expression is
+    # exact_quantiles_by_partition's verbatim.
+    from .checks.drift import rel_dev
 
     drift_probes = (0.1, 0.25, 0.5, 0.75, 0.9)
     num_drift: list[tuple[str, list[float], float]] = []
-    for c in sorted(numeric):
-        if c in structural:
-            continue
-        mn, mx = prof[f"_min_{c}"], prof[f"_max_{c}"]
-        if mn is None or float(mn) == float(mx):
-            continue  # all-NULL or constant: vacuous
-        bq = exact_global_quantiles(df, c, drift_probes)
-        base_arr = F.array(*[F.lit(float(b)) for b in bq])
-        dist = F.array_max(F.zip_with(F.col("q"), base_arr, rel_dev))
-        row = (
-            exact_quantiles_by_partition(df, c, drift_probes, cfg.partition_col)
-            .agg(
-                F.max(dist).alias("m"),
+    num_cand = [
+        c
+        for c in sorted(numeric)
+        if c not in structural
+        and prof[f"_min_{c}"] is not None
+        and float(prof[f"_min_{c}"]) != float(prof[f"_max_{c}"])
+    ]
+    if num_cand:
+        probes_sql = ", ".join(repr(float(p)) for p in drift_probes)
+
+        def _pct(c: str) -> Column:
+            return F.expr(
+                f"percentile(cast(({c}) as double), array({probes_sql}))"
+            )
+
+        grow = df.agg(*[_pct(c).alias(c) for c in num_cand]).first()
+        pq = df.groupBy(
+            F.col(cfg.partition_col).cast("string").alias("part")
+        ).agg(*[_pct(c).alias(f"_q_{c}") for c in num_cand])
+        cal_cols = []
+        bq_map: dict[str, list[float]] = {}
+        for c in num_cand:
+            bq_map[c] = (
+                list(grow[c])
+                if grow[c] is not None
+                else [float("nan")] * len(drift_probes)
+            )
+            base_arr = F.array(*[F.lit(float(b)) for b in bq_map[c]])
+            dist = F.array_max(
+                F.zip_with(F.col(f"_q_{c}"), base_arr, rel_dev)
+            )
+            cal_cols += [
+                F.max(dist).alias(f"_m_{c}"),
                 F.sum(
                     (dist.isNull() | F.isnan(F.coalesce(dist, F.lit(0.0))))
                     .cast("int")
-                ).alias("bad"),
-            )
-            .first()
-        )
-        if int(row["bad"] or 0) > 0:
-            continue  # a valueless partition cannot be calibrated green
-        m = float(row["m"] or 0.0)
-        thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
-        num_drift.append((c, bq, thr))
+                ).alias(f"_bad_{c}"),
+            ]
+        qrow = pq.agg(*cal_cols).first()
+        for c in num_cand:
+            if int(qrow[f"_bad_{c}"] or 0) > 0:
+                continue  # a valueless partition cannot calibrate green
+            m = float(qrow[f"_m_{c}"] or 0.0)
+            thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
+            num_drift.append((c, bq_map[c], thr))
 
-    # ---- pass 4d: conditional + transition drift calibration -------------
-    # The remaining two drift members join on the identical discipline,
-    # completing the synthesized family (marginal 4b, numeric 4c,
-    # relationship and sequential here): `cond_drift` for every ordered
-    # pair of multi-category vocabulary columns (baseline = the observed
-    # contingency table, threshold = the calibrated ceiling of the
-    # per-(partition, conditioning value) TVs — both from the enforcement
-    # pass's own integer-exact conditional_tv), and `transition_drift`
-    # for every multi-category vocabulary column (baseline = the observed
-    # bigram matrix WITH boundary sentinels under the battery's
-    # (group, order) window; NULL states fold to the shared sentinel, so
-    # nullable columns qualify — unlike sequence grammars, which fail
-    # closed on NULL). Costs per entry: two bounded grouped counts
-    # (cond) / one lag window + grouped count (transition).
-    from .checks.drift import (
-        conditional_counts,
-        conditional_tv,
-        transition_counts,
-        transition_drift,
-    )
+    # ---- pass 4d: transition-drift calibration ---------------------------
+    # The sequential member: `transition_drift` for every multi-category
+    # vocabulary column (baseline = the observed bigram matrix WITH
+    # boundary sentinels under the battery's (group, order) window; NULL
+    # states fold to the shared sentinel, so nullable columns qualify —
+    # unlike sequence grammars, which fail closed on NULL). One lag
+    # window + grouped count per column — the pair grain depends on the
+    # window, so it cannot melt into 4b's row-grain scan; columns are a
+    # handful by the vocab contract. (`cond_drift` calibrates inside
+    # 4b's single melted scan.)
+    from .checks.drift import transition_counts, transition_drift
 
     def _nest(bc: dict[tuple[str, str], int]) -> dict[str, dict[str, int]]:
         out: dict[str, dict[str, int]] = {}
@@ -1383,21 +1489,6 @@ def suggest_suite(
         return out
 
     cat_cols = [c for c, _, _ in cat_drift]
-    cond_entries: list[tuple[str, str, dict, float]] = []
-    for det in cat_cols:
-        for dep in cat_cols:
-            if det == dep:
-                continue
-            bc2 = conditional_counts(df, det, dep)
-            row = (
-                conditional_tv(df, det, dep, cfg.partition_col, bc2)
-                .agg(F.max("tv").alias("m"))
-                .first()
-            )
-            m = float(row["m"] or 0.0)
-            thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
-            cond_entries.append((det, dep, _nest(bc2), thr))
-
     trans_entries: list[tuple[str, dict, float]] = []
     for c in cat_cols:
         bc2 = transition_counts(df, cfg.group_col, [cfg.order_col], c)
@@ -1424,11 +1515,15 @@ def suggest_suite(
     # a degenerate partition (corr NULL: < 2 points or zero variance)
     # is un-calibratable — enforcement rightly fires on lost variance —
     # and is skipped, as is a pair whose GLOBAL relationship is
-    # degenerate (nothing to drift from). One exact-moment aggregation
-    # pair per candidate; candidates are bounded by the schema, not the
-    # data.
-    from .checks.drift import correlation_drift
-
+    # degenerate (nothing to drift from). Scale shape: ALL pairs' exact
+    # moment sums (n, Σx, Σy, Σx², Σy², Σxy — pairwise-complete via a
+    # per-pair both-non-null mask, DECIMAL(19,0) per-row products exactly
+    # like correlation_by_partition) ride ONE grouped aggregation over
+    # the data; global moments are the per-partition sums re-summed
+    # (decimal addition is exact and associative, so this is bit-equal to
+    # a direct global pass), and the per-partition corr/delta expressions
+    # evaluate over the grid-sized per-partition frame — one data scan
+    # for the whole family instead of one per pair.
     int_types = {"byte", "short", "integer", "long"}
     inty = sorted(
         f.name
@@ -1438,20 +1533,104 @@ def suggest_suite(
         and prof[f"_min_{f.name}"] is not None
         and float(prof[f"_min_{f.name}"]) != float(prof[f"_max_{f.name}"])
     )
+    int_pairs = [
+        (x, y) for i, x in enumerate(inty) for y in inty[i + 1:]
+    ]
     corr_entries: list[tuple[str, str, float, float]] = []
-    for i, x in enumerate(inty):
-        for y in inty[i + 1:]:
-            cd = correlation_drift(df, x, y, cfg.partition_col, baseline=df)
-            row = cd.agg(
-                F.max("delta").alias("m"),
-                F.sum(F.col("corr").isNull().cast("int")).alias("deg"),
-                F.max("corr_base").alias("b"),
-            ).first()
-            if row["b"] is None or int(row["deg"] or 0) > 0:
+    if int_pairs:
+        dec = "decimal(19,0)"
+        mcols = []
+        for i, (x, y) in enumerate(int_pairs):
+            xl, yl = F.col(x).cast("long"), F.col(y).cast("long")
+            both = xl.isNotNull() & yl.isNotNull()
+            xd = F.when(both, xl.cast(dec))
+            yd = F.when(both, yl.cast(dec))
+            mcols += [
+                F.sum(F.when(both, F.lit(1))).cast("long").alias(f"_n{i}"),
+                F.sum(xd).alias(f"_sx{i}"),
+                F.sum(yd).alias(f"_sy{i}"),
+                F.sum(xd * xd).alias(f"_sxx{i}"),
+                F.sum(yd * yd).alias(f"_syy{i}"),
+                F.sum(xd * yd).alias(f"_sxy{i}"),
+            ]
+        per_part = (
+            df.groupBy(
+                F.col(cfg.partition_col).cast("string").alias("p")
+            )
+            .agg(*mcols)
+            .persist()
+        )
+
+        def _corr(i: int, pre: str = "") -> Column:
+            nd = F.col(f"{pre}_n{i}").cast("double")
+            sx = F.col(f"{pre}_sx{i}").cast("double")
+            sy = F.col(f"{pre}_sy{i}").cast("double")
+            sxx = F.col(f"{pre}_sxx{i}").cast("double")
+            syy = F.col(f"{pre}_syy{i}").cast("double")
+            sxy = F.col(f"{pre}_sxy{i}").cast("double")
+            num = nd * sxy - sx * sy
+            vx = nd * sxx - sx * sx
+            vy = nd * syy - sy * sy
+            return F.when(
+                (F.col(f"{pre}_n{i}") >= 2) & (vx > 0) & (vy > 0),
+                num / (F.sqrt(vx) * F.sqrt(vy)),
+            )
+
+        totals = per_part.agg(
+            *[
+                F.sum(f"_{f2}{i}").alias(f"_{f2}{i}")
+                for i in range(len(int_pairs))
+                for f2 in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            ]
+        )
+        base_row = totals.select(
+            *[_corr(i).alias(f"_b{i}") for i in range(len(int_pairs))]
+        ).first()
+        cal_row = per_part.select(
+            *[
+                col
+                for i in range(len(int_pairs))
+                for col in (
+                    F.abs(
+                        _corr(i)
+                        - F.lit(
+                            float(base_row[f"_b{i}"])
+                            if base_row[f"_b{i}"] is not None
+                            else 0.0
+                        )
+                    ).alias(f"_d{i}"),
+                    # a partition with zero pairwise-complete rows is
+                    # ABSENT in correlation_by_partition (its rows drop
+                    # pre-group), not degenerate — only n>0 + corr NULL
+                    # (lost variance / n<2) blocks calibration
+                    (
+                        _corr(i).isNull()
+                        & (F.coalesce(F.col(f"_n{i}"), F.lit(0)) > 0)
+                    ).cast("int").alias(f"_g{i}"),
+                )
+            ]
+        ).agg(
+            *[
+                col
+                for i in range(len(int_pairs))
+                for col in (
+                    F.max(f"_d{i}").alias(f"_d{i}"),
+                    F.sum(f"_g{i}").alias(f"_g{i}"),
+                )
+            ]
+        ).first()
+        per_part.unpersist()
+        for i, (x, y) in enumerate(int_pairs):
+            if (
+                base_row[f"_b{i}"] is None
+                or int(cal_row[f"_g{i}"] or 0) > 0
+            ):
                 continue
-            m = float(row["m"] or 0.0)
+            m = float(cal_row[f"_d{i}"] or 0.0)
             thr = max(0.05, math.ceil(m * 1000.0) / 1000.0)
-            corr_entries.append((x, y, float(row["b"]), thr))
+            corr_entries.append(
+                (x, y, float(base_row[f"_b{i}"]), thr)
+            )
 
     # ---- assemble --------------------------------------------------------
     checks: list[dict] = []
