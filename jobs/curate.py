@@ -73,19 +73,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _write_text_hadoop(spark, path: str, text: str) -> None:
-    """Write a small text file through the JVM Hadoop FileSystem, so it
-    lands wherever the job's data sinks land (local, hdfs://, s3a://)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description="corpus curation pipeline")
     p.add_argument("--input", required=True, help="documents parquet dir")
@@ -167,6 +154,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     from taco_toolbox_spark.dedup.minhash import minhash_near_duplicates
     from taco_toolbox_spark.functions.text import token_count
     from taco_toolbox_spark.operators.partitioning import greedy_pack_bins
+    from taco_toolbox_spark.checkpoint import write_text_hadoop
     from taco_toolbox_spark.session import get_spark
 
     spark = get_spark("curate")
@@ -489,7 +477,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         # shards do — a non-local --output (hdfs://, s3a://) must not
         # leave the documented <output>/manifest.json funnel behind on
         # the driver's local disk (ADVICE r4)
-        _write_text_hadoop(
+        write_text_hadoop(
             spark,
             os.path.join(args.output, "manifest.json"),
             json.dumps(manifest, indent=1),

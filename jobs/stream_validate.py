@@ -48,21 +48,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _write_text_hadoop(spark, path: str, text: str) -> None:
-    """Write a small text file through the JVM Hadoop FileSystem, so it
-    lands wherever the job's data sinks land (local, hdfs://, s3a://) —
-    the same helper jobs/curate.py uses, inlined so this entry point
-    stays importable as a bare script under spark-submit."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
 def _sink(df, out_dir: str, ck_dir: str, mode: str):
     """Start one exactly-once parquet sink with availableNow drain."""
     return (
@@ -107,6 +92,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         except (OSError, ValueError) as e:
             raise SystemExit(f"--suite {args.suite!r}: {e}") from None
 
+    from taco_toolbox_spark.checkpoint import write_text_hadoop
     from taco_toolbox_spark.session import get_spark
     from taco_toolbox_spark.streaming.validate_stream import (
         stream_checks_from_suite,
@@ -199,7 +185,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "window": args.window,
             "watermark": args.watermark,
         }
-        _write_text_hadoop(
+        write_text_hadoop(
             spark,
             os.path.join(args.output, "stream_manifest.json"),
             json.dumps(manifest, indent=2, sort_keys=True) + "\n",

@@ -114,6 +114,21 @@ class CheckpointManifest:
         os.replace(tmp, self.path)  # atomic commit, like the header patch
 
 
+
+def write_text_hadoop(spark, path: str, text: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem, so it
+    lands wherever the job's data sinks land (local, hdfs://, s3a://) —
+    the one shared writer behind every CLI's sidecar manifest (curate's
+    funnel manifest, stream_validate's stream manifest)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
 def record_sketch_state(
     manifest: CheckpointManifest,
     df: DataFrame,

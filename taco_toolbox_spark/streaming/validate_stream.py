@@ -1946,8 +1946,6 @@ def stream_embedding_drift(
     cannot self-baseline (stream_health's contract). Emits
     (window_start, window_end, n_vecs, cosine, drift [, check_id,
     passed])."""
-    import math
-
     if not baseline_sums:
         raise ValueError("baseline_sums must hold at least one dimension")
     dims = sorted(int(d) for d in baseline_sums)
@@ -1963,7 +1961,6 @@ def stream_embedding_drift(
             "check over foreachBatch for wider vectors"
         )
     g = [int(baseline_sums[d]) for d in dims]
-    b_sqrt = math.sqrt(float(sum(v * v for v in g)))
 
     vec = F.col(vec_col)
     q_cols = [
@@ -1990,6 +1987,15 @@ def stream_embedding_drift(
         # reproduces that exactly instead of poisoning the fold
         return F.coalesce(F.col(f"_s{d}"), F.lit(0)).cast(dec)
 
+    def _gsq(d: int):
+        # baseline self-product restricted to PRESENT dims, exactly like
+        # the batch sums.join(g, "dim") — a ragged window whose vectors
+        # never reach dim d must not carry g_d² in the denominator
+        return F.when(
+            F.coalesce(F.col(f"_c{d}"), F.lit(0)) > 0,
+            F.lit(g[d]).cast(dec) * F.lit(g[d]).cast(dec),
+        ).otherwise(F.lit(0).cast(dec))
+
     num = sum(
         (_sd(d) * F.lit(g[d]).cast(dec) for d in dims[1:]),
         _sd(dims[0]) * F.lit(g[dims[0]]).cast(dec),
@@ -1998,16 +2004,22 @@ def stream_embedding_drift(
         (_sd(d) * _sd(d) for d in dims[1:]),
         _sd(dims[0]) * _sd(dims[0]),
     )
+    b = sum((_gsq(d) for d in dims[1:]), _gsq(dims[0]))
     cos = num.cast("double") / (
-        F.sqrt(a.cast("double")) * F.lit(b_sqrt)
+        F.sqrt(a.cast("double")) * F.sqrt(b.cast("double"))
+    )
+    n_vecs = (
+        F.greatest(*[F.col(f"_c{d}") for d in dims])
+        if len(dims) > 1
+        else F.col(f"_c{dims[0]}")
     )
     out = agg.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
-        F.greatest(*[F.col(f"_c{d}") for d in dims]).alias("n_vecs"),
+        n_vecs.alias("n_vecs"),
         cos.alias("cosine"),
         (F.lit(1.0) - cos).alias("drift"),
-    )
+    ).filter(F.coalesce(F.col("n_vecs"), F.lit(0)) > 0)
     if threshold is not None:
         out = out.select(
             "*",

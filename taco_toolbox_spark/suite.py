@@ -1378,10 +1378,15 @@ def suggest_suite(
             .collect()
         )
         counts.unpersist()
+        # one pass over the collected grid (keyed by member), not one
+        # rescan per column/pair
+        by_member: dict[str, list] = {}
+        for r in bases:
+            by_member.setdefault(r["m"], []).append(r)
         for c in cat_cand:
             hist = dict(
                 sorted(
-                    (r["c"], int(r["nb"])) for r in bases if r["m"] == c
+                    (r["c"], int(r["nb"])) for r in by_member.get(c, [])
                 )
             )
             thr = max(
@@ -1392,8 +1397,7 @@ def suggest_suite(
             mkey = f"{det}\x1f{dep}"
             nested: dict[str, dict[str, int]] = {}
             for r in sorted(
-                (r for r in bases if r["m"] == mkey),
-                key=lambda r: (r["k"], r["c"]),
+                by_member.get(mkey, []), key=lambda r: (r["k"], r["c"])
             ):
                 nested.setdefault(r["k"], {})[r["c"]] = int(r["nb"])
             thr = max(
@@ -1537,10 +1541,32 @@ def suggest_suite(
         (x, y) for i, x in enumerate(inty) for y in inty[i + 1:]
     ]
     corr_entries: list[tuple[str, str, float, float]] = []
-    if int_pairs:
-        dec = "decimal(19,0)"
+    #: 6 aggregate columns per pair; chunking keeps every grouped agg far
+    #: under the ~500-column whole-stage-codegen width cliff the
+    #: streaming twins also guard against (64KB JVM method limit) — wide
+    #: integer schemas cost O(pairs/chunk) scans, never a broken plan
+    _CORR_PAIR_CHUNK = 80
+    dec = "decimal(19,0)"
+
+    def _corr(i: int) -> Column:
+        nd = F.col(f"_n{i}").cast("double")
+        sx = F.col(f"_sx{i}").cast("double")
+        sy = F.col(f"_sy{i}").cast("double")
+        sxx = F.col(f"_sxx{i}").cast("double")
+        syy = F.col(f"_syy{i}").cast("double")
+        sxy = F.col(f"_sxy{i}").cast("double")
+        num = nd * sxy - sx * sy
+        vx = nd * sxx - sx * sx
+        vy = nd * syy - sy * sy
+        return F.when(
+            (F.col(f"_n{i}") >= 2) & (vx > 0) & (vy > 0),
+            num / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+
+    for lo in range(0, len(int_pairs), _CORR_PAIR_CHUNK):
+        chunk = list(enumerate(int_pairs[lo:lo + _CORR_PAIR_CHUNK]))
         mcols = []
-        for i, (x, y) in enumerate(int_pairs):
+        for i, (x, y) in chunk:
             xl, yl = F.col(x).cast("long"), F.col(y).cast("long")
             both = xl.isNotNull() & yl.isNotNull()
             xd = F.when(both, xl.cast(dec))
@@ -1560,36 +1586,20 @@ def suggest_suite(
             .agg(*mcols)
             .persist()
         )
-
-        def _corr(i: int, pre: str = "") -> Column:
-            nd = F.col(f"{pre}_n{i}").cast("double")
-            sx = F.col(f"{pre}_sx{i}").cast("double")
-            sy = F.col(f"{pre}_sy{i}").cast("double")
-            sxx = F.col(f"{pre}_sxx{i}").cast("double")
-            syy = F.col(f"{pre}_syy{i}").cast("double")
-            sxy = F.col(f"{pre}_sxy{i}").cast("double")
-            num = nd * sxy - sx * sy
-            vx = nd * sxx - sx * sx
-            vy = nd * syy - sy * sy
-            return F.when(
-                (F.col(f"{pre}_n{i}") >= 2) & (vx > 0) & (vy > 0),
-                num / (F.sqrt(vx) * F.sqrt(vy)),
-            )
-
         totals = per_part.agg(
             *[
                 F.sum(f"_{f2}{i}").alias(f"_{f2}{i}")
-                for i in range(len(int_pairs))
+                for i, _ in chunk
                 for f2 in ("n", "sx", "sy", "sxx", "syy", "sxy")
             ]
         )
         base_row = totals.select(
-            *[_corr(i).alias(f"_b{i}") for i in range(len(int_pairs))]
+            *[_corr(i).alias(f"_b{i}") for i, _ in chunk]
         ).first()
         cal_row = per_part.select(
             *[
                 col
-                for i in range(len(int_pairs))
+                for i, _ in chunk
                 for col in (
                     F.abs(
                         _corr(i)
@@ -1612,7 +1622,7 @@ def suggest_suite(
         ).agg(
             *[
                 col
-                for i in range(len(int_pairs))
+                for i, _ in chunk
                 for col in (
                     F.max(f"_d{i}").alias(f"_d{i}"),
                     F.sum(f"_g{i}").alias(f"_g{i}"),
@@ -1620,7 +1630,7 @@ def suggest_suite(
             ]
         ).first()
         per_part.unpersist()
-        for i, (x, y) in enumerate(int_pairs):
+        for i, (x, y) in chunk:
             if (
                 base_row[f"_b{i}"] is None
                 or int(cal_row[f"_g{i}"] or 0) > 0

@@ -1247,6 +1247,13 @@ def test_stream_embedding_drift_matches_batch(tmp_path, spark):
     rows.append((t0 + dt.timedelta(hours=10), [1.0, None, 0.5, 2.0]))
     rows.append((t0 + dt.timedelta(hours=11), [3.0, 1.0]))
     rows.append((t0 + dt.timedelta(hours=12), None))
+    # day 3: ONLY short vectors — the batch inner join drops dims 2,3
+    # entirely, so the baseline self-product must shrink with them
+    rows.append((t0 + dt.timedelta(days=3, hours=1), [1.0, 2.0]))
+    rows.append((t0 + dt.timedelta(days=3, hours=2), [2.0, 1.0]))
+    # day 4: ONLY null vectors — batch emits no row; the stream must not
+    # emit a ghost all-NULL window either
+    rows.append((t0 + dt.timedelta(days=4, hours=1), None))
     df = spark.createDataFrame(rows, "ts timestamp, vec array<double>")
     path = str(tmp_path / "embdrift_in")
     df.write.mode("overwrite").parquet(path)

@@ -595,6 +595,54 @@ def test_suggest_suite_corr_drift_calibration(spark):
     assert "x__y_corr_drift" in fired
 
 
+def test_suggest_drift_calibration_matches_enforcement(spark, corpus):
+    """The melted single-scan calibration (passes 4b/4e) must reproduce
+    the ENFORCEMENT helpers' own numbers bit-for-bit — this test is the
+    single-source-of-truth lock: if checks/drift.py's TV or correlation
+    arithmetic ever changes, the synthesized thresholds must move with
+    it or this fails."""
+    import math
+
+    from taco_toolbox_spark.checks.drift import (
+        categorical_counts,
+        categorical_tv,
+        conditional_counts,
+        conditional_tv,
+    )
+    from taco_toolbox_spark.engine import EngineConfig
+    from taco_toolbox_spark.suite import suggest_suite
+
+    df = corpus.clean
+    spec = suggest_suite(df, EngineConfig(), health=False)
+    by_id = {c["id"]: c for c in spec["checks"]}
+
+    for col in ("role", "tool"):
+        bc = categorical_counts(df, col)
+        m = categorical_tv(df, col, "part", bc).agg(
+            F.max("tv")
+        ).first()[0]
+        want_thr = max(0.05, math.ceil(float(m) * 1000.0) / 1000.0)
+        entry = by_id[f"{col}_cat_drift"]
+        assert entry["threshold"] == want_thr, col
+        assert entry["baseline_counts"] == {
+            k: int(v) for k, v in bc.items()
+        }, col
+
+    bc2 = conditional_counts(df, "role", "tool")
+    m2 = conditional_tv(df, "role", "tool", "part", bc2).agg(
+        F.max("tv")
+    ).first()[0]
+    want2 = max(0.05, math.ceil(float(m2) * 1000.0) / 1000.0)
+    entry2 = by_id["tool_given_role_drift"]
+    assert entry2["threshold"] == want2
+    flat = {
+        (k, c): n
+        for k, inner in entry2["baseline_counts"].items()
+        for c, n in inner.items()
+    }
+    assert flat == {k: int(v) for k, v in bc2.items()}
+
+
 def test_suggest_suite_guards(spark):
     from taco_toolbox_spark.engine import EngineConfig
     from taco_toolbox_spark.suite import suggest_suite
