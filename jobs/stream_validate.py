@@ -25,7 +25,12 @@ What runs:
     Entries without a streaming realization are listed on stdout and in
     <output>/stream_manifest.json — LOUDLY, so an operator sees exactly
     which rules still need the batch run; this CLI complements
-    jobs/validate.py, it does not replace it.
+    jobs/validate.py, it does not replace it. A suite `sequence` grammar
+    and a `gap` bound on --ts-col are WIRED INTO the battery (mined
+    grammar replaces the built-in role constants; the gap bound rides
+    the monotone state) and recorded under manifest `battery_wired`;
+    the sequence closing-value rule stays batch-only (an unbounded
+    stream never proves a sequence over).
 
 Windowed drift sinks are parquet+append: a window's row lands once the
 watermark closes it, so on a drained historical corpus the final
@@ -114,6 +119,39 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
 
         ck_root = os.path.join(args.output, "_checkpoints")
         eng = (spec or {}).get("engine", {}) or {}
+        # a suite's sequence grammar and ts gap bound ride the battery's
+        # existing state for free: the mined grammar replaces the
+        # built-in role constants, the gap bound reuses the monotone
+        # pass's (last_turn, last_ts). The sequence `last` (closing-
+        # value) rule stays batch-only — an unbounded stream never
+        # proves a sequence over. Battery sink rows keep the battery's
+        # own check ids (role_transitions / ts_gap); battery_wired in
+        # the manifest records which suite entries they enforce.
+        battery_kwargs: dict = {}
+        battery_wired: list[str] = []
+        if spec is not None and not args.no_battery:
+            for entry in spec.get("checks", []):
+                if (
+                    entry.get("type") == "sequence"
+                    and "role_col" not in battery_kwargs
+                ):
+                    battery_kwargs.update(
+                        role_col=entry["col"],
+                        allowed_pairs={
+                            tuple(p) for p in entry.get("allowed", [])
+                        },
+                        first_values=set(entry.get("first", [])),
+                    )
+                    battery_wired.append(entry["id"])
+                elif (
+                    entry.get("type") == "gap"
+                    and entry.get("max_step") is not None
+                    and entry.get("min_step") is None
+                    and entry.get("col") == args.ts_col
+                    and "max_gap_s" not in battery_kwargs
+                ):
+                    battery_kwargs["max_gap_s"] = float(entry["max_step"])
+                    battery_wired.append(entry["id"])
         if not args.no_battery:
             out = transcript_violations_stateful(
                 stream(),
@@ -121,6 +159,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 order_col=eng.get("order_col", "turn_idx"),
                 ts_col=args.ts_col,
                 output_mode="append",
+                **battery_kwargs,
             )
             queries.append(
                 ("battery", _sink(
@@ -176,12 +215,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 counts[cid] = spark.read.parquet(path).count()
             except AnalysisException:
                 counts[cid] = 0  # sink exists but no window closed yet
+        skipped = [
+            e for e in skipped if e.split(" ")[0] not in set(battery_wired)
+        ]
         for s in skipped:
             print(f"skipped (no streaming realization here): {s}")
         manifest = {
             "input": args.input,
             "sinks": counts,
             "skipped": skipped,
+            "battery_wired": battery_wired,
             "window": args.window,
             "watermark": args.watermark,
         }

@@ -84,6 +84,8 @@ def transcript_violations_stateful(
     output_mode: str = "update",
     role_col: str | None = None,
     max_gap_s: float | None = None,
+    allowed_pairs: "set[tuple[str, str]] | None" = None,
+    first_values: "set[str] | None" = None,
 ) -> DataFrame:
     """The batch engine's per-conversation battery — monotone ts,
     (group, order) uniqueness, order contiguity — on a STREAM via
@@ -138,8 +140,21 @@ def transcript_violations_stateful(
     )
     if role_col:
         state_schema += ", last_role string, opened boolean"
-    allowed_keys = {f"{a}\x1f{b}" for a, b in ROLE_TRANSITIONS}
-    first_roles = set(ROLE_FIRST)
+    # the grammar defaults to the transcript battery's constants but is
+    # overridable — the suite->stream bridge passes a MINED grammar
+    # (suggest_suite sequence entries) so one reviewed document drives
+    # the stream exactly like the batch SequenceCheck; closing-value
+    # rules (`last`) deliberately do not stream — an unbounded stream
+    # never proves a sequence over (the sessionization argument)
+    allowed_keys = {
+        f"{a}\x1f{b}"
+        for a, b in (
+            allowed_pairs if allowed_pairs is not None else ROLE_TRANSITIONS
+        )
+    }
+    first_roles = (
+        set(first_values) if first_values is not None else set(ROLE_FIRST)
+    )
     do_mono = "ts_monotone" in check_ids
     do_uniq = "unique_turn" in check_ids
     do_contig = "turn_contiguous" in check_ids
@@ -629,10 +644,12 @@ def run_battery_smoke(
     max_files_per_trigger: int = 8,
     role_col: str | None = None,
     max_gap_s: float | None = None,
+    **kwargs,
 ):
     """Drive the full stateful battery (monotone/uniqueness/contiguity,
-    plus role grammar / gap bound when requested) over a bounded parquet
-    dir with the memory sink."""
+    plus role grammar / gap bound when requested; extra kwargs — e.g. a
+    mined ``allowed_pairs``/``first_values`` grammar — pass through) over
+    a bounded parquet dir with the memory sink."""
     static = spark.read.parquet(parquet_dir)
     stream = (
         spark.readStream.schema(static.schema)
@@ -640,7 +657,7 @@ def run_battery_smoke(
         .parquet(parquet_dir)
     )
     out = transcript_violations_stateful(
-        stream, role_col=role_col, max_gap_s=max_gap_s
+        stream, role_col=role_col, max_gap_s=max_gap_s, **kwargs
     )
     q = (
         out.writeStream.outputMode("update")

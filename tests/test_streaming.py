@@ -347,6 +347,56 @@ def test_stateful_contiguity_verdict_for_all_bad_keys(tmp_path, spark):
     assert list(contig.conv_id) == ["conv_x"] and not contig.passed.any()
 
 
+def test_stream_battery_mined_grammar(tmp_path, spark):
+    """A MINED grammar (suggest_suite sequence entry) overrides the
+    built-in role constants in the streaming battery: sequences legal
+    under the custom grammar stay green even where the built-ins would
+    fire, illegal pairs and a wrong opener fire, and the built-ins still
+    apply when no override is passed."""
+    import datetime as dt
+
+    from taco_toolbox_spark.streaming.validate_stream import (
+        run_battery_smoke,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # legal under the custom grammar a->b->a..., opens with 'a'
+        ("c1", 0, t0, "a"),
+        ("c1", 1, t0 + dt.timedelta(seconds=1), "b"),
+        ("c1", 2, t0 + dt.timedelta(seconds=2), "a"),
+        # illegal pair b->b and wrong opener 'b'
+        ("c2", 0, t0, "b"),
+        ("c2", 1, t0 + dt.timedelta(seconds=1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, role string"
+    )
+    path = str(tmp_path / "grammar_in")
+    df.repartition(1).write.mode("overwrite").parquet(path)
+
+    got = run_battery_smoke(
+        spark,
+        path,
+        query_name="t_mined_grammar",
+        role_col="role",
+        allowed_pairs={("a", "b"), ("b", "a")},
+        first_values={"a"},
+    ).toPandas()
+    fired = got[(got.check_id == "role_transitions") & ~got.passed]
+    assert set(fired.conv_id) == {"c2"}
+    # both c2 rows fire: the opener and the b->b pair
+    assert len(fired) == 2
+
+    # without the override, the built-in transcript grammar knows
+    # neither 'a' nor 'b': every conversation fires
+    builtin = run_battery_smoke(
+        spark, path, query_name="t_builtin_grammar", role_col="role"
+    ).toPandas()
+    bad = builtin[(builtin.check_id == "role_transitions") & ~builtin.passed]
+    assert set(bad.conv_id) == {"c1", "c2"}
+
+
 def test_stream_dedup_drops_within_watermark_and_matches_batch(tmp_path, spark):
     """Exact-dup texts across micro-batches are dropped within the
     watermark horizon; the surviving fingerprint set equals the batch

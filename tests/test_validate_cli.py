@@ -1050,6 +1050,12 @@ def test_stream_validate_cli_drain_resume_and_suite(
     assert man["sinks"]["battery"] > 0  # corrupted corpus: battery fires
     assert any("(vocab)" in s for s in man["skipped"])
     assert "role_cat_drift" in man["sinks"]
+    # the mined sequence grammar and ts gap bound ride the battery, so
+    # those suite entries are WIRED, not skipped
+    assert "role_grammar" in man["battery_wired"]
+    assert "ts_max_gap" in man["battery_wired"]
+    wired = set(man["battery_wired"])
+    assert not any(s.split(" ")[0] in wired for s in man["skipped"])
     first = {
         k: spark.read.parquet(os.path.join(out, k)).count()
         for k, v in man["sinks"].items()
