@@ -130,8 +130,24 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         battery_kwargs: dict = {}
         battery_wired: list[str] = []
         if spec is not None and not args.no_battery:
+            g_col = eng.get("group_col", "conv_id")
+            o_col = eng.get("order_col", "turn_idx")
             for entry in spec.get("checks", []):
+                # entries the always-on battery already enforces are
+                # CLASSIFIED as wired, not skipped: ts monotonicity on
+                # --ts-col, (group, order) uniqueness, order contiguity
                 if (
+                    entry.get("type") == "monotone"
+                    and entry.get("col") == args.ts_col
+                ) or (
+                    entry.get("type") == "uniqueness"
+                    and set(entry.get("keys", [])) == {g_col, o_col}
+                ) or (
+                    entry.get("type") == "contiguity"
+                    and entry.get("col") == o_col
+                ):
+                    battery_wired.append(entry["id"])
+                elif (
                     entry.get("type") == "sequence"
                     and "role_col" not in battery_kwargs
                 ):

@@ -2793,10 +2793,13 @@ def stream_checks_from_suite(
     vocabulary / range / format checks (the streaming row battery
     handles those — ``stream_violations``), the per-conversation
     battery members (monotone / gap / sequence / uniqueness /
-    contiguity — ``transcript_violations_stateful``), FD
-    (``fd_violations_stateful``), and the health bands (``stream_health``
+    contiguity — ``transcript_violations_stateful``; the streaming CLI
+    classifies and wires them), and the health bands (``stream_health``
     needs batch-calibrated band literals, not the suite's k
-    multipliers). Drift entries whose baseline is NOT inlined are also
+    multipliers). FD entries build through ``fd_violations_stateful``
+    (first-seen-combo state; the flag set matches batch on a bounded
+    stream, the reported witness pair is arrival-order-dependent — that
+    twin's documented contract). Drift entries whose baseline is NOT inlined are also
     skipped — a stream cannot self-baseline (the module-wide contract);
     note the quantile member streams through Spark's mergeable GK
     sketch (the batch "approx" method) whatever the entry's batch
@@ -2864,6 +2867,17 @@ def stream_checks_from_suite(
             built[cid] = stream_run_violations(
                 stream_df, key_col=group_col, order_cols=(order_col,),
                 value_col=entry["col"], max_run=int(entry["max_run"]),
+                output_mode=emitter_output_mode,
+            )
+        elif t == "fd":
+            built[cid] = fd_violations_stateful(
+                stream_df,
+                list(entry["determinant"]),
+                list(entry["dependent"]),
+                check_id=cid,
+                skip_null_determinant=bool(
+                    entry.get("skip_null_determinant", False)
+                ),
                 output_mode=emitter_output_mode,
             )
         elif t == "periodic":

@@ -1409,6 +1409,9 @@ def test_stream_checks_from_suite_bridge(tmp_path, corpus):
     assert not (set(built) & {s.split(" ")[0] for s in skipped})
     assert "role_cat_drift" in built
     assert "tool_given_role_drift" in built
+    # the mined tool->role functional dependency streams via the
+    # first-seen-combo stateful twin
+    assert any(cid.startswith("fd_") for cid in built)
     # transition drift has pair-emitter streaming, not a TV twin: skipped
     assert any(s.startswith("role_transition_drift") for s in skipped)
     # vocab / health members route through their own streaming surfaces

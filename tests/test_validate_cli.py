@@ -1051,11 +1051,17 @@ def test_stream_validate_cli_drain_resume_and_suite(
     assert any("(vocab)" in s for s in man["skipped"])
     assert "role_cat_drift" in man["sinks"]
     # the mined sequence grammar and ts gap bound ride the battery, so
-    # those suite entries are WIRED, not skipped
+    # those suite entries are WIRED, not skipped — as are the entries
+    # the always-on battery already enforces
     assert "role_grammar" in man["battery_wired"]
     assert "ts_max_gap" in man["battery_wired"]
+    assert "ts_monotone" in man["battery_wired"]
+    assert "turn_idx_contiguous" in man["battery_wired"]
+    assert any(w.startswith("unique_") for w in man["battery_wired"])
     wired = set(man["battery_wired"])
     assert not any(s.split(" ")[0] in wired for s in man["skipped"])
+    # the mined FD streams as its own sink via first-seen-combo state
+    assert any(k.startswith("fd_") for k in man["sinks"])
     first = {
         k: spark.read.parquet(os.path.join(out, k)).count()
         for k, v in man["sinks"].items()
