@@ -2809,19 +2809,35 @@ def stream_checks_from_suite(
     sink accepts only append); the windowed drift frames are mode-free
     until a sink is chosen.
     """
+    from ..checks.base import RowCheck
     from ..suite import parse_suite
 
-    parse_suite(spec)  # loud validation before any query is built
+    suite = parse_suite(spec)  # loud validation before any query is built
+    row_by_id = {
+        c.check_id: c for c in suite.checks if isinstance(c, RowCheck)
+    }
     eng = spec.get("engine", {}) or {}
     group_col = eng.get("group_col", "conv_id")
     order_col = eng.get("order_col", "turn_idx")
+    key_cols = tuple(eng.get("key_cols") or (group_col, order_col))
+    ts_col_eng = eng.get("ts_col", ts_col)
 
     built: dict[str, DataFrame] = {}
     skipped: list[str] = []
     for entry in spec.get("checks", []):
         t, cid = entry.get("type"), entry.get("id")
         thr = entry.get("threshold", 0.25)
-        if t == "cat_drift" and entry.get("baseline_counts"):
+        if cid in row_by_id:
+            # vocab / range / not_null / format / row entries are pure
+            # row predicates: the stateless violation stream runs each
+            # one verbatim (same array_compact pass as the batch engine)
+            built[cid] = stream_violations(
+                stream_df,
+                [row_by_id[cid]],
+                key_cols=key_cols,
+                ts_col=ts_col_eng,
+            )
+        elif t == "cat_drift" and entry.get("baseline_counts"):
             built[cid] = stream_categorical_tv(
                 stream_df, entry["col"], entry["baseline_counts"],
                 ts_col=ts_col, window=window, watermark=watermark,

@@ -1412,10 +1412,13 @@ def test_stream_checks_from_suite_bridge(tmp_path, corpus):
     # the mined tool->role functional dependency streams via the
     # first-seen-combo stateful twin
     assert any(cid.startswith("fd_") for cid in built)
+    # row-class entries stream as stateless per-rule violation streams
+    assert "role_vocab" in built
+    assert any(cid.endswith("_range") for cid in built)
     # transition drift has pair-emitter streaming, not a TV twin: skipped
     assert any(s.startswith("role_transition_drift") for s in skipped)
-    # vocab / health members route through their own streaming surfaces
-    assert any("(vocab)" in s for s in skipped)
+    # health bands need batch-calibrated literals: still skipped
+    assert any("(volume)" in s for s in skipped)
 
     q = (
         built["role_cat_drift"]

@@ -1048,7 +1048,9 @@ def test_stream_validate_cli_drain_resume_and_suite(
         open(os.path.join(out, "stream_manifest.json")).read()
     )
     assert man["sinks"]["battery"] > 0  # corrupted corpus: battery fires
-    assert any("(vocab)" in s for s in man["skipped"])
+    # row-class rules stream now; the health bands remain batch-only
+    assert "role_vocab" in man["sinks"]
+    assert any("(volume)" in s for s in man["skipped"])
     assert "role_cat_drift" in man["sinks"]
     # the mined sequence grammar and ts gap bound ride the battery, so
     # those suite entries are WIRED, not skipped — as are the entries
