@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         help="skip the calibrated volume/cardinality entries",
     )
     p.add_argument(
+        "--embed-history",
+        action="store_true",
+        help="inline per-partition calibration data (volume/cardinality "
+        "history, completeness baseline_frac) so the health trio can "
+        "stream and batch runs judge against the blessed band",
+    )
+    p.add_argument(
         "--rate-seconds",
         type=int,
         metavar="W",
@@ -71,6 +78,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             vocab_max=args.vocab_max,
             health=not args.no_health,
             rate_seconds=args.rate_seconds,
+            embed_history=args.embed_history,
         )
     except ValueError as e:
         raise SystemExit(str(e))

@@ -2794,9 +2794,15 @@ def stream_checks_from_suite(
     handles those — ``stream_violations``), the per-conversation
     battery members (monotone / gap / sequence / uniqueness /
     contiguity — ``transcript_violations_stateful``; the streaming CLI
-    classifies and wires them), and the health bands (``stream_health``
-    needs batch-calibrated band literals, not the suite's k
-    multipliers). FD entries build through ``fd_violations_stateful``
+    classifies and wires them), and health entries WITHOUT embedded
+    calibration data — a bare ``k`` multiplier cannot stream (the
+    window population is unbounded, stream_health's contract). Health
+    entries that DO carry it stream: a ``volume``/``cardinality`` entry
+    with an inline ``history`` list becomes the vs-history band (the
+    d16 semantics — the only sound streaming reading), a
+    ``completeness`` entry with ``baseline_frac`` the null-fraction
+    drift member; cardinality streams as the HLL approximation with the
+    honest ``card_flag_approx`` column name. FD entries build through ``fd_violations_stateful``
     (first-seen-combo state; the flag set matches batch on a bounded
     stream, the reported witness pair is arrival-order-dependent — that
     twin's documented contract). Drift entries whose baseline is NOT inlined are also
@@ -2821,6 +2827,20 @@ def stream_checks_from_suite(
     order_col = eng.get("order_col", "turn_idx")
     key_cols = tuple(eng.get("key_cols") or (group_col, order_col))
     ts_col_eng = eng.get("ts_col", ts_col)
+
+    def _band_of(df: DataFrame, history) -> tuple[float, float]:
+        # exact (med, mad) over the embedded history list via the
+        # library's OWN band arithmetic (band_from_history), so the
+        # streamed band is interchangeable with the batch vs-history
+        # check's — never a hand-rolled median
+        from ..checks.health import band_from_history
+        from ..schema import literal_frame
+
+        h = literal_frame(
+            df.sparkSession, [(int(v),) for v in history], "n long"
+        )
+        r = band_from_history(h, "n", 1.0).first()
+        return float(r["med"]), float(r["mad"])
 
     built: dict[str, DataFrame] = {}
     skipped: list[str] = []
@@ -2884,6 +2904,28 @@ def stream_checks_from_suite(
                 stream_df, key_col=group_col, order_cols=(order_col,),
                 value_col=entry["col"], max_run=int(entry["max_run"]),
                 output_mode=emitter_output_mode,
+            )
+        elif t == "volume" and entry.get("history"):
+            med, mad = _band_of(stream_df, entry["history"])
+            built[cid] = stream_health(
+                stream_df, ts_col=ts_col, window=window,
+                watermark=watermark, volume_band=(med, mad),
+                volume_k=float(entry.get("k", 3.0)),
+            )
+        elif t == "completeness" and entry.get("baseline_frac") is not None:
+            built[cid] = stream_health(
+                stream_df, ts_col=ts_col, window=window,
+                watermark=watermark, valid_expr=entry["col"],
+                baseline_frac=float(entry["baseline_frac"]),
+                tol=float(entry.get("tol", 0.05)),
+            )
+        elif t == "cardinality" and entry.get("history"):
+            med, mad = _band_of(stream_df, entry["history"])
+            built[cid] = stream_health(
+                stream_df, ts_col=ts_col, window=window,
+                watermark=watermark, distinct_col=entry["col"],
+                distinct_band=(med, mad),
+                distinct_k=float(entry.get("k", 3.0)),
             )
         elif t == "fd":
             built[cid] = fd_violations_stateful(

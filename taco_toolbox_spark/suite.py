@@ -863,6 +863,7 @@ def suggest_suite(
     vocab_max: int = 20,
     health: bool = True,
     rate_seconds: int | None = None,
+    embed_history: bool = False,
 ) -> dict:
     """Draft a constraint-suite document FROM the corpus itself — the
     profiler-to-expectations surface: point it at a blessed corpus and it
@@ -911,6 +912,12 @@ def suggest_suite(
       3-MAD conventions) every observed partition satisfies — a draft
       that alarms on its own source is noise, not safety. A MAD of 0
       with real deviations is un-bandable; that entry is skipped.
+      With ``embed_history`` the per-partition profile values ride the
+      draft inline (volume/cardinality ``history`` lists, completeness
+      ``baseline_frac``): batch validation flips to the vs-history band
+      — identical med/MAD on the profiled corpus, so green-on-source is
+      unchanged — and the suite→stream bridge can realize the health
+      trio (a bare k multiplier cannot stream).
     * ``cat_drift`` entries for every multi-category vocabulary column:
       the baseline histogram is the corpus's own exact category counts
       and the threshold is calibrated on the same discipline — the
@@ -1263,6 +1270,22 @@ def suggest_suite(
         ).cast("double")
         cal_aggs.append(F.max(F.abs(frac - F.lit(base))).alias(f"_d_{c}"))
     cal = hp.agg(*cal_aggs).first()
+    # --embed-history: the per-partition profile values ride the draft as
+    # inline calibration data, upgrading the health entries from bare k
+    # multipliers to self-contained rules — batch validation flips to the
+    # vs-history band (identical med/MAD on the profiled corpus itself,
+    # so green-on-source is preserved bit-for-bit) and the suite->stream
+    # bridge can realize the trio (a bare k cannot stream: the window
+    # population is unbounded). Bounded by the partition count.
+    vol_hist: list[int] = []
+    card_hist: list[int] = []
+    if embed_history:
+        for r in sorted(
+            hp.select("part", "n", "d_g").collect(),
+            key=lambda r: r["part"],
+        ):
+            vol_hist.append(int(r["n"]))
+            card_hist.append(int(r["d_g"]))
 
     def _band_k(maxdev, mad) -> float | None:
         """Smallest 1-decimal k (floor 3.0) passing every partition;
@@ -1278,9 +1301,11 @@ def suggest_suite(
     vol_k = _band_k(cal["_v_maxdev"], cal["_v_mad"])
     card_k = _band_k(cal["_c_maxdev"], cal["_c_mad"])
     comp_tol: dict[str, float] = {}
+    comp_base: dict[str, float] = {}
     for c in nullable:
         maxd = float(cal[f"_d_{c}"] or 0.0)
         comp_tol[c] = max(0.05, math.ceil(maxd * 1000.0) / 1000.0)
+        comp_base[c] = float(n_rows - int(prof[f"_nn_{c}"])) / float(n_rows)
 
     # ---- pass 4b: categorical + conditional drift calibration ------------
     # The drift family joins the draft on the same discipline as the
@@ -1741,14 +1766,15 @@ def suggest_suite(
             }
         )
     for c in nullable:
-        checks.append(
-            {
-                "type": "completeness",
-                "id": f"{c}_null_drift",
-                "col": c,
-                "tol": comp_tol[c],
-            }
-        )
+        entry = {
+            "type": "completeness",
+            "id": f"{c}_null_drift",
+            "col": c,
+            "tol": comp_tol[c],
+        }
+        if embed_history:
+            entry["baseline_frac"] = comp_base[c]
+        checks.append(entry)
     for c, bc, thr in cat_drift:
         checks.append(
             {
@@ -1807,16 +1833,20 @@ def suggest_suite(
         # MAD=0 with real deviations means no k can band this corpus —
         # skip the entry rather than ship a rule its own source fails
         if vol_k is not None:
-            checks.append({"type": "volume", "id": "volume", "k": vol_k})
+            entry = {"type": "volume", "id": "volume", "k": vol_k}
+            if embed_history:
+                entry["history"] = vol_hist
+            checks.append(entry)
         if card_k is not None:
-            checks.append(
-                {
-                    "type": "cardinality",
-                    "id": f"{cfg.group_col}_cardinality",
-                    "col": cfg.group_col,
-                    "k": card_k,
-                }
-            )
+            entry = {
+                "type": "cardinality",
+                "id": f"{cfg.group_col}_cardinality",
+                "col": cfg.group_col,
+                "k": card_k,
+            }
+            if embed_history:
+                entry["history"] = card_hist
+            checks.append(entry)
 
     spec = {
         "engine": {

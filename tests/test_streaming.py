@@ -1454,6 +1454,70 @@ def test_stream_checks_from_suite_bridge(tmp_path, corpus):
     assert (got.tv.to_numpy() == want.tv.to_numpy()).all()
 
 
+def test_stream_bridge_embedded_health(tmp_path, corpus):
+    """An embed_history draft streams the HEALTH trio too: the volume
+    member judges windows against the embedded (vs-history) band, the
+    completeness member against the embedded corpus fraction, the
+    cardinality member as the honestly-named HLL approximation — and the
+    skipped residue shrinks to the transition TVs alone. Batch stays
+    green on the source with the embedded data (identical band)."""
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_checks_from_suite,
+    )
+    from taco_toolbox_spark.suite import parse_suite, suggest_suite
+
+    spark = corpus.clean.sparkSession
+    spec = suggest_suite(corpus.clean, embed_history=True)
+    by_id = {c["id"]: c for c in spec["checks"]}
+    assert len(by_id["volume"]["history"]) > 1
+    assert 0.0 <= by_id["tool_null_drift"]["baseline_frac"] <= 1.0
+    # green on source: the vs-history band equals the self band here
+    res = parse_suite(spec).run(corpus.clean)
+    assert res.verdicts.filter("NOT passed").count() == 0
+
+    path = str(tmp_path / "embedhealth_in")
+    corpus.clean.write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(corpus.clean.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    built, skipped = stream_checks_from_suite(stream, spec)
+    assert {"volume", "tool_null_drift", "conv_id_cardinality"} <= set(
+        built
+    )
+    # bridge-level residue: the battery members (the streaming CLI wires
+    # those) and the transition TVs — no health entry left behind
+    battery_types = {
+        "(uniqueness)", "(monotone)", "(gap)", "(sequence)",
+        "(contiguity)",
+    }
+    for s in skipped:
+        assert "(transition_drift)" in s or any(
+            t in s for t in battery_types
+        ), s
+    assert not any(
+        t in s
+        for s in skipped
+        for t in ("(volume)", "(completeness)", "(cardinality)")
+    )
+
+    q = (
+        built["volume"]
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_embed_vol")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vol = spark.sql("SELECT * FROM t_embed_vol").toPandas()
+    # the blessed corpus against its own embedded band: nothing fires
+    assert len(vol) > 1 and not vol.is_anomaly.any()
+
+
 def test_stream_categorical_tv_nonstring_keys_and_wide_vocab(tmp_path, spark):
     """Non-string baseline keys must behave exactly like the batch path's
     str(k) literal frame (no numeric coercion of the string-cast category
