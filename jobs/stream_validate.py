@@ -30,7 +30,13 @@ What runs:
     grammar replaces the built-in role constants; the gap bound rides
     the monotone state) and recorded under manifest `battery_wired`;
     the sequence closing-value rule stays batch-only (an unbounded
-    stream never proves a sequence over).
+    stream never proves a sequence over). Suite `transition_drift`
+    entries run as a TWO-STAGE drain: the stateful pair emitter lands
+    (from, to, completing-row ts) rows in <output>/_pairs/<id>, then a
+    second exactly-once query scores those through the conditional-TV
+    machinery against the entry's baseline with <end> rows stripped —
+    the streamed statistic is P(to | from) over observed transitions,
+    the emitter's documented boundary honesty.
 
 Windowed drift sinks are parquet+append: a window's row lands once the
 watermark closes it, so on a drained historical corpus the final
@@ -222,6 +228,97 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         for _, q in queries:
             q.awaitTermination()
 
+        # ---- stage 2: transition TV over the drained pair streams -----
+        # A transition entry needs a lag over each sequence, which no
+        # single watermarked aggregation can express — but the stateful
+        # pair EMITTER can, so the CLI realizes transition TV in two
+        # exactly-once stages: stage 1 (above, queued below as _pairs
+        # sinks) drains LIVE (from_state, to_state, completing-row ts)
+        # rows; stage 2 streams THOSE through the conditional-TV
+        # machinery (cond = from_state, cat = to_state) against the
+        # entry's baseline matrix with the <end> rows stripped — an
+        # unbounded stream never proves a sequence over, so the streamed
+        # statistic is P(to | from) over OBSERVED transitions (the same
+        # honesty contract as the emitter and the grammar's `last`).
+        stage2 = []
+        if spec is not None:
+            from taco_toolbox_spark.checks.drift import END_TOKEN
+            from taco_toolbox_spark.streaming.validate_stream import (
+                stream_conditional_tv,
+                stream_transition_pairs,
+            )
+
+            eng_g = eng.get("group_col", "conv_id")
+            eng_o = eng.get("order_col", "turn_idx")
+            trans = [
+                e for e in spec.get("checks", [])
+                if e.get("type") == "transition_drift"
+                and e.get("baseline_counts")
+                and all(
+                    ch.isalnum() or ch in "._-" for ch in e.get("id", "")
+                )
+            ]
+            pair_qs = []
+            for e in trans:
+                cid = e["id"]
+                pairs = stream_transition_pairs(
+                    stream(),
+                    seq_col=e.get("seq") or eng_g,
+                    order_col=list(e.get("order") or (eng_o,)),
+                    state_col=e["state"],
+                    output_mode="append",
+                    ts_col=args.ts_col,
+                )
+                pair_qs.append((cid, _sink(
+                    pairs,
+                    os.path.join(args.output, "_pairs", cid),
+                    os.path.join(ck_root, f"_pairs_{cid}"),
+                    "append",
+                )))
+            for _, q in pair_qs:
+                q.awaitTermination()
+            for e in trans:
+                cid = e["id"]
+                base = {
+                    k: {c: int(n) for c, n in inner.items()
+                        if c != END_TOKEN}
+                    for k, inner in e["baseline_counts"].items()
+                    if k != END_TOKEN
+                }
+                base = {k: v for k, v in base.items() if v}
+                seq_name = e.get("seq") or eng_g
+                pair_schema = (
+                    f"{seq_name} string, from_state string, "
+                    f"to_state string, {args.ts_col} timestamp"
+                )
+                pair_stream = (
+                    spark.readStream.schema(pair_schema)
+                    .option(
+                        "maxFilesPerTrigger", args.max_files_per_trigger
+                    )
+                    .parquet(os.path.join(args.output, "_pairs", cid))
+                )
+                tv = stream_conditional_tv(
+                    pair_stream,
+                    "from_state",
+                    "to_state",
+                    base,
+                    ts_col=args.ts_col,
+                    window=args.window,
+                    watermark=args.watermark,
+                    threshold=float(e.get("threshold", 0.25)),
+                    check_id=cid,
+                )
+                stage2.append((cid, _sink(
+                    tv,
+                    os.path.join(args.output, cid),
+                    os.path.join(ck_root, cid),
+                    "append",
+                )))
+            for _, q in stage2:
+                q.awaitTermination()
+            queries += stage2
+
         from pyspark.errors import AnalysisException
 
         counts = {}
@@ -231,8 +328,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 counts[cid] = spark.read.parquet(path).count()
             except AnalysisException:
                 counts[cid] = 0  # sink exists but no window closed yet
+        staged2 = {cid for cid, _ in stage2}
         skipped = [
-            e for e in skipped if e.split(" ")[0] not in set(battery_wired)
+            e
+            for e in skipped
+            if e.split(" ")[0] not in set(battery_wired) | staged2
         ]
         for s in skipped:
             print(f"skipped (no streaming realization here): {s}")

@@ -1398,6 +1398,7 @@ def stream_transition_pairs(
     state_col: str = "role",
     include_start: bool = True,
     output_mode: str = "update",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch transition builder
     (checks/drift.py:transition_pairs): one output row per state
@@ -1429,6 +1430,12 @@ def stream_transition_pairs(
       late-arriving lower turn emits a pair against the newest state, not
       its in-order neighbor.
 
+    ``ts_col`` (optional) carries the COMPLETING row's timestamp into
+    the output — the batch family's attribution convention (a transition
+    belongs to the partition of the row that completes it), which lets a
+    downstream windowed aggregation score the pair stream per event-time
+    window (the CLI's two-stage transition-TV realization).
+
     ``order_col`` may be one column or a sequence (a tiebreak matters
     whenever the primary order can tie — the batch family orders events
     by (ts, event_id) for exactly this reason). NULL order values sort
@@ -1443,6 +1450,10 @@ def stream_transition_pairs(
         raise ValueError(
             f"seq_col {seq_col!r} collides with the emitted pair columns"
         )
+    if ts_col is not None and ts_col in (seq_col, "from_state", "to_state"):
+        raise ValueError(
+            f"ts_col {ts_col!r} collides with the emitted pair columns"
+        )
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     start_token = START_TOKEN
     keyed = stream_df.select(
@@ -1450,9 +1461,16 @@ def stream_transition_pairs(
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.coalesce(F.col(state_col).cast("string"), F.lit(NULL_CATEGORY))
         .alias("_s"),
+        *(
+            [F.col(ts_col).cast("timestamp").alias("_t")]
+            if ts_col is not None
+            else []
+        ),
     )
     sort_cols = [f"_o{i}" for i in range(len(order_cols))]
     out_schema = f"{seq_col} string, from_state string, to_state string"
+    if ts_col is not None:
+        out_schema += f", {ts_col} timestamp"
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -1481,13 +1499,15 @@ def stream_transition_pairs(
             prev.iloc[0] = start_token
         else:
             drop_first = True
-        out = pd.DataFrame(
-            {
-                seq_col: key[0],
-                "from_state": prev,
-                "to_state": s,
-            }
-        )
+        cols = {
+            seq_col: key[0],
+            "from_state": prev,
+            "to_state": s,
+        }
+        if ts_col is not None:
+            # the COMPLETING row's timestamp (batch attribution)
+            cols[ts_col] = pdf["_t"].reset_index(drop=True)
+        out = pd.DataFrame(cols)
         if drop_first:
             out = out.iloc[1:]
         state.update((s.iloc[-1], True))

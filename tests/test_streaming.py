@@ -1454,6 +1454,129 @@ def test_stream_checks_from_suite_bridge(tmp_path, corpus):
     assert (got.tv.to_numpy() == want.tv.to_numpy()).all()
 
 
+def test_stream_transition_tv_two_stage_parity(tmp_path, spark):
+    """The CLI's two-stage transition-TV realization must equal the
+    batch composition: conditional_tv(cond=from, cat=to) over the batch
+    transition pairs WITH <end> rows stripped, per day of the
+    COMPLETING row's timestamp — including the emitter's ts
+    passthrough attribution."""
+    import datetime as dt
+
+    from taco_toolbox_spark.checks.drift import (
+        END_TOKEN,
+        conditional_tv,
+        transition_counts,
+        transition_pairs,
+    )
+    from taco_toolbox_spark.streaming.validate_stream import (
+        stream_conditional_tv,
+        stream_transition_pairs,
+    )
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = []
+    for day in range(3):
+        for g in range(3):
+            # day 2 loops a->a: the transition texture shifts
+            pat = ["u", "a", "u", "a"] if day < 2 else ["u", "a", "a", "a"]
+            for i, st in enumerate(pat):
+                rows.append(
+                    (
+                        f"g{day}_{g}",
+                        i,
+                        t0 + dt.timedelta(days=day, minutes=g * 10 + i),
+                        st,
+                    )
+                )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, role string"
+    )
+    path = str(tmp_path / "ttv_in")
+    # one file per conversation: the emitter's unconditional-exactness
+    # staging
+    df.repartition("conv_id").write.mode("overwrite").parquet(path)
+
+    base_full = transition_counts(df, "conv_id", ["turn_idx"], "role")
+    nested = {}
+    for (k, c), n in base_full.items():
+        if k != END_TOKEN and c != END_TOKEN:
+            nested.setdefault(k, {})[c] = int(n)
+
+    # stage 1: drain pairs with ts passthrough
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    pairs = stream_transition_pairs(
+        stream, "conv_id", "turn_idx", "role",
+        output_mode="append", ts_col="ts",
+    )
+    pair_dir = str(tmp_path / "ttv_pairs")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", pair_dir)
+        .option("checkpointLocation", str(tmp_path / "ttv_ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # stage 2: conditional TV over the drained pair stream
+    ps = (
+        spark.readStream.schema(
+            "conv_id string, from_state string, to_state string,"
+            " ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(pair_dir)
+    )
+    tv = stream_conditional_tv(
+        ps, "from_state", "to_state", nested, window="1 day",
+        watermark="1 day",
+    )
+    q2 = (
+        tv.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_ttv")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.sql("SELECT * FROM t_ttv").toPandas()
+    got["day"] = got.window_start.map(lambda t: str(t.date()))
+    got = got.set_index(["day", "cond"]).sort_index()
+
+    # batch composition: pairs (minus end rows) + completing-ts day +
+    # the identical conditional-TV machinery
+    bp = transition_pairs(df, "conv_id", ["turn_idx"], "role").filter(
+        F.col("to_state") != END_TOKEN
+    )
+    day = bp.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    flat = {
+        (k, c): n for k, inner in nested.items() for c, n in inner.items()
+    }
+    want = (
+        conditional_tv(day, "from_state", "to_state", "day", flat)
+        .toPandas()
+        .set_index(["part", "cond"])
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert (got.n_win.to_numpy() == want.n_part.to_numpy()).all()
+    assert (got.tv_num.to_numpy() == want.tv_num.to_numpy()).all()
+    assert (got.tv.to_numpy() == want.tv.to_numpy()).all()  # bit-exact
+    # the from='a' texture deviates from the mixed baseline on every
+    # day (each day saw only one of the two patterns) while the opening
+    # protocol never drifts — the separation the statistic exists for
+    assert got.loc[("2025-06-01", "a")].tv == 0.5
+    assert got.loc[("2025-06-03", "a")].tv == 0.5
+    assert float(got.loc[("2025-06-02", "<start>")].tv) == 0.0
+
+
 def test_stream_bridge_embedded_health(tmp_path, corpus):
     """An embed_history draft streams the HEALTH trio too: the volume
     member judges windows against the embedded (vs-history) band, the

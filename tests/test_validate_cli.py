@@ -1064,6 +1064,10 @@ def test_stream_validate_cli_drain_resume_and_suite(
     assert not any(s.split(" ")[0] in wired for s in man["skipped"])
     # the mined FD streams as its own sink via first-seen-combo state
     assert any(k.startswith("fd_") for k in man["sinks"])
+    # transition TV runs as the two-stage pair-emitter drain: its sink
+    # exists and the entry is no longer skipped
+    assert "role_transition_drift" in man["sinks"]
+    assert not any("(transition_drift)" in s for s in man["skipped"])
     first = {
         k: spark.read.parquet(os.path.join(out, k)).count()
         for k, v in man["sinks"].items()
