@@ -31,10 +31,10 @@ SQL), so portability costs one digest, not k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ngram import shingles
+from .ngram import doc_shingle_arrays, shingles
 
 
 #: 2-universal permutation family for the engine-portable ("md5") hash
@@ -359,13 +359,22 @@ def lsh_candidate_pairs(
         F.explode(band_structs("sig", bands, rows_per_band)).alias("bb"),
     ).select("id", *carry_cols, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        ok = (
-            buckets.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
+        # bucket sizes via a window COUNT over the (band, bucket)
+        # partition instead of a groupBy + semi-join: the semi-join form
+        # re-derived the whole signature subtree a second time (scan →
+        # shingle explode → hash → aggregate, all duplicated per side —
+        # the round-6 plan audit measured 4 full signature derivations in
+        # this operator), while the window rides the SAME exchange the
+        # pair self-join needs anyway. Identical cap semantics: a
+        # partition count equals the groupBy count. The window sort
+        # spills like any sort; a degenerate bucket concentrates in one
+        # task either way (the join shuffle already had that property).
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
         )
-        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (

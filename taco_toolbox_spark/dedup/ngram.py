@@ -57,6 +57,37 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT shingle set as an ARRAY column: (id, sh_arr).
+    The pre-explode form of :func:`shingles` — same tokenization, same
+    ``array_distinct``, same short-doc filter, so
+    ``explode(sh_arr)`` ≡ ``shingles(...)`` row-for-row. Verification
+    stages use it to compute pair intersections with ONE
+    ``array_intersect`` per candidate pair instead of re-deriving and
+    re-shuffling the exploded shingle table (two full explode+join passes
+    saved per verify)."""
+    from ..scale import spread_for_compute
+
+    if "_toks" in (id_col, text_col):
+        raise ValueError("doc_shingle_arrays reserves column name '_toks'")
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    toks = F.col("_toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(sh).alias("sh_arr"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
