@@ -12,7 +12,7 @@ the standard frequency-cap trick.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -162,11 +162,17 @@ def jaccard_pairs_prefix(
     from .minhash import verify_pairs_exact  # late: minhash imports us
 
     sh = shingles(df, text_col, id_col, n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    # document frequency via a window COUNT over the shingle partition
+    # instead of a groupBy + join back: the join form re-derived the
+    # shingle subtree (scan, tokenize, gram explode) a second time for
+    # the frequency table. sh is distinct per (id, shingle), so the
+    # partition row count IS the shingle's document frequency — identical
+    # values, one derivation and one join fewer.
+    w_freq = Window.partitionBy("shingle")
     w_rank = Window.partitionBy("id").orderBy("_f", "shingle")
     w_all = Window.partitionBy("id")
     ranked = (
-        sh.join(freq, "shingle")
+        sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))
         .select(
             "id",
             "shingle",
@@ -225,21 +231,37 @@ def _shared_counts(
     the common core of the Jaccard and containment pair builders. Shingle
     frequency cap applied BEFORE sizing, so na/nb count capped shingles
     consistently with the shared count."""
+    # One shingle derivation, windows instead of aggregations + joins
+    # back (round-6): the groupBy+semi-join cap and the per-id size
+    # aggregation each re-derived the shingle subtree (5 derivations
+    # total including the self-join sides); here the frequency cap is a
+    # COUNT over the shingle partition (sh is distinct per (id, shingle),
+    # so the partition count IS the document frequency), the sizes na/nb
+    # are a COUNT over the id partition riding one more exchange, and the
+    # two self-join sides then share a single identical subtree (runtime
+    # ReusedExchange). na/nb ride the pair join and the final groupBy
+    # keys — no size joins at all. Values identical by construction.
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        w_freq = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))
+            .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
+    w_id = Window.partitionBy("id")
+    sized = sh.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
+    a = sized.select(
+        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    b = sized.select(
+        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("nb")
     )
     return (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b", "shared", "na", "nb")
     )
 
 

@@ -96,12 +96,24 @@ def substring_run_pairs(
 
     sh = positional_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
-        freq = (
-            sh.groupBy("shingle")
-            .agg(F.countDistinct("id").alias("_f"))
+        # document frequency via windows over the shingle partition
+        # instead of a countDistinct aggregation + semi-join: the
+        # semi-join form re-derived the positional-shingle subtree (scan,
+        # tokenize, gram explode) a second time for the count; here
+        # dense_rank over (shingle ORDER BY id) + its partition max IS
+        # the distinct-id count, computed on the ONE exchange the
+        # self-join below needs anyway — both join sides then share an
+        # identical subtree (runtime ReusedExchange). Identical cap
+        # semantics; the sort by (shingle, id) is work the sort-merge
+        # self-join would do regardless.
+        w_rank = Window.partitionBy("shingle").orderBy("id")
+        w_all = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_dr", F.dense_rank().over(w_rank))
+            .withColumn("_f", F.max("_dr").over(w_all))
             .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_dr", "_f")
         )
-        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
 
     a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "shingle")

@@ -186,16 +186,43 @@ def winnow_overlap_pairs(
     self-join (the skew cap every candidate-pair path in this repo
     applies); the join is a plain equi-join on the hash — never
     all-pairs."""
-    fp = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn).select(
-        F.col(id_col).alias("_id"), "h"
-    ).distinct()
-    capped = (
-        fp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_hash_freq)
-        .select("h")
+    from pyspark.sql import Window
+
+    from ..scale import spread_for_compute
+
+    if "_hs" in (id_col, text_col):
+        raise ValueError("winnow_overlap_pairs reserves column name '_hs'")
+    # Per-doc DISTINCT selected hashes computed IN the projection
+    # (array_distinct over the selection's hash field) instead of an
+    # exploded row-level .distinct(): same (id, h) set, one exchange
+    # fewer. The gram-hash array stays a bound column so the selection
+    # lambdas never inline it (see _selection_from_hashes).
+    base = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    staged = base.withColumn(
+        "_hs", _gram_hashes(F.col(text_col), k, hash_fn)
     )
-    fp = fp.join(capped, "h")
+    sel = _selection_from_hashes(F.col("_hs"), w)
+    fp = staged.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(F.transform(sel, lambda x: x["h"]))
+        ).alias("h"),
+    )
+    # boilerplate cap via a window COUNT over the hash partition instead
+    # of a groupBy + join: the join form re-derived the whole winnowing
+    # projection (gram hashing + window-min selection, the operator's
+    # dominant per-row cost) a second time for the frequency count and
+    # twice more for the self-join sides; the window rides the exchange
+    # the self-join needs anyway, and both join sides share one identical
+    # subtree (runtime ReusedExchange). Identical cap semantics: fp is
+    # distinct per (_id, h), so the partition row count IS the number of
+    # documents selecting the hash.
+    wcap = Window.partitionBy("h")
+    fp = (
+        fp.withColumn("_n", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("_n") <= max_hash_freq)
+        .drop("_n")
+    )
     a = fp.select(F.col("_id").alias("id_a"), "h")
     b = fp.select(F.col("_id").alias("id_b"), "h")
     return (

@@ -32,7 +32,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -321,13 +321,18 @@ def embedding_near_duplicates(
         "id", F.posexplode(sig_fn(F.col("v"))).alias("band", "sig")
     )
     if max_bucket_size is not None:
-        ok = (
-            sigs.groupBy("band", "sig")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
+        # window COUNT over the (band, sig) partition instead of a
+        # groupBy + semi-join: the semi-join re-derived the signature
+        # subtree — including the pandas-UDF matmul — once more per
+        # side (8 Python eval nodes in the round-6 plan audit); the
+        # window rides the exchange the pair self-join needs anyway.
+        # Identical cap semantics (partition count == groupBy count).
+        wcap = Window.partitionBy("band", "sig")
+        sigs = (
+            sigs.withColumn("_bc", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
         )
-        sigs = sigs.join(ok, ["band", "sig"], "left_semi")
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (
