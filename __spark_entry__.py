@@ -930,6 +930,14 @@ _ORACLE_DUMP = "/tmp/spark_graft_oracle/c500_s42_d500"
 def _write_verdict_dump(spark) -> None:
     import os
 
+    # idempotent (same _DONE contract as _ensure_verdict_dump): the dump
+    # is a deterministic fixture (fixed seed/params), so the 17 query
+    # builders calling this need not regenerate and rewrite it — the
+    # first caller materializes it, later callers see the marker. The
+    # queries' own plans still generate their corpus in-plan; only the
+    # DuckDB-side fixture write is skipped.
+    if os.path.exists(os.path.join(_ORACLE_DUMP, "_DONE")):
+        return
     from taco_toolbox_spark.datagen import generate_transcripts
 
     corpus = generate_transcripts(

@@ -155,17 +155,24 @@ def incremental_dedup_verdicts(
         )
         sh_new = sh_new.join(freq.select("shingle"), "shingle", "left_semi")
         sh_ex = sh_ex.join(freq.select("shingle"), "shingle", "left_semi")
-    n_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("na"))
-    n_ex = sh_ex.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
-    shared = (
-        sh_new.select(F.col("id").alias("id_new"), "shingle")
-        .join(sh_ex.select(F.col("id").alias("id_ex"), "shingle"), "shingle")
-        .groupBy("id_new", "id_ex")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    # per-doc shingle counts via a window over the id partition instead
+    # of groupBy + join back: the aggregation form re-derived each side's
+    # shingle subtree a second time (round-6 plan audit: 32 exchanges in
+    # this operator); na/nb now ride the shingle join and the pair
+    # aggregation keys. Identical values — sh_* is distinct per
+    # (id, shingle), so the partition count is the set size.
+    w_id = Window.partitionBy("id")
     near_ids = (
-        shared.join(n_new.withColumnRenamed("id", "id_new"), "id_new")
-        .join(n_ex.withColumnRenamed("id", "id_ex"), "id_ex")
+        sh_new.withColumn("na", F.count(F.lit(1)).over(w_id))
+        .select(F.col("id").alias("id_new"), "shingle", "na")
+        .join(
+            sh_ex.withColumn("nb", F.count(F.lit(1)).over(w_id)).select(
+                F.col("id").alias("id_ex"), "shingle", "nb"
+            ),
+            "shingle",
+        )
+        .groupBy("id_new", "id_ex", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .filter(
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
             >= threshold
