@@ -27,6 +27,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + scale.spread_for_compute: for queries whose SCAN-stage work is
+    heavy per row (text feature extraction, regex batteries, dim-length
+    folds, decimal partial aggregation), a single-row-group parquet file
+    scans as ONE split and serializes that work behind one core. The
+    spread is the library's documented rule (a plan no-op at warehouse
+    scale where inputs carry thousands of splits) — used only for queries
+    whose results are provably partitioning-independent (per-row
+    projections, exact integer/decimal aggregates, total-order top-k)."""
+    from taco_toolbox_spark.scale import spread_for_compute
+
+    return spread_for_compute(_t(spark, sf_dir, name))
+
+
 def _stage_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -247,7 +261,7 @@ def q_a4_top1(spark, sf_dir):
 
 def q_q1_pricing(spark, sf_dir):
     """A2/A8 grouped aggregation (TPC-H Q1 shape) with exact decimal sums."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ts(spark, sf_dir, "lineitem")
     # exact decimal arithmetic: cast the raw doubles once (deterministic,
     # tie-free), then multiply/sum in decimal so engines agree bit-for-bit
     disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
@@ -269,8 +283,8 @@ def q_q1_pricing(spark, sf_dir):
 
 def q_j3_rollup(spark, sf_dir):
     """J3 parent-child join + rollup: revenue per order priority."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    o = _ts(spark, sf_dir, "orders")
+    li = _ts(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
     )
@@ -748,7 +762,7 @@ def q_sim_dedup_clusters(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Text analysis: token counts + quality ratios (JVM expressions)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     from taco_toolbox_spark.functions.text import quality_features
 
     qf = quality_features("text")
@@ -772,7 +786,7 @@ def q_text_repetition(spark, sf_dir):
     unnest+groupBy realization must match bit-for-bit."""
     from taco_toolbox_spark.functions.text import repetition_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     ml = F.replace(F.col("text"), F.lit(" data "), F.lit("\ndata\n"))
     # five field projections off one struct expression: interpreted
     # subexpression elimination shares the underlying scans (measured
@@ -800,7 +814,7 @@ def q_lang_id(spark, sf_dir):
     expressions (DuckDB-oracled)."""
     from taco_toolbox_spark.functions.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -1626,7 +1640,7 @@ def q_p1_pii_redact(spark, sf_dir):
     expressions: scan-shaped, zero Python, zero shuffle."""
     from taco_toolbox_spark.functions.pii import pii_count, redact_pii
 
-    c = _t(spark, sf_dir, "customer")
+    c = _ts(spark, sf_dir, "customer")
     text = F.concat_ws(
         "",
         F.lit("reach "),

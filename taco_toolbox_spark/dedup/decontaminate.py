@@ -185,7 +185,12 @@ def semantic_contamination_matches(
     ).filter(F.col("_bn") > 0)
     if broadcast_benchmark:
         b = F.broadcast(b)
-    c = corpus.select(
+    # |benchmark| dot folds per corpus row in the scan stage: spread an
+    # under-partitioned corpus to the session parallelism (plan no-op at
+    # warehouse scale; per-row scores are partitioning-independent)
+    from ..scale import spread_for_compute
+
+    c = spread_for_compute(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
     ).filter(F.col("_cn") > 0)

@@ -32,9 +32,16 @@ from ..functions.text import tokens
 
 
 def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, term, tf): per-document lowercased whitespace-token counts."""
+    """(id, term, tf): per-document lowercased whitespace-token counts.
+    The input is spread to the session parallelism when under-partitioned
+    (scale.spread_for_compute — single-row-group files scan as one split;
+    a plan no-op at warehouse scale). Counts are exact integers, so the
+    spread cannot change any value."""
+    from ..scale import spread_for_compute
+
     return (
-        df.select(
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(tokens(text_col)).alias("term"),
         )
@@ -58,8 +65,15 @@ def distinctive_terms(
     Integer-score mode (default) is exactly reproducible cross-engine; see
     module docstring for the DIV-score rationale."""
     tf = term_frequencies(df, text_col, id_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term")
+    # document frequency via a window COUNT over the term partition
+    # instead of a groupBy + join back onto tf: the join form re-derived
+    # the whole tf subtree (scan, token explode, (id, term) aggregation)
+    # a second time. tf is one row per (id, term), so the partition count
+    # IS the document frequency — identical values, one derivation and
+    # one join fewer.
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     if use_log_idf:
         n_docs = df.select(F.countDistinct(id_col)).first()[0]
         idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0

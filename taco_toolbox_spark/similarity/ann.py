@@ -72,7 +72,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k vs one query vector. Scan + local top-k per
-    partition + global merge (orderBy/limit = TakeOrdered, no full sort)."""
+    partition + global merge (orderBy/limit = TakeOrdered, no full sort).
+    The input is spread to the session parallelism when under-partitioned
+    (scale.spread_for_compute — a single-row-group file scans as ONE
+    split and would serialize the dim-length dot folds behind one core;
+    a plan no-op at warehouse scale). Per-row scores are order-
+    independent and the top-k merge is a total order, so the spread
+    cannot change the result."""
+    from ..scale import spread_for_compute
+
+    df = spread_for_compute(df)
     return (
         df.select(
             F.col(id_col),
@@ -146,12 +155,14 @@ def lsh_topk(
     when LSH theory grants it — for genuinely similar vectors; uniformly
     random near-orthogonal 'neighbors' may be pruned (that is the
     approximation, not a bug). Same output schema as brute_force_topk."""
+    from ..scale import spread_for_compute
+
     dim = len(query_vec)
     sig_fn = band_signature_col(dim, bands, rows_per_band, seed)
     qsigs = query_signatures(query_vec, bands, rows_per_band, seed)
     qarr = F.array(*[F.lit(s).cast("long") for s in qsigs])
     cand = (
-        df.withColumn("_sigs", sig_fn(F.col(vec_col)))
+        spread_for_compute(df).withColumn("_sigs", sig_fn(F.col(vec_col)))
         .filter(
             F.exists(
                 F.zip_with(F.col("_sigs"), qarr, lambda s, q: s == q),
@@ -230,11 +241,13 @@ def ivf_topk(
     n_centroids; recall is high for clustered corpora and degrades toward
     that fraction for adversarially uniform ones (the IVF approximation,
     not a bug). Same output schema as brute_force_topk."""
+    from ..scale import spread_for_compute
+
     C = ivf_centroids(len(query_vec), n_centroids, seed)
     probes = ivf_probe_cells(query_vec, C, n_probe)
-    cand = df.withColumn("_cell", ivf_cell_col(vec_col, C)).filter(
-        F.col("_cell").isin(probes)
-    )
+    cand = spread_for_compute(df).withColumn(
+        "_cell", ivf_cell_col(vec_col, C)
+    ).filter(F.col("_cell").isin(probes))
     return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
 
 

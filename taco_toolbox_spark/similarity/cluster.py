@@ -172,6 +172,15 @@ def semantic_dedup_pairs(
       value). The output pair SET is identical for every B ≥ 1."""
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    from ..scale import spread_for_compute
+
+    # the within-cluster pairwise stage multiplies each row's dim-length
+    # fold by its cluster's size: spread an under-partitioned input to
+    # the session parallelism so the assignment+pair map stages use every
+    # core (plan no-op at warehouse scale; per-row values and the pair
+    # set are partitioning-independent — measured 7.9s -> 1.2s first
+    # execution at sf0.1/local[32])
+    df = spread_for_compute(df)
     assigned = kmeans_assign(df, centroids, vec_col, "cluster", "_d").select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
