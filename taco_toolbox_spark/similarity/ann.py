@@ -59,7 +59,7 @@ def _norm(a) -> F.Column:
 def cosine_to_query(
     df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
 ) -> F.Column:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
 
@@ -160,7 +160,7 @@ def lsh_topk(
     dim = len(query_vec)
     sig_fn = band_signature_col(dim, bands, rows_per_band, seed)
     qsigs = query_signatures(query_vec, bands, rows_per_band, seed)
-    qarr = F.array(*[F.lit(s).cast("long") for s in qsigs])
+    qarr = F.lit([int(s) for s in qsigs])
     cand = (
         spread_for_compute(df).withColumn("_sigs", sig_fn(F.col(vec_col)))
         .filter(
@@ -195,7 +195,7 @@ def ivf_cell_col(vec_col: str, centroids: list[list[float]]) -> F.Column:
     (band_signature_col's shape) — values are identical either way."""
     entries = [
         F.struct(
-            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in row])).alias("dot"),
+            _dot(F.col(vec_col), F.lit([float(x) for x in row])).alias("dot"),
             F.lit(cid).alias("cid"),
         )
         for cid, row in enumerate(centroids)

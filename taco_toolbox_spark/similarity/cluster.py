@@ -39,7 +39,10 @@ CENTROID_SCALE = 1_000_000_000.0
 def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
     """Sequential float64 fold of the squared euclidean distance between a
     vector column and one literal centroid (deterministic order)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    # single array literal (one py4j call) instead of dim individual
+    # F.lit calls wrapped in F.array — identical values/type, ~8x cheaper
+    # plan construction (the fit builds this expression every round)
+    c = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(
             vec_col,
