@@ -116,9 +116,7 @@ def remove_common_segments(
     )
     if reserved:
         raise ValueError(f"input columns collide with internals: {reserved}")
-    common = common_segments(
-        df, id_col, text_col, min_docs, delim, block_words
-    ).select(F.col("segment").alias("_seg"))
+    from pyspark.sql import Window
 
     from ..scale import spread_for_compute
 
@@ -131,10 +129,19 @@ def remove_common_segments(
             F.posexplode(seg_arr).alias("_blk", "_seg"),
         )
     )
-    # only docs that actually lose a block reach the removal map: the join
-    # back to the full frame is tiny relative to the corpus
+    # boilerplate detection via windows over the segment partition instead
+    # of a separate common_segments aggregation joined back: that form
+    # re-derived the segmentation subtree (split + HOF blocking, the
+    # operator's dominant per-row cost) a second time. dense_rank over
+    # (segment ORDER BY id) + its partition max IS countDistinct(id) —
+    # identical threshold semantics, one derivation and one join fewer.
+    # Only docs that actually lose a block reach the removal map.
+    w_rank = Window.partitionBy("_seg").orderBy(id_col)
+    w_all = Window.partitionBy("_seg")
     removal = (
-        exploded.join(common, "_seg", "inner")
+        exploded.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("_nd", F.max("_dr").over(w_all))
+        .filter(F.col("_nd") >= min_docs)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("_blk")).alias("_rm"))
     )

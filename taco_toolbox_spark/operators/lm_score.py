@@ -74,9 +74,16 @@ def bigram_frequency_score(
         .filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(bg).alias("_bg"))
     )
-    counts = occ.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    # corpus bigram frequency via a window COUNT over the bigram
+    # partition instead of a groupBy + join back, which re-derived the
+    # token-explode subtree a second time (round-6; identical values —
+    # the partition row count IS the corpus occurrence count)
+    from pyspark.sql import Window
+
     per_doc = (
-        occ.join(counts, "_bg")
+        occ.withColumn(
+            "_c", F.count(F.lit(1)).over(Window.partitionBy("_bg"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

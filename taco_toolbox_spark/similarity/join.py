@@ -267,13 +267,17 @@ def lsh_topk_join(
         F.col(c_id), F.posexplode(sig_fn(F.col(c_vec))).alias("_band", "_sig")
     )
     if max_bucket_size is not None:
-        ok = (
-            csig.groupBy("_band", "_sig")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
+        # window COUNT over the (band, sig) partition instead of a
+        # groupBy + semi-join, which re-derived the corpus signature
+        # subtree (pandas-UDF matmul included) a second time; the window
+        # rides the exchange the candidate equi-join needs anyway.
+        # Identical cap semantics (partition count == groupBy count).
+        wcap = Window.partitionBy("_band", "_sig")
+        csig = (
+            csig.withColumn("_bc", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
         )
-        csig = csig.join(ok, ["_band", "_sig"], "left_semi")
     cand = (
         qsig.join(csig, ["_band", "_sig"])
         .select(out_query_col, c_id)
