@@ -169,7 +169,16 @@ def jaccard_pairs_prefix(
     # partition row count IS the shingle's document frequency — identical
     # values, one derivation and one join fewer.
     w_freq = Window.partitionBy("shingle")
-    w_rank = Window.partitionBy("id").orderBy("_f", "shingle")
+    # rarest-first rank ordered by (_f, hash, shingle) instead of
+    # (_f, shingle): the prefix theorem holds for ANY globally consistent
+    # total order, and comparing a 64-bit hash is cheaper than comparing
+    # shingle strings in the per-doc sort (the string stays as the final
+    # tiebreak so hash collisions cannot make the order non-total; the
+    # verified result set is order-invariant — exact jaccard >= t decides
+    # membership, which the independent capless oracle checks end-to-end)
+    w_rank = Window.partitionBy("id").orderBy(
+        "_f", F.xxhash64("shingle"), "shingle"
+    )
     w_all = Window.partitionBy("id")
     ranked = (
         sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))

