@@ -124,13 +124,19 @@ def simhash_near_duplicates(
         ).alias("cb"),
     ).select("id", "simhash", "cb.chunk", "cb.key")
     if max_bucket_size is not None:
-        ok = (
-            chunks.groupBy("chunk", "key")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
+        # window COUNT over the (chunk, key) partition instead of a
+        # groupBy + semi-join: the semi-join re-derived the 64-way
+        # simhash aggregation a second time for the count; the window
+        # rides the exchange the pair self-join needs anyway. Identical
+        # cap semantics (partition count == groupBy count).
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("chunk", "key")
+        chunks = (
+            chunks.withColumn("_bc", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
         )
-        chunks = chunks.join(ok, ["chunk", "key"], "left_semi")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

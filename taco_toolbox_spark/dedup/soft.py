@@ -65,7 +65,6 @@ def soft_dedup_verdict(
         )
     grp = group_expr if group_expr is not None else fingerprint(text_col)
     tagged = df.withColumn("_grp", grp)
-    counts = tagged.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_copies"))
     thr = F.least(
         F.lit(float(SAMPLE_BUCKETS)),
         F.floor(
@@ -73,8 +72,16 @@ def soft_dedup_verdict(
             / F.col("n_copies").cast("double")
         ).cast("double"),
     )
+    # copy count via a window over the group partition instead of a
+    # groupBy + join back onto the same frame (which re-derived the
+    # fingerprint projection and paid a second exchange) — identical
+    # values, same output columns
+    from pyspark.sql import Window
+
     return (
-        tagged.join(counts, "_grp")
+        tagged.withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("_grp"))
+        )
         .withColumn(
             "kept", hash_bucket([id_col], seed, hash_fn).cast("double") < thr
         )

@@ -264,15 +264,20 @@ def test_incremental_exact_path_is_semi_join(spark):
 
 
 def test_distinctive_terms_partial_agg_and_python_free(spark):
-    """Both hash aggregations must show map-side partial combine (two
-    HashAggregate levels per agg) and the whole plan stays JVM-side."""
+    """The tf aggregation must show map-side partial combine (two
+    HashAggregate levels); document frequency is a WINDOW over the term
+    partition riding tf's output (round 6 — the old groupBy+join form
+    re-derived the token-explode subtree, so the explode must appear
+    exactly once); the whole plan stays JVM-side."""
     from taco_toolbox_spark.operators.terms import distinctive_terms
 
     df = spark.createDataFrame(
         [(1, "x y z"), (2, "x q r")], "doc_id long, text string"
     )
     plan = _plan(distinctive_terms(df, "text", "doc_id", k=2))
-    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+    assert plan.count("HashAggregate") >= 2  # partial+final for tf
+    assert plan.count("Window") >= 2  # df count + top-k rank
+    assert plan.count("Generate") == 1  # ONE token explode, not re-derived
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -488,7 +493,13 @@ def test_topk_join_plans(spark):
 
     lsh = _plan(lsh_topk_join(q, c, k=3, dim=8))
     assert "NestedLoop" not in lsh and "Cartesian" not in lsh
-    assert "LeftSemi" in lsh
+    # round 6: the bucket cap is a WINDOW count over (band, sig) riding
+    # the candidate join's exchange (the old semi-join re-ran the
+    # signature matmul a second time), so the corpus signature UDF must
+    # appear exactly once per join side — 2 Arrow nodes total (query +
+    # corpus), not 3
+    assert lsh.count("Window") >= 2  # bucket cap + per-query top-k rank
+    assert lsh.count("ArrowEvalPython") == 2
 
 
 def test_fd_violations_no_expand_stacked_partial_aggs(spark):
