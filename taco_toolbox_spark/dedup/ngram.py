@@ -146,21 +146,18 @@ def jaccard_pairs_prefix(
       whose bound falls below ceil(t/(1+t)*(|A|+|B|)) are dropped
       before exact verification. Both filters are necessary conditions,
       so the survivor set still contains every true pair.
-    * Exact Jaccard is computed ONLY for survivors via
-      ``verify_pairs_exact`` — linear in candidate fan-out, never the
-      all-shared-shingle-pairs blowup.
+    * Exact Jaccard is computed ONLY for survivors — one
+      ``array_intersect`` over the two docs' distinct-shingle arrays per
+      candidate pair (attached by id) — linear in candidate count, never
+      the all-shared-shingle-pairs blowup.
 
-    Shuffles: freq count (shingle key), rank window (id key), prefix
+    Shuffles: freq window + rank window (shingle then id key), prefix
     self-join (shingle key, rare keys by construction), verification
     joins (pair/id keys). All well-distributed; nothing quadratic in a
     hot shingle's document frequency.
 
     Columns: id_a, id_b, jaccard (>= threshold).
     """
-    from pyspark.sql import Window
-
-    from .minhash import verify_pairs_exact  # late: minhash imports us
-
     sh = shingles(df, text_col, id_col, n)
     # document frequency via a window COUNT over the shingle partition
     # instead of a groupBy + join back: the join form re-derived the
@@ -224,13 +221,42 @@ def jaccard_pairs_prefix(
             >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("_la") + F.col("_lb")))
         )
         # _la/_lb are the docs' shingle counts — thread them as na/nb so
-        # verify_pairs_exact skips its own size pass over the shingles
+        # verification skips its own size pass over the shingles
         .select(
             "id_a", "id_b",
             F.col("_la").alias("na"), F.col("_lb").alias("nb"),
         )
     )
-    return verify_pairs_exact(cand, sh, threshold)
+    # Verify via per-doc shingle ARRAYS attached by id, not the exploded
+    # fan join (round 6): at realistic thresholds the length/positional
+    # filters leave many candidates (308k at sf0.1 for 25 true pairs), so
+    # the fan materializes sum-over-pairs |A| rows (~15M here) through a
+    # (id_b, shingle) exchange, while one array_intersect per candidate
+    # pair touches only the candidate docs' arrays (id-keyed joins; AQE
+    # broadcasts the array side when small). |A∩B| over already-distinct
+    # arrays equals the exploded join's shared count exactly — measured
+    # value-identical, first execution 8.1s -> 3.7s at sf0.1/local[32].
+    # (The minhash verify keeps the fan form: its bucket-capped candidate
+    # set is orders of magnitude smaller, where array materialization
+    # costs more than it saves — measured both ways.)
+    arr = doc_shingle_arrays(df, text_col, id_col, n)
+    pairs = cand.join(
+        arr.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa")),
+        "id_a",
+    ).join(
+        arr.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb")),
+        "id_b",
+    )
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        pairs.withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _shared_counts(
