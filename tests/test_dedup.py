@@ -80,6 +80,14 @@ def _prefix_corpus(spark):
     # pruned by the length filter, never returned
     rows.append((9001, "alpha beta gamma delta epsilon"))
     rows.append((9002, "alpha beta gamma delta epsilon " + " ".join(f"pad{j}" for j in range(40))))
+    # same-length pair sharing SEVERAL rare shingles early in the
+    # rarest-first order but nothing else: multiple prefix collisions
+    # (c >= 2) with low true overlap — the shape the collision-count
+    # positional bound prunes before verification; parity below asserts
+    # the tightened filter never changes the returned pair set
+    shared_head = "omega sigma lambda rho tau phi chi psi"
+    rows.append((9101, f"{shared_head} " + " ".join(f"lefty{j}" for j in range(20))))
+    rows.append((9102, f"{shared_head} " + " ".join(f"righty{j}" for j in range(20))))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
