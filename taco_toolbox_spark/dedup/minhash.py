@@ -99,12 +99,20 @@ def shingle_hash(i: int, hash_fn: str = "xxhash64") -> F.Column:
         return F.xxhash64(F.col("shingle"), F.lit(i))
     if hash_fn == "md5":
         _ensure_perm_constants(i + 1)
-        p = F.lit(MINHASH_P)
-        return (
-            (F.lit(MINHASH_A[i]) * F.col("_h1")) % p
-            + (F.lit(MINHASH_B[i]) * F.col("_h2")) % p
-            + F.lit(MINHASH_C[i])
-        ) % p
+        # one parsed SQL string instead of ~12 Column-operator py4j round
+        # trips per hash function (the signature builders construct
+        # num_hashes of these per call — measured 1.23s of pure driver
+        # py4j wait for the 32-hash list at bench build time, ~0.1s
+        # parsed). `L` suffixes pin every literal to LongType so the
+        # arithmetic runs in the same 64-bit remainder/add tree as the
+        # Column form — A,B < p < 2^31 and the md5 halves < 2^32 keep
+        # every product under 2^63, so the values are bit-identical.
+        p = MINHASH_P
+        return F.expr(
+            f"(({MINHASH_A[i]}L * _h1) % {p}L"
+            f" + ({MINHASH_B[i]}L * _h2) % {p}L"
+            f" + {MINHASH_C[i]}L) % {p}L"
+        )
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
