@@ -117,8 +117,19 @@ def substring_run_pairs(
 
     a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), "shingle")
+    # merge hint on the self-join: both sides are the SAME positional
+    # subtree, already partitioned and sorted by the join key from the
+    # cap windows, so sort-merge shares ONE subtree at runtime
+    # (ReusedExchange) and inserts no new exchange. Left to its size
+    # estimates the planner BROADCASTS one side on small-to-mid corpora,
+    # re-deriving the window sort for the broadcast arm — a cost that
+    # GROWS with duplicate density: measured at 4x the sf0.1 corpus with
+    # 4x near-dup density, auto 12.4/11.0 s vs merge 8.3/5.9 s
+    # (first/warm); at sf0.1 the two are within noise. At corpus scale
+    # neither side broadcasts and the hint pins the planner's own
+    # choice.
     matched = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diff"))
     )

@@ -225,8 +225,18 @@ def winnow_overlap_pairs(
     )
     a = fp.select(F.col("_id").alias("id_a"), "h")
     b = fp.select(F.col("_id").alias("id_b"), "h")
+    # merge hint on the self-join: identical-subtree sides riding the
+    # cap window's hash-partitioned exchange — sort-merge shares one
+    # subtree (ReusedExchange) where the planner's broadcast choice
+    # re-runs the winnowing selection for the broadcast arm. Measured at
+    # 4x the sf0.1 corpus with 4x near-dup density: auto 4.6/4.0 s vs
+    # merge 3.2/2.9 s (first/warm); within noise at sf0.1. At corpus
+    # scale neither side broadcasts and the hint pins the planner's own
+    # choice. (The prefix/jaccard/minhash self-joins measured
+    # wash-to-negative under the same hint at both sizes and keep the
+    # planner's freedom — see OPTIMIZATION_r06.md.)
     return (
-        a.join(b, "h")
+        a.join(b.hint("merge"), "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
